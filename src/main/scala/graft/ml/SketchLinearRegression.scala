@@ -1,0 +1,124 @@
+package graft.ml
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorOps
+import graft.sketch.{GradientCodec, SketchCodec}
+
+/** Multiple linear regression trained by full-batch gradient descent
+  * with optional SketchML-style gradient compression — the Spark
+  * re-expression of the reference's
+  * `SketchMultipleLinearRegression` + `SketchGradientDescent`
+  * (`/root/reference/src/main/scala/de/tub/dima/bdapro/sketchml/flink/`).
+  *
+  * Parameter surface and defaults mirror
+  * `SketchMultipleLinearRegression.scala:89-103`:
+  * iterations=10, stepSize=0.1, convergenceThreshold off,
+  * learning rate η_t = stepSize/√t (FlinkML `LearningRateMethod.Default`,
+  * applied at `SketchGradientDescent.scala:289-292`), no
+  * regularization (`takeStep` = plain `w ← w − η·∇̄`,
+  * `SketchGradientDescent.scala:325-333`).
+  *
+  * Execution shape (SURVEY §3): Flink's bulk iteration
+  * (`SketchGradientDescent.scala:159-169`) becomes a driver loop —
+  * the idiomatic Spark form (same as MLlib `GradientDescent
+  * .runMiniBatchSGD`): persist the training set once, then per
+  * iteration broadcast the weights and run one `treeAggregate`
+  * whose buffer serializes through the gradient codec
+  * ([[GradientAccumulator]]). Loss for the convergence test
+  * (`SketchGradientDescent.scala:85-146`) is fused into the same
+  * pass, so a converging run costs exactly one job per iteration.
+  */
+class SketchLinearRegression extends Serializable {
+
+  private var iterations: Int = 10
+  private var stepSize: Double = 0.1
+  private var convergenceThreshold: Option[Double] = None
+  private var compressionType: String = "None"
+  private var treeDepth: Int = 2
+
+  def setIterations(n: Int): this.type = { iterations = n; this }
+  def setStepsize(s: Double): this.type = { stepSize = s; this }
+  def setConvergenceThreshold(t: Double): this.type = { convergenceThreshold = Some(t); this }
+  /** "Sketch" | "None" — the reference's `--compressionType` (`SketchConfig.scala:13`). */
+  def setCompressionType(c: String): this.type = { compressionType = c; this }
+  /** treeAggregate depth — 2 ≙ the reference's combiner-tree Reduce
+    * path; 1 ≙ its single-combiner ReduceGroup path
+    * (`SketchConfig.scala:17`, `SketchGradientDescent.scala:235-282`). */
+  def setTreeDepth(d: Int): this.type = { treeDepth = d; this }
+
+  def fit(data: Dataset[graft.sources.LibSvm.LabeledVec]): LinearModel =
+    fitRDD(data.rdd.map(lv => (lv.label, lv.features)))
+
+  /** Core loop over (label, features) rows. */
+  def fitRDD(data: RDD[(Double, Vector)]): LinearModel = {
+    val sc = data.sparkContext
+    val codec: GradientCodec = SketchCodec.forName(compressionType)
+    // persist across iterations (Flink bulk iteration's implicit cache,
+    // SURVEY §4) — unless the caller already chose a storage level
+    val weOwnCache = data.getStorageLevel == StorageLevel.NONE
+    val cached = if (weOwnCache) data.persist(StorageLevel.MEMORY_AND_DISK) else data
+    val dim = cached.first()._2.size
+
+    var weights = new Array[Double](dim) // zeros init (SketchGradientDescent.scala:55)
+    var intercept = 0.0
+    var prevLoss = Double.NaN
+    val lossHistory = Array.newBuilder[Double]
+    var t = 1
+    var converged = false
+    while (t <= iterations && !converged) {
+      val bcW = sc.broadcast(weights)
+      val bcB = intercept
+      val agg = cached.treeAggregate(new GradientAccumulator(dim, codec))(
+        seqOp = (acc, row) => acc.add(bcW.value, bcB, row._2, row._1),
+        combOp = (a, b) => a.merge(b),
+        depth = treeDepth)
+      bcW.destroy()
+      val n = agg.count.toDouble
+      val curLoss = agg.lossSum / n // mean loss (SketchGradientDescent.scala:371-383)
+      lossHistory += curLoss
+      // η_t = stepSize / √t  (FlinkML LearningRateMethod.Default)
+      val eta = stepSize / math.sqrt(t)
+      val w2 = weights.clone()
+      var i = 0
+      while (i < dim) { w2(i) -= eta * agg.grad(i) / n; i += 1 }
+      weights = w2
+      intercept -= eta * agg.interceptGrad / n
+      // relative-loss-change termination (SketchGradientDescent.scala:129-137)
+      converged = convergenceThreshold.exists(th =>
+        !prevLoss.isNaN && math.abs(prevLoss - curLoss) / prevLoss < th)
+      prevLoss = curLoss
+      t += 1
+    }
+    if (weOwnCache) cached.unpersist(blocking = false)
+    LinearModel(weights, intercept, lossHistory.result())
+  }
+}
+
+/** Fitted model: predict / evaluate surface of the reference's
+  * `Predictor` (`SketchMultipleLinearRegression.scala:152-173`,
+  * `Test.scala:52-62`). */
+case class LinearModel(weights: Array[Double], intercept: Double,
+                       lossHistory: Array[Double] = Array.empty) {
+
+  def predict(x: Vector): Double = LinearLoss.predict(weights, intercept, x)
+
+  /** Columnar predict over an `array<double>` features column — stays
+    * inside whole-stage codegen (no UDF): ŷ = wᵀx + b. */
+  def transform(df: DataFrame, featuresCol: String = "features",
+                outCol: String = "prediction"): DataFrame =
+    df.withColumn(outCol,
+      VectorOps.linearPredict(col(featuresCol), weights.toSeq, intercept))
+
+  /** (truth, prediction) pairs (`Test.scala:52`, FlinkML
+    * `Predictor.evaluate`). */
+  def evaluate(df: DataFrame, featuresCol: String = "features",
+               labelCol: String = "label"): DataFrame =
+    transform(df, featuresCol, "prediction")
+      .select(col(labelCol).as("truth"), col("prediction"))
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
+  * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
+  * similarity search, text analysis, multimodal plumbing — over the
+  * `documents` and `embeddings` tables.
+  *
+  * Scale notes: the oracled near-dup/similarity queries run on keyed
+  * `% k` probe subsets so the *oracle* stays tractable; the library
+  * operators themselves (graft.operators.*) take arbitrary frames
+  * and use bucket joins / inverted indexes, not cross products.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d))
+        .select(col("keep_id"), col("n_copies"), col("fp"))
+        .orderBy(col("keep_id"))
+    }),
+
+    "q_text_stats" -> ((s, d) =>
+      TextOps.textStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_token_count" -> ((s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
+    "q_ngram_jaccard" -> ((s, d) => {
+      val sub = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
+      Dedup.ngramJaccardPairs(sub, minJaccard = 0.0)
+        .filter(col("inter") >= 1)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // MinHash + LSH banding over the full table — rows-only check
+    // (hash-permutation semantics aren't DuckDB-expressible cheaply)
+    "q_dedup_minhash" -> ((s, d) => {
+      val mh = Dedup.minhash(Tables.documents(s, d))
+      val cand = Dedup.minhashCandidates(mh)
+      val nCand = cand.select(col("a").as("doc_id"))
+        .unionAll(cand.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      mh.select(col("doc_id"), element_at(col("sig"), 1).as("sig0"))
+        .join(nCand, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_candidates"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup bands — rows-only check
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(Tables.documents(s, d))
+        .select(col("doc_id"), col("simhash"),
+          element_at(col("bands"), 1).as("band0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding-cosine near-dup stats on a keyed probe subset
+    "q_dedup_embedding" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Dedup.embeddingNearDup(probes, probes, threshold = 0.2)
+        .orderBy(col("qid"))
+    }),
+
+    // brute-force cosine top-5 for keyed probe queries (exact ANN baseline)
+    "q_similarity_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path) — recall<1, rows-only check
+    "q_similarity_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.lshTopK(emb, queries, k = 5, bits = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // multimodal binary-column metadata (columnar, SQL-expressible path)
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // multimodal batched stub-decode (mapPartitions plumbing path) —
+    // deterministic fake features; rows-only check
+    "q_multimodal_decode" -> ((s, d) => {
+      Multimodal.decodeFeatures(Multimodal.withBinary(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val toksSql = "string_split(text, ' ')"
+  private val stopSql =
+    s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','in')))"
+
+  /** DuckDB word-3-shingle list for the Jaccard oracle. */
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(list_aggregate(list_transform(range(1, len($a.embedding)+1), " +
+      s"i -> CAST($a.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE)), 'sum') " +
+      s"/ (sqrt(list_aggregate(list_transform($a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) " +
+      s"* sqrt(list_aggregate(list_transform($b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS fp " +
+        "FROM documents GROUP BY sha256(text) ORDER BY keep_id"),
+    "q_text_stats" ->
+      (s"SELECT doc_id, n_chars, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+        s"CAST(floor(CAST(n_chars AS DOUBLE)/len($toksSql)*1000000) AS BIGINT) AS chars_per_token_e6, " +
+        s"CAST(floor(CAST($stopSql AS DOUBLE)/len($toksSql)*1000000) AS BIGINT) AS stopword_ratio_e6 " +
+        "FROM documents ORDER BY doc_id"),
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS n_word_tokens, " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_bpe_est " +
+        "FROM documents ORDER BY doc_id"),
+    "q_lang_id" ->
+      (s"SELECT doc_id, lang AS lang_true, " +
+        s"CASE WHEN CAST($stopSql AS DOUBLE)/len($toksSql) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred, " +
+        s"CAST(floor(CAST($stopSql AS DOUBLE)/len($toksSql)*1000000) AS BIGINT) AS en_score_e6 " +
+        "FROM documents ORDER BY doc_id"),
+    "q_quality_score" ->
+      (s"SELECT doc_id, CAST(floor((least(len($toksSql)/100.0, 1.0)*0.3 " +
+        s"+ (CAST($stopSql AS DOUBLE)/len($toksSql))*0.4 " +
+        s"+ least((CAST(n_chars AS DOUBLE)/len($toksSql))/8.0, 1.0)*0.3)*1000000) AS BIGINT) AS quality_e6 " +
+        "FROM documents ORDER BY doc_id"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS fp_md5, substr(md5(text),1,16) AS fp64 " +
+        "FROM documents ORDER BY doc_id"),
+    "q_ngram_jaccard" ->
+      (s"WITH sub AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 20 = 0), " +
+        "ex AS (SELECT doc_id, unnest(sh) AS s FROM sub), " +
+        "sizes AS (SELECT doc_id, len(sh) AS n FROM sub), " +
+        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter " +
+        "FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT a, b, round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter),6) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+        "WHERE inter >= 1 ORDER BY a, b"),
+    "q_dedup_embedding" ->
+      ("SELECT a.vec_id AS qid, " +
+        s"CAST(sum(CASE WHEN ${cosSql("a", "b")} > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near, " +
+        s"round(max(${cosSql("a", "b")}),6) AS max_cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
+        "AND a.vec_id % 50 = 0 AND b.vec_id % 50 = 0 " +
+        "GROUP BY a.vec_id ORDER BY qid"),
+    "q_similarity_topk" ->
+      (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
+        s"${cosSql("a", "b")} AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id), " +
+        "ranked AS (SELECT qid, neighbor_id, score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width, " +
+        "CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height " +
+        "FROM documents ORDER BY doc_id")
+    // q_dedup_minhash / q_dedup_simhash / q_similarity_lsh /
+    // q_multimodal_decode: engine-hash / stub semantics — rows-only.
+  )
+}

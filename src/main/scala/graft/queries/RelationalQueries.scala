@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Sessions
+
+/** Group B (relational core + event-time) — SURVEY.md §2.5:
+  * key-group-by, multi-way joins, window functions, sort/limit, set
+  * ops, tumbling windows, sessionization. All stock Catalyst; scale
+  * notes per query:
+  *  - dimension tables (nation/region) are broadcast — no shuffle
+  *    for the dim side at any scale;
+  *  - fact-fact joins shuffle on the join key once and reuse it;
+  *  - top-k uses rank-filter (partial top-k per partition under AQE)
+  *    rather than global sort.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // hash join ⋈ broadcast joins + keyed group-by rollup
+    "q_join_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r0 = Tables.region(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r0), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // window function: top-3 orders per market segment
+    "q_window_topk" -> ((s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      joined.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // global sort + limit (top-k by value with deterministic tiebreak)
+    "q_sort_limit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // set operations: INTERSECT / EXCEPT / UNION ALL in one result
+    "q_set_ops" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      val i = building.intersect(bigSpenders).withColumn("op", lit("intersect"))
+      val e = building.except(bigSpenders).withColumn("op", lit("except"))
+      i.unionAll(e).select(col("op"), col("custkey"))
+        .orderBy(col("op"), col("custkey"))
+    }),
+
+    // exact + approximate distinct-count aggregates over lineitem
+    "q_agg_global" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"))
+    }),
+
+    // event-time tumbling window aggregation (batch twin of the
+    // Structured Streaming query — same Sessions.tumblingAgg code)
+    "q_event_windows" -> ((s, d) => {
+      Sessions.tumblingCounts(Tables.events(s, d), "1 hour")
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    // gap-based sessionization (30 min) via lag + running sum
+    "q_event_sessions" -> ((s, d) => {
+      Sessions.sessionize(Tables.events(s, d), gapMinutes = 30)
+        .orderBy(col("user_id"), col("sid"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_agg" ->
+      ("SELECT r_name, n_name, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q_window_topk" ->
+      ("SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (" +
+        "SELECT c_mktsegment, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey) t " +
+        "WHERE rk <= 3 ORDER BY c_mktsegment, rk"),
+    "q_sort_limit" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
+    "q_set_ops" ->
+      ("SELECT 'intersect' AS op, custkey FROM (" +
+        "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 150000) a " +
+        "UNION ALL " +
+        "SELECT 'except' AS op, custkey FROM (" +
+        "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 150000) b " +
+        "ORDER BY op, custkey"),
+    "q_agg_global" ->
+      ("SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+        "round(avg(l_extendedprice),6) AS avg_price FROM lineitem"),
+    "q_event_windows" ->
+      ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_event_sessions" ->
+      ("WITH flagged AS (SELECT user_id, value, epoch_us(ts) AS us, " +
+        "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 " +
+        "WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, value, us, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY us " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, " +
+        "max(us) - min(us) AS dur_us, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid")
+  )
+}

@@ -1,0 +1,224 @@
+package graft.sketch
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+/** Codec for a dense gradient vector crossing a communication
+  * boundary (shuffle / task-result serialization in treeAggregate).
+  * Two implementations mirror the reference's
+  * `--compressionType None | Sketch` switch
+  * (`/root/reference/.../SketchConfig.scala:13`,
+  * `SketchGradientDescent.scala:343`).
+  */
+trait GradientCodec extends Serializable {
+  def encode(dense: Array[Double]): Array[Byte]
+  def decode(bytes: Array[Byte]): Array[Double]
+  def name: String
+}
+
+/** Lossless raw-doubles codec — the `compressionType=None` /
+  * `FlinkGradientDescent` baseline path
+  * (`/root/reference/.../FlinkGradientDescent.scala:216-234`). */
+object IdentityCodec extends GradientCodec {
+  val name = "None"
+  def encode(dense: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(8 * dense.length + 8)
+    val out = new DataOutputStream(bos)
+    out.writeInt(dense.length)
+    var i = 0
+    while (i < dense.length) { out.writeDouble(dense(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+  def decode(bytes: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val dim = in.readInt()
+    val arr = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { arr(i) = in.readDouble(); i += 1 }
+    arr
+  }
+}
+
+/** SketchML-style lossy gradient compression (§2.4 of SURVEY.md;
+  * semantics from the public SIGMOD'18 paper + the reference call
+  * site `/root/reference/.../SketchGradientDescent.scala:340-348`):
+  *
+  *  1. nonzeros (|v| > eps, countNNZ parity with
+  *     `SketchGradientDescent.scala:356-362`) are quantile-quantized
+  *     into `binNum` bins; each bin's representative is the mean of
+  *     its values — bounded relative error, 1 byte per value.
+  *  2. bins are split into `groupNum` contiguous ranges; each
+  *     group's (key → bin-offset) map goes into a [[MinMaxSketch]]
+  *     (`rowNum` rows, `colRatio × groupNnz` cols).
+  *  3. keys are delta + varint encoded per group.
+  *  4. an all-zero gradient short-circuits to a 2-byte ZeroGradient
+  *     marker (`SketchGradientDescent.scala:203,213,261-271`).
+  *
+  * decode() returns the dense approximation (`toAuto.toDense` parity,
+  * `SketchGradientDescent.scala:244,249,276`). Like the reference's
+  * Reduce path, partial sums get *re*-compressed at each tree level
+  * (`SketchGradientDescent.scala:274`), so lossy error compounds with
+  * tree depth — tolerance-tested, never oracle-compared.
+  */
+final class SketchCodec(
+    val binNum: Int = SketchCodec.DefaultBinNum,
+    val groupNum: Int = SketchCodec.DefaultGroupNum,
+    val rowNum: Int = MinMaxSketch.DefaultRowNum,
+    val colRatio: Double = SketchCodec.DefaultColRatio,
+    val eps: Double = 1e-10
+) extends GradientCodec {
+  require(binNum % groupNum == 0 && binNum / groupNum <= 256,
+    s"binNum/groupNum must be <=256 byte-cell offsets, got $binNum/$groupNum")
+  val name = "Sketch"
+  private val groupBins = binNum / groupNum
+
+  def encode(dense: Array[Double]): Array[Byte] = {
+    val dim = dense.length
+    // collect nonzeros
+    var nnz = 0
+    var i = 0
+    while (i < dim) { if (math.abs(dense(i)) > eps) nnz += 1; i += 1 }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    if (nnz == 0) { // ZeroGradient marker
+      out.writeByte(0); out.writeInt(dim); out.flush(); return bos.toByteArray
+    }
+    val keys = new Array[Int](nnz)
+    val vals = new Array[Double](nnz)
+    var k = 0
+    i = 0
+    while (i < dim) {
+      if (math.abs(dense(i)) > eps) { keys(k) = i; vals(k) = dense(i); k += 1 }
+      i += 1
+    }
+    // 1. quantile bins from the sorted nonzero values
+    val sorted = vals.clone(); java.util.Arrays.sort(sorted)
+    val edges = new Array[Double](binNum - 1)
+    var b = 0
+    while (b < binNum - 1) { edges(b) = sorted(((b + 1).toLong * nnz / binNum).toInt.min(nnz - 1)); b += 1 }
+    // Bins stay in value-ascending order: a min-of-max collision then
+    // lands on a *nearby* bin (quantile-adjacent value, small error).
+    // A magnitude-descending re-index (shrink-toward-zero bias) was
+    // measured strictly worse here — adjacent bins alternate sign and
+    // collisions become sign flips (relL2 0.37 → 0.81 at 3×0.5).
+    val bins = new Array[Int](nnz)
+    val repSum = new Array[Double](binNum)
+    val repCnt = new Array[Long](binNum)
+    k = 0
+    while (k < nnz) {
+      val bin = binOf(edges, vals(k))
+      bins(k) = bin; repSum(bin) += vals(k); repCnt(bin) += 1
+      k += 1
+    }
+    // 2+3. per-group sketch + delta-varint keys
+    out.writeByte(1)
+    out.writeInt(dim); out.writeInt(nnz)
+    out.writeInt(binNum); out.writeInt(groupNum); out.writeInt(rowNum)
+    b = 0
+    while (b < binNum) {
+      out.writeDouble(if (repCnt(b) > 0) repSum(b) / repCnt(b) else 0.0)
+      b += 1
+    }
+    var g = 0
+    while (g < groupNum) {
+      val lo = g * groupBins
+      val hi = lo + groupBins
+      var cnt = 0
+      k = 0
+      while (k < nnz) { if (bins(k) >= lo && bins(k) < hi) cnt += 1; k += 1 }
+      out.writeInt(cnt)
+      if (cnt > 0) {
+        val cols = math.max(8, math.ceil(cnt * colRatio).toInt)
+        out.writeInt(cols)
+        val sk = new MinMaxSketch(rowNum, cols)
+        var prev = 0
+        k = 0
+        while (k < nnz) {
+          if (bins(k) >= lo && bins(k) < hi) {
+            sk.insert(keys(k), bins(k) - lo)
+            writeVarInt(out, keys(k) - prev)
+            prev = keys(k)
+          }
+          k += 1
+        }
+        out.write(sk.table)
+      }
+      g += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val marker = in.readByte()
+    if (marker == 0) return new Array[Double](in.readInt())
+    val dim = in.readInt(); val _nnz = in.readInt()
+    val bn = in.readInt(); val gn = in.readInt(); val rn = in.readInt()
+    val gb = bn / gn
+    val reps = new Array[Double](bn)
+    var b = 0
+    while (b < bn) { reps(b) = in.readDouble(); b += 1 }
+    val dense = new Array[Double](dim)
+    var g = 0
+    while (g < gn) {
+      val cnt = in.readInt()
+      if (cnt > 0) {
+        val cols = in.readInt()
+        val keys = new Array[Int](cnt)
+        var prev = 0
+        var k = 0
+        while (k < cnt) { prev += readVarInt(in); keys(k) = prev; k += 1 }
+        val sk = new MinMaxSketch(rn, cols)
+        in.readFully(sk.table)
+        val lo = g * gb
+        k = 0
+        while (k < cnt) {
+          dense(keys(k)) = reps(lo + math.min(sk.query(keys(k)), gb - 1))
+          k += 1
+        }
+      }
+      g += 1
+    }
+    dense
+  }
+
+  /** index of the first edge > v (values ≤ edge fall in that bin). */
+  private def binOf(edges: Array[Double], v: Double): Int = {
+    var lo = 0
+    var hi = edges.length // == binNum-1; answer in [0, binNum-1]
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (edges(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def writeVarInt(out: DataOutputStream, value: Int): Unit = {
+    var v = value
+    while ((v & ~0x7f) != 0) { out.writeByte((v & 0x7f) | 0x80); v >>>= 7 }
+    out.writeByte(v)
+  }
+
+  private def readVarInt(in: DataInputStream): Int = {
+    var v = 0
+    var shift = 0
+    var b = in.readByte() & 0xff
+    while ((b & 0x80) != 0) { v |= (b & 0x7f) << shift; shift += 7; b = in.readByte() & 0xff }
+    v | (b << shift)
+  }
+}
+
+object SketchCodec {
+  /** binNum and groupNum mirror the reference call site
+    * (`SketchGradientDescent.scala:340-348`, `SketchConfig.scala:15`:
+    * 256 bins, 2 groups). rowNum/colRatio are our fidelity knobs:
+    * 3 sketch rows and 0.5 cols/key keep the min-of-max collision
+    * bias small while still compressing ~4× vs raw sparse doubles. */
+  val DefaultBinNum = 256
+  val DefaultGroupNum = 2
+  val DefaultColRatio = 0.5
+
+  def forName(compressionType: String): GradientCodec = compressionType match {
+    case "Sketch" => new SketchCodec()
+    case _        => IdentityCodec
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+
+/** LibSVM text ingestion with the reference's exact parsing semantics.
+  *
+  * Reference: `/root/reference/src/main/scala/de/tub/dima/bdapro/sketchml/flink/Test.scala:126-176`
+  * (`readLibSVMDimension`): readTextFile → flatMap parse → global
+  * max-reduce for the feature dimension → broadcast dim → build
+  * sparse vectors. Semantics reproduced here:
+  *  - strip `#` comments (Test.scala:135)
+  *  - skip blank lines (Test.scala:137)
+  *  - whitespace-split tokens (Test.scala:138)
+  *  - `require` on malformed `idx:val` pairs (Test.scala:143)
+  *  - 1-based → 0-based index shift (Test.scala:146)
+  *  - drop features with shifted index >= maxDim (Test.scala:150)
+  *  - drop rows whose features were all filtered out (Test.scala:151-152)
+  *  - dimension = global max shifted-index + 1 (Test.scala:157-160)
+  *
+  * Spark-first shape: the parse is a `Dataset.flatMap` (one pass, no
+  * driver involvement); the dimension is a 1-row aggregate collected
+  * once and closure-captured (replacing Flink's withBroadcastSet at
+  * Test.scala:162-174 — a scalar needs no broadcast join).
+  */
+object LibSvm {
+
+  final case class Parsed(label: Double, indices: Array[Int], values: Array[Double])
+  final case class LabeledVec(label: Double, features: Vector)
+
+  /** Parse one line. Returns None for blank / comment-only /
+    * all-features-filtered lines. Throws on malformed pairs, as the
+    * reference does (Test.scala:143). */
+  def parseLine(line: String, maxDim: Int = Int.MaxValue): Option[Parsed] = {
+    val hash = line.indexOf('#')
+    val noComment = if (hash >= 0) line.substring(0, hash) else line
+    val trimmed = noComment.trim
+    if (trimmed.isEmpty) None
+    else {
+      val parts = trimmed.split("\\s+")
+      val label = parts.head.toDouble
+      val idxBuf = Array.newBuilder[Int]
+      val valBuf = Array.newBuilder[Double]
+      var i = 1
+      while (i < parts.length) {
+        val kv = parts(i).split(':')
+        require(kv.length == 2, s"malformed feature '${parts(i)}'")
+        val idx = kv(0).toInt - 1 // 1-based → 0-based (Test.scala:146)
+        if (idx < maxDim) { idxBuf += idx; valBuf += kv(1).toDouble }
+        i += 1
+      }
+      val idxs = idxBuf.result()
+      if (idxs.isEmpty) None // Test.scala:151-152
+      else Some(Parsed(label, idxs, valBuf.result()))
+    }
+  }
+
+  /** Lines → DataFrame(label double, indices array<int>, values array<double>). */
+  def parse(lines: Dataset[String], maxDim: Int = Int.MaxValue): Dataset[Parsed] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(parseLine(_, maxDim))
+  }
+
+  def read(spark: SparkSession, path: String, maxDim: Int = Int.MaxValue): Dataset[Parsed] =
+    parse(spark.read.textFile(path), maxDim)
+
+  /** Global feature dimension = max 0-based index + 1 (Test.scala:157-160).
+    * One 1-row aggregate; Catalyst does the partial max map-side. */
+  def inferDim(parsed: Dataset[Parsed]): Int = {
+    val row = parsed.toDF()
+      .agg(max(array_max(col("indices"))).as("m")).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0) + 1
+  }
+
+  /** Parsed rows → MLlib-style (label, SparseVector) dataset
+    * (Test.scala:162-174, SparseVector.fromCOO). `dim` is
+    * closure-captured — the Spark analogue of the reference's
+    * broadcast-scalar pattern. */
+  def toLabeledVectors(parsed: Dataset[Parsed], dim: Int): Dataset[LabeledVec] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.map(p => LabeledVec(p.label, Vectors.sparse(dim, p.indices, p.values)))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pipeline operators on small planted fixtures: exact dedup finds
+  * planted duplicates; MinHash estimates true Jaccard; SimHash is
+  * stable under small edits; LSH ANN returns plausible neighbors;
+  * multimodal stub decode has the right shape. */
+class OperatorsSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val docs = docsDf(Seq(1L -> "a b c", 2L -> "a b c", 3L -> "x y z"))
+    val out = Dedup.exact(docs).collect().map(r =>
+      (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingleRows builds distinct word 3-grams") {
+    val docs = docsDf(Seq(1L -> "a b c d", 2L -> "a b"))
+    val sh = Dedup.shingleRows(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSet == Set((1L, "a b c"), (1L, "b c d"))) // doc 2 too short
+  }
+
+  test("minhash estimate tracks true Jaccard for near-dup docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " z1 z2 z3"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> other))
+    val mh = Dedup.minhash(docs, numBands = 8, rowsPerBand = 4)
+    val cand = Dedup.minhashCandidates(mh)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    val est = Dedup.minhashEstimate(mh, cand)
+      .filter(col("a") === 1 && col("b") === 2)
+      .head().getAs[Double]("est_jaccard")
+    // true 3-shingle jaccard of base vs nearDup ≈ 55/64 ≈ 0.86
+    assert(est > 0.5 && est <= 1.0, s"estimate $est")
+  }
+
+  test("simhash: small edit → close hamming; different text → far") {
+    val a = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 78).map(i => s"tok$i").mkString(" ") + " q1 q2"
+    val c = (500 to 580).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.simhash(docsDf(Seq(1L -> a, 2L -> b, 3L -> c)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)),
+      s"near ${ham(out(1L), out(2L))} !< far ${ham(out(1L), out(3L))}")
+    assert(ham(out(1L), out(2L)) <= 12)
+  }
+
+  test("ngram jaccard pairs: identical docs score 1.0") {
+    val docs = docsDf(Seq(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t"))
+    val out = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("brute-force topk is exact and LSH recall is sane") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def perturb(eps: Float) = base.map(v => v + eps * rnd.nextGaussian().toFloat)
+    val vecs = Seq(
+      0L -> base, 1L -> perturb(0.05f), 2L -> perturb(0.1f),
+      3L -> Array.fill(16)(rnd.nextGaussian().toFloat),
+      4L -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val emb = vecs.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 2).collect()
+    assert(bf.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    val lsh = Similarity.lshTopK(emb, q, k = 2, bits = 2)
+    // same-bucket candidates only; top hit must still rank first when present
+    val lshIds = lsh.collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(lshIds.isEmpty || lshIds.head == 1L || lshIds.head == 2L)
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "a", 1.0, "{}"), (2L, ts(10), 7L, "a", 2.0, "{}"),
+      (3L, ts(60), 7L, "a", 3.0, "{}"), // 50-min gap → new session
+      (4L, ts(5), 8L, "b", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessions.sessionize(events, gapMinutes = 30)
+      .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("sid")),
+        r.getAs[Long]("n_events"))).toMap
+    assert(out == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
+  }
+
+  test("multimodal stub decode keeps schema/batch contract") {
+    val docs = docsDf(Seq(1L -> "hello world", 2L -> "xyz"))
+    val out = Multimodal.decodeFeatures(Multimodal.withBinary(docs), batchSize = 1)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).n_bytes == 11 && out(2L).n_bytes == 3)
+    assert(out(1L).features.length == 8)
+    assert(out(1L).width == 11 % 640 + 1)
+    // deterministic: first feature = first byte / 255
+    assert(math.abs(out(1L).features(0) - 'h'.toInt / 255.0f) < 1e-6)
+  }
+
+  test("text stats tokenization matches duckdb string_split semantics") {
+    val docs = docsDf(Seq(1L -> "a  b c")) // double space → empty token
+    val row = TextOps.textStats(docs).head()
+    assert(row.getAs[Long]("n_tokens") == 4)
+  }
+}

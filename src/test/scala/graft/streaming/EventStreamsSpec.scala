@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Sessions
+
+/** Batch/streaming parity (SURVEY §7 risk 6): the same
+  * Sessions.tumblingAgg over a MemoryStream must equal the batch
+  * result on the same rows once all data is processed. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class EventStreamsSpec extends SparkTestBase {
+
+  test("streaming tumbling agg equals batch on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val rows = (0 until 200).map(i =>
+      Ev(i.toLong, ts(i * 7 % 300), i % 5, if (i % 2 == 0) "click" else "view",
+        (i % 13) + 0.25, "{}"))
+
+    val stream = MemoryStream[Ev]
+    val agg = EventStreams.tumblingAggStream(stream.toDF(), watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    try {
+      stream.addData(rows.take(120))
+      q.processAllAvailable()
+      stream.addData(rows.drop(120))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT window.start AS ws, event_type, n_events, sum_value FROM stream_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = Sessions.tumblingAgg(rows.toDF())
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
