@@ -19,13 +19,14 @@ object VectorOps {
   /** Cast any numeric array (e.g. parquet `list<float>`) to array<double>. */
   def asDoubleArray(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dotArr(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two array<double> columns —
+    * backed by the native codegen [[DotProduct]] expression (the HOF
+    * `aggregate(zip_with(...))` form is interpreted and ~10× slower
+    * in similarity scans; fold order is identical). */
+  def dotArr(x: Column, y: Column): Column = DotProduct.dot(x, y)
 
-  /** Sum of squares, sequential fold. */
-  def sumSq(x: Column): Column =
-    aggregate(x, lit(0.0), (acc, v) => acc + v * v)
+  /** Sum of squares = dot(x, x), sequential fold. */
+  def sumSq(x: Column): Column = DotProduct.dot(x, x)
 
   /** L2 norm. */
   def l2Norm(x: Column): Column = sqrt(sumSq(x))

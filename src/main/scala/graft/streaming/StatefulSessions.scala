@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful gap-sessionization with `flatMapGroupsWithState` — the
+  * Structured Streaming counterpart of the batch
+  * `Sessions.sessionize` (lag + running sum). Custom per-user state
+  * (`KeyValueGroupedDataset.flatMapGroupsWithState`, SURVEY §2.5
+  * Group B streaming surface): events accumulate into an open
+  * session; a gap > `gapMinutes` closes and emits it; an event-time
+  * timeout (watermark passing last-event + gap) closes the final
+  * session. Works identically on a batch Dataset (single pass per
+  * group), which is how the spec cross-checks it against the batch
+  * operator.
+  */
+object StatefulSessions {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  case class OpenSession(sid: Long, startUs: Long, lastUs: Long,
+                         nEvents: Long, sumValue: Double)
+
+  case class ClosedSession(user_id: Long, sid: Long, n_events: Long,
+                           dur_us: Long, sum_value: Double)
+
+  /** Process a user's new events against open-session state. */
+  def updateUser(gapUs: Long)(userId: Long, events: Iterator[Event],
+                              state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(ClosedSession(userId, s.sid, s.nEvents, s.lastUs - s.startUs, s.sumValue))
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = state.getOption
+    val out = Seq.newBuilder[ClosedSession]
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000L
+      open match {
+        case Some(s) if us - s.lastUs > gapUs =>
+          out += ClosedSession(userId, s.sid, s.nEvents, s.lastUs - s.startUs, s.sumValue)
+          open = Some(OpenSession(s.sid + 1, us, us, 1L, e.value))
+        case Some(s) =>
+          open = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1,
+            sumValue = s.sumValue + e.value))
+        case None =>
+          open = Some(OpenSession(1L, us, us, 1L, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // close the session once the watermark passes last event + gap
+      try state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+      catch { case _: UnsupportedOperationException => () /* batch mode */ }
+    }
+    out.result().iterator
+  }
+
+  /** Streaming (or batch) sessionize. For streaming inputs the caller
+    * should apply `withWatermark("ts", ...)` first. In batch mode the
+    * final open session per user is NOT emitted (it never times out)
+    * — matching streaming append semantics. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateUser(gapUs))(Encoders.product[OpenSession], Encoders.product[ClosedSession])
+  }
+}
