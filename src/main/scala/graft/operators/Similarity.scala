@@ -53,6 +53,52 @@ object Similarity {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** IVF-style ANN: the corpus is coarse-partitioned by nearest of
+    * `nlist` centroids (deterministically sampled from the corpus);
+    * each query probes its `nProbe` nearest centroids' inverted lists
+    * only. The scored candidate count drops from |Q|·|C| to
+    * ~|Q|·|C|·nProbe/nlist, and the candidate join is a hash join on
+    * centroid id — the partition-pruned shape that survives a 100 TB
+    * corpus (a real deployment would bucket the corpus BY cid on
+    * disk so probes prune file groups). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    // deterministic centroid sample: first nlist by vec_id
+    val centroids = c.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("cv"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def centroidScores(vecCol: org.apache.spark.sql.Column,
+                       normCol: org.apache.spark.sql.Column) =
+      array(centroids.map { case (_, cv, cn) =>
+        VectorOps.dotArr(vecCol, array(cv.map(lit).toSeq: _*)) / (normCol * lit(cn))
+      }.toSeq: _*)
+    // corpus side: assign to argmax-cosine centroid
+    val assigned = c.withColumn("cs", centroidScores(col("cv"), col("cn")))
+      .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
+      .drop("cs")
+    // query side: nProbe nearest centroids each
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+      .withColumn("cs", centroidScores(col("qv"), col("qn")))
+      .select(col("qid"), col("qv"), col("qn"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), (col("cpos") + 1).cast("int").as("cid")))
+    assigned.join(q, Seq("cid")).filter(col("qid") =!= col("vec_id"))
+      .withColumn("score",
+        VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** ANN top-k restricted to same-hyperplane-bucket candidates.
     * Recall < 1 by construction; bucket join instead of cross join. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -96,6 +96,15 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-partitioned ANN (centroid-pruned candidate join) —
+    // recall<1, rows-only check
+    "q_similarity_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // multimodal binary-column metadata (columnar, SQL-expressible path)
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d)).orderBy(col("doc_id"))),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.{SketchGradientSum, VectorOps}
 import graft.ml.SketchLinearRegression
 import graft.sketch.{IdentityCodec, SketchCodec}
 import graft.sources.LibSvm
@@ -169,6 +169,22 @@ object RefQueries {
         r(m.intercept, 2))).toDF("w1", "w2", "w3", "b")
     }),
 
+    // S12-S15 in SQL: the gradient_sketch_sum TypedImperativeAggregate
+    // (partial buffers cross the Exchange through the gradient codec).
+    // Lossless codec here so DuckDB can oracle it; the Sketch codec
+    // path is property-tested in SketchGradientSumSpec.
+    "q_sketch_agg_sql" -> ((s, d) => {
+      val grads = feats(Tables.lineitem(s, d))
+        .select(array(col("x1"), col("x2"), col("x3")).as("grad"))
+      grads.agg(
+          SketchGradientSum.gradientSketchSum(col("grad"), "None").as("g"),
+          count(lit(1)).as("n"))
+        .select(round(element_at(col("g"), 1), 4).as("g1"),
+          round(element_at(col("g"), 2), 4).as("g2"),
+          round(element_at(col("g"), 3), 4).as("g3"),
+          col("n"))
+    }),
+
     // §2.4: quantize→sketch→decode roundtrip stats on a deterministic
     // 512-dim gradient derived from lineitem. Lossy — rows-only.
     "q_sketch_roundtrip" -> ((s, d) => {
@@ -245,7 +261,10 @@ object RefQueries {
       (s"SELECT round(sum(abs((0.1 + 0.5*x1 + 1.0*x2 + 2.0*x3) - y)),6) AS abs_err_sum, " +
         s"round(avg(abs((0.1 + 0.5*x1 + 1.0*x2 + 2.0*x3) - y)),6) AS mae, " +
         s"count(*) AS n FROM ($featsSql) f"),
-    "q_sgd_train" -> sgdOracleSql(5, 0.5)
+    "q_sgd_train" -> sgdOracleSql(5, 0.5),
+    "q_sketch_agg_sql" ->
+      (s"SELECT round(sum(x1),4) AS g1, round(sum(x2),4) AS g2, " +
+        s"round(sum(x3),4) AS g3, count(*) AS n FROM ($featsSql) f")
     // q_sgd_train_sketch, q_sketch_roundtrip: lossy sketch semantics,
     // intentionally no SQL oracle (rows-only check; SURVEY §7 risk 3)
   )

@@ -19,4 +19,14 @@ object EventStreams {
   def tumblingAggStream(stream: DataFrame, watermark: String = "10 minutes",
                         width: String = "1 hour"): DataFrame =
     Sessions.tumblingAgg(stream.withWatermark("ts", watermark), width)
+
+  /** Streaming exact-dedup: keep the first occurrence per
+    * fingerprint; the watermark bounds the dedup state horizon (the
+    * streaming twin of `Dedup.exact` — state is hash-partitioned by
+    * fingerprint, so it scales like the batch groupBy). */
+  def dedupStream(stream: DataFrame, fp: org.apache.spark.sql.Column,
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    stream.withColumn("fp", fp)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fp")
 }
