@@ -10,17 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup outside the timers: JVM/codegen/parquet-footer costs would
-    // otherwise all land on whichever query happens to run first.
+    // Warmup outside the timers: JVM/codegen/parquet-footer/OS-page-cache
+    // costs would otherwise all land on whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-query isolation: drop any cache/broadcast state a query
+      // leaked so allocation-heavy successors don't pay its GC bill.
+      spark.catalog.clearCache()
+      name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,7 +36,11 @@ object RefQueries {
 
   private def featsRdd(spark: SparkSession, sfDir: String) = {
     val f = feats(Tables.lineitem(spark, sfDir))
+    // single-row-group parquet ⇒ 1 partition; spread the row
+    // conversion and the per-iteration gradient passes across all
+    // cores before the (cached) RDD is materialized
     f.select(col("y"), array(col("x1"), col("x2"), col("x3")).as("xs"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .rdd.map(r => (r.getDouble(0), Vectors.dense(r.getSeq[Double](1).toArray)))
   }
 
@@ -63,7 +67,13 @@ object RefQueries {
       lit(":"), col("l_tax").cast("string"),
       when(pmod(col("l_orderkey"), lit(10)) === 0, lit(" # trailing comment"))
         .otherwise(lit(""))).as("line")).as[String]
+    // The sf0.x lineitem parquet is a single row group, so without
+    // this the whole parse would run as ONE task. At 100 TB the scan
+    // arrives pre-split into thousands of file splits; locally we
+    // spread the CPU-heavy per-row parse across all cores explicitly
+    // (an 11 MB round-robin shuffle — noise next to the parse cost).
     body.union(Seq("", "# comment-only line", "9.9 9:1.0").toDS())
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

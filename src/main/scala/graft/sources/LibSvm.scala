@@ -31,24 +31,45 @@ object LibSvm {
 
   /** Parse one line. Returns None for blank / comment-only /
     * all-features-filtered lines. Throws on malformed pairs, as the
-    * reference does (Test.scala:143). */
+    * reference does (Test.scala:143).
+    *
+    * Hand-rolled char scan, no regex: `String.split("\\s+")` compiles
+    * a Pattern per call, and at ~600k calls per partition the regex
+    * machinery both dominates the profile and is exposed to JIT
+    * deopt pathologies (observed 30× per-row slowdowns under codegen
+    * class churn). A char scan is allocation-light and stable. */
   def parseLine(line: String, maxDim: Int = Int.MaxValue): Option[Parsed] = {
     val hash = line.indexOf('#')
-    val noComment = if (hash >= 0) line.substring(0, hash) else line
-    val trimmed = noComment.trim
-    if (trimmed.isEmpty) None
+    val end = if (hash >= 0) hash else line.length
+    var i = 0
+    // skip leading whitespace
+    while (i < end && line.charAt(i) <= ' ') i += 1
+    if (i >= end) None
     else {
-      val parts = trimmed.split("\\s+")
-      val label = parts.head.toDouble
+      // label token
+      var j = i
+      while (j < end && line.charAt(j) > ' ') j += 1
+      val label = java.lang.Double.parseDouble(line.substring(i, j))
       val idxBuf = Array.newBuilder[Int]
       val valBuf = Array.newBuilder[Double]
-      var i = 1
-      while (i < parts.length) {
-        val kv = parts(i).split(':')
-        require(kv.length == 2, s"malformed feature '${parts(i)}'")
-        val idx = kv(0).toInt - 1 // 1-based → 0-based (Test.scala:146)
-        if (idx < maxDim) { idxBuf += idx; valBuf += kv(1).toDouble }
-        i += 1
+      i = j
+      while (i < end) {
+        while (i < end && line.charAt(i) <= ' ') i += 1
+        if (i < end) {
+          j = i
+          var colon = -1
+          while (j < end && line.charAt(j) > ' ') {
+            if (line.charAt(j) == ':') colon = j
+            j += 1
+          }
+          require(colon > i && colon < j - 1, s"malformed feature '${line.substring(i, j)}'")
+          val idx = Integer.parseInt(line.substring(i, colon)) - 1 // 1-based → 0-based (Test.scala:146)
+          if (idx < maxDim) {
+            idxBuf += idx
+            valBuf += java.lang.Double.parseDouble(line.substring(colon + 1, j))
+          }
+          i = j
+        }
       }
       val idxs = idxBuf.result()
       if (idxs.isEmpty) None // Test.scala:151-152
