@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RefQueries, RelationalQueries}
+import graft.queries.{PipelineQueries, RefQueries, RelationalQueries, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.5/§7 + the builder
   * prompt. Queries are assembled from three catalogs:
@@ -20,11 +20,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+    RefQueries.queries ++ RelationalQueries.queries ++
+      PipelineQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (lossy sketch, engine-hash
     * MinHash/SimHash/LSH, stub decode) get the rows-only check. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
+    RefQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ SketchQueries.oracleSql
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sketch-family queries (SURVEY.md §2.4 "Spark built-ins that cover
+  * the family of sketch functionality"): HyperLogLog++, Count-Min,
+  * Bloom filter, and quantile sketches as first-class engine surface.
+  *
+  * Oracle design: approximate answers are engine-specific, so each
+  * query emits (a) EXACT values DuckDB can reproduce and (b) boolean
+  * bounded-error assertions on the sketch estimates (which must all
+  * be TRUE — also reproducible). This turns "approximate" into a
+  * deterministic, hash-comparable contract: the oracle checks both
+  * the exact baseline and that the sketch obeyed its error bound.
+  *
+  * Scale notes: all four sketches are mergeable commutative monoids —
+  * Spark computes them as map-side partials + a tree merge, so the
+  * shuffle carries one small sketch per partition, never rows. That
+  * is the same communication-compression idea as the reference's
+  * SketchML gradient sketches (SketchGradientDescent.scala:220-281),
+  * applied to the relational surface.
+  */
+object SketchQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HyperLogLog++ distinct-count vs exact, 5% bound at rsd=2%
+    "q_sketch_hll" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("hll"))
+        .select(col("n_exact"),
+          (abs(col("hll") - col("n_exact")) / col("n_exact") < 0.05).as("hll_ok"))
+    }),
+
+    // exact interpolated percentiles (same definition as DuckDB
+    // quantile_cont) + approx_percentile bounded against them
+    "q_sketch_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"))
+        .select(round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+          (abs(col("a50") - col("p50")) / col("p50") < 0.01).as("q50_ok"),
+          (abs(col("a90") - col("p90")) / col("p90") < 0.01).as("q90_ok"))
+    }),
+
+    // Count-Min frequency estimates for three hot keys: CMS never
+    // under-counts, and over-counts by at most eps·N w.h.p.
+    "q_sketch_cms" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"))
+      // probe the 3 smallest distinct suppkeys — present at every sf
+      val keys = li.distinct().orderBy(col("l_suppkey")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val eps = 0.001
+      val cms = li.stat.countMinSketch(col("l_suppkey"), eps = eps,
+        confidence = 0.99, seed = 42)
+      val total = cms.totalCount()
+      val trueCounts = li.filter(col("l_suppkey").isin(keys: _*))
+        .groupBy(col("l_suppkey")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      keys.map { k =>
+        val est = cms.estimateCount(k)
+        val t = trueCounts.getOrElse(k, 0L)
+        (k, t, est >= t && est <= t + (eps * total).toLong)
+      }.toDF("suppkey", "n_true", "cms_ok").orderBy(col("suppkey"))
+    }),
+
+    // Bloom filter membership: zero false negatives on present keys;
+    // false-positive rate on a disjoint probe range under 5× target fpp
+    "q_sketch_bloom" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val nKeys = li.distinct().count()
+      val bf = li.stat.bloomFilter(col("l_orderkey"), expectedNumItems = nKeys,
+        fpp = 0.01)
+      val present = li.distinct().limit(100).collect().map(_.getLong(0))
+      val noFalseNeg = present.forall(bf.mightContain)
+      // probe keys guaranteed absent: orderkeys are ≥ 1, probe negatives
+      val probes = (1L to 10000L).map(-_)
+      val fpr = probes.count(bf.mightContain).toDouble / probes.size
+      Seq((nKeys, noFalseNeg, fpr <= 0.05))
+        .toDF("n_keys", "no_false_neg", "fpr_ok")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sketch_hll" ->
+      "SELECT count(DISTINCT l_partkey) AS n_exact, TRUE AS hll_ok FROM lineitem",
+    "q_sketch_quantiles" ->
+      ("SELECT round(quantile_cont(l_extendedprice, 0.5),4) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.9),4) AS p90, " +
+        "TRUE AS q50_ok, TRUE AS q90_ok FROM lineitem"),
+    "q_sketch_cms" ->
+      ("SELECT l_suppkey AS suppkey, count(*) AS n_true, TRUE AS cms_ok " +
+        "FROM lineitem WHERE l_suppkey IN " +
+        "(SELECT DISTINCT l_suppkey FROM lineitem ORDER BY 1 LIMIT 3) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_sketch_bloom" ->
+      ("SELECT count(DISTINCT l_orderkey) AS n_keys, TRUE AS no_false_neg, " +
+        "TRUE AS fpr_ok FROM lineitem")
+  )
+}
