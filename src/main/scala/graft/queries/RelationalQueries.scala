@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Sessions
+import graft.operators.{Sessions, SkewJoin}
 
 /** Group B (relational core + event-time) — SURVEY.md §2.5:
   * key-group-by, multi-way joins, window functions, sort/limit, set
@@ -80,6 +80,24 @@ object RelationalQueries {
         round(avg(col("l_extendedprice")), 6).as("avg_price"))
     }),
 
+    // salted skew-join: lineitem ⋈ supplier on (l_suppkey, salt) —
+    // identical results to the plain join (the oracle proves it),
+    // but each hot suppkey's rows spread over 8 reducers
+    "q_join_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+          col("l_extendedprice"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      SkewJoin.saltedJoin(li, sup, key = "suppkey",
+          saltBy = "l_orderkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // event-time tumbling window aggregation (batch twin of the
     // Structured Streaming query — same Sessions.tumblingAgg code)
     "q_event_windows" -> ((s, d) => {
@@ -125,6 +143,11 @@ object RelationalQueries {
       ("SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts, " +
         "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
         "round(avg(l_extendedprice),6) AS avg_price FROM lineitem"),
+    "q_join_skew" ->
+      ("SELECT s_nationkey, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "q_event_windows" ->
       ("SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket, " +
         "event_type, count(*) AS n_events, " +
