@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Sessions, SkewJoin}
+import graft.operators.{AsofJoin, Sessions, SkewJoin}
 
 /** Group B (relational core + event-time) — SURVEY.md §2.5:
   * key-group-by, multi-way joins, window functions, sort/limit, set
@@ -98,6 +98,24 @@ object RelationalQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // point-in-time as-of join: each event matched to the latest
+    // order of the same customer at or before the event time.
+    // Output is the tie-insensitive as-of TIMESTAMP (orders sharing
+    // the as-of date would make row-level columns nondeterministic).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"))
+      AsofJoin.asofJoin(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate")
+        .filter(col("asof_time").isNotNull) // inner-asof
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("asof_time")).as("asof_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // event-time tumbling window aggregation (batch twin of the
     // Structured Streaming query — same Sessions.tumblingAgg code)
     "q_event_windows" -> ((s, d) => {
@@ -143,6 +161,11 @@ object RelationalQueries {
       ("SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts, " +
         "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
         "round(avg(l_extendedprice),6) AS avg_price FROM lineitem"),
+    "q_asof_join" ->
+      ("SELECT event_id, user_id, CAST(epoch(max(o_orderdate)) AS BIGINT) AS asof_s " +
+        "FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
+        "AND o.o_orderdate <= e.ts " +
+        "GROUP BY event_id, user_id ORDER BY event_id"),
     "q_join_skew" ->
       ("SELECT s_nationkey, count(*) AS n_items, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
