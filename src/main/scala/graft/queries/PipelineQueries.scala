@@ -117,6 +117,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("doc_id"))
+    }),
+
+    // multimodal frame sampling (video-pipeline temporal subsample):
+    // frame COUNTS are byte-length arithmetic → oracle-checkable,
+    // while the typed path carries the sampled frame payloads
+    "q_multimodal_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(Multimodal.withBinary(Tables.documents(s, d)),
+          frameBytes = 256, everyN = 4)
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -189,6 +200,11 @@ object PipelineQueries {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width, " +
         "CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height " +
+        "FROM documents ORDER BY doc_id"),
+    "q_multimodal_frames" ->
+      ("SELECT doc_id, " +
+        "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
+        "CAST(ceil(ceil(octet_length(encode(text))/256.0)/4.0) AS BIGINT) AS n_sampled " +
         "FROM documents ORDER BY doc_id")
     // q_dedup_minhash / q_dedup_simhash / q_similarity_lsh /
     // q_multimodal_decode: engine-hash / stub semantics — rows-only.

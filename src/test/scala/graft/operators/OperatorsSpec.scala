@@ -116,4 +116,25 @@ class OperatorsSpec extends SparkTestBase {
     val row = TextOps.textStats(docs).head()
     assert(row.getAs[Long]("n_tokens") == 4)
   }
+
+  test("multimodal stub resize emits exactly w*h bytes, deterministic") {
+    val docs = docsDf(Seq(1L -> ("ab" * 50), 2L -> "x"))
+    val out = Multimodal.resizeTo(Multimodal.withBinary(docs), w = 4, h = 3)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).pixels.length == 12 && out(2L).pixels.length == 12)
+    assert(out(2L).pixels.forall(_ == 'x'.toByte)) // 1-byte source upsampled
+    // sampling is monotone over the source payload
+    assert(out(1L).pixels(0) == 'a'.toByte)
+  }
+
+  test("multimodal frame sampler: counts and payload slicing agree") {
+    val docs = docsDf(Seq(1L -> ("z" * 1000), 2L -> "")) // 4 frames of 256; 0 frames
+    val out = Multimodal.sampleFrames(Multimodal.withBinary(docs),
+        frameBytes = 256, everyN = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).n_frames == 4 && out(1L).n_sampled == 2)
+    assert(out(1L).frames(0).length == 256)
+    assert(out(1L).frames(1).length == 256) // frame 2 of 4 (0,2 sampled)
+    assert(out(2L).n_frames == 0 && out(2L).frames.isEmpty)
+  }
 }
