@@ -45,4 +45,36 @@ class EventStreamsSpec extends SparkTestBase {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("append mode drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def ev(id: Long, min: Int) = Ev(id, ts(min), 1L, "click", 1.0, "{}")
+
+    val stream = MemoryStream[Ev]
+    val agg = EventStreams.tumblingAggStream(stream.toDF(), watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // fill window [00:00, 01:00), then advance event time to 02:00
+      // → watermark 01:50 → the first window finalizes and emits
+      stream.addData(ev(1, 0), ev(2, 30))
+      q.processAllAvailable()
+      stream.addData(ev(3, 120))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_out")
+        .select(col("window.start"), col("n_events")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(afterClose(ts(0)) == 2L) // first window emitted with 2 events
+      // a late event inside the closed window must be DROPPED
+      stream.addData(ev(4, 30))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_out")
+        .select(col("window.start"), col("n_events")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(afterLate == afterClose, "late event re-opened a closed window")
+    } finally q.stop()
+  }
 }
