@@ -12,11 +12,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timers: JVM/codegen/parquet-footer/OS-page-cache
     // costs would otherwise all land on whichever query runs first.
+    // hash(struct(*)) references every column so the scan reads real
+    // data pages (a bare count() is answered from footer metadata);
+    // events needs the nanos conf that Tables.events would set.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .selectExpr("max(hash(struct(*)))").collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -49,7 +49,12 @@ object AsofJoin {
       .withColumn("_tag", lit(1))
       .withColumn("_rt", lit(null).cast("timestamp"))
       .withColumn("_rv", rvNull)
+    // SQL join semantics: a null key or null time can never match —
+    // drop such right rows up front (otherwise null-time rows sort
+    // nulls-first and last(_rv, ignoreNulls) would leak their values
+    // into rows whose asof_time is null)
     val r0 = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("_k", col(rightKey))
       .withColumn("_t", col(rightTime).cast("timestamp"))
       .withColumn("_tag", lit(0))
@@ -67,8 +72,12 @@ object AsofJoin {
     val joined = l.select(
         lCols.map(col) ++ Seq(col("_k"), col("_t"), col("_tag"), col("_rt"), col("_rv")): _*)
       .unionByName(r)
-      .withColumn("asof_time", max(col("_rt")).over(w))
-      .withColumn("_asof_rv", last(col("_rv"), ignoreNulls = true).over(w))
+      // a null-key left row matches nothing (NULL = NULL is not true
+      // in SQL, but partitionBy groups nulls together — mask it)
+      .withColumn("asof_time",
+        when(col("_k").isNotNull, max(col("_rt")).over(w)))
+      .withColumn("_asof_rv",
+        when(col("_k").isNotNull, last(col("_rv"), ignoreNulls = true).over(w)))
       .filter(col("_tag") === 1)
 
     joined.select(lCols.map(col) ++ (col("asof_time") +:

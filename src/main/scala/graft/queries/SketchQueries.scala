@@ -76,10 +76,12 @@ object SketchQueries {
     "q_sketch_bloom" -> ((s, d) => {
       import s.implicits._
       val li = Tables.lineitem(s, d).select(col("l_orderkey"))
-      val nKeys = li.distinct().count()
+      val dk = li.distinct().persist()
+      val nKeys = dk.count()
+      val present = dk.limit(100).collect().map(_.getLong(0))
+      dk.unpersist(blocking = false)
       val bf = li.stat.bloomFilter(col("l_orderkey"), expectedNumItems = nKeys,
         fpp = 0.01)
-      val present = li.distinct().limit(100).collect().map(_.getLong(0))
       val noFalseNeg = present.forall(bf.mightContain)
       // probe keys guaranteed absent: orderkeys are ≥ 1, probe negatives
       val probes = (1L to 10000L).map(-_)

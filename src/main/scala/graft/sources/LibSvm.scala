@@ -57,16 +57,25 @@ object LibSvm {
         while (i < end && line.charAt(i) <= ' ') i += 1
         if (i < end) {
           j = i
+          while (j < end && line.charAt(j) > ' ') j += 1
+          // `split(':')` drops trailing empty strings, so "3:4:" parses
+          // as ("3","4") in the reference — mirror that by ignoring
+          // trailing colons before requiring exactly one separator
+          var j2 = j
+          while (j2 > i && line.charAt(j2 - 1) == ':') j2 -= 1
           var colon = -1
-          while (j < end && line.charAt(j) > ' ') {
-            if (line.charAt(j) == ':') colon = j
-            j += 1
+          var nColons = 0
+          var p = i
+          while (p < j2) {
+            if (line.charAt(p) == ':') { colon = p; nColons += 1 }
+            p += 1
           }
-          require(colon > i && colon < j - 1, s"malformed feature '${line.substring(i, j)}'")
+          require(nColons == 1 && colon > i,
+            s"malformed feature '${line.substring(i, j)}'")
           val idx = Integer.parseInt(line.substring(i, colon)) - 1 // 1-based → 0-based (Test.scala:146)
           if (idx < maxDim) {
             idxBuf += idx
-            valBuf += java.lang.Double.parseDouble(line.substring(colon + 1, j))
+            valBuf += java.lang.Double.parseDouble(line.substring(colon + 1, j2))
           }
           i = j
         }

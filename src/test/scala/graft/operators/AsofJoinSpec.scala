@@ -35,6 +35,27 @@ class AsofJoinSpec extends SparkTestBase {
       ("e4", None, None)))             // key with no right rows at all
   }
 
+  test("null keys and null times never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(ts(100)), "e1"),
+      (Option.empty[Long], Option(ts(100)), "e_nullkey"),
+      (Option(1L), Option.empty[Timestamp], "e_nulltime"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (Option(1L), Option(ts(50)), 5.0),
+      (Option.empty[Long], Option(ts(40)), 4.0),   // null key: matches nothing
+      (Option(1L), Option.empty[Timestamp], 99.0)) // null time: matches nothing
+      .toDF("k", "rt", "v")
+    val got = AsofJoin.asofJoin(left, right, "k", "k", "t", "rt", Seq("v"))
+      .select(col("name"), col("asof_time"), col("asof_v"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getTimestamp(1)).map(_.getTime / 1000), Option(r.get(2)))).toMap
+    assert(got("e1") == (Some(50L), Some(5.0)))
+    assert(got("e_nullkey") == (None, None), "null left key must not match")
+    assert(got("e_nulltime") == (None, None), "null left time must not match")
+  }
+
   test("asof join matches brute-force argmax on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -27,6 +27,17 @@ class LibSvmSpec extends SparkTestBase {
   test("malformed idx:val pair throws (Test.scala:143)") {
     intercept[IllegalArgumentException](LibSvm.parseLine("1.0 3"))
     intercept[IllegalArgumentException](LibSvm.parseLine("1.0 3:4:5"))
+    intercept[IllegalArgumentException](LibSvm.parseLine("1.0 3::4"))
+    intercept[IllegalArgumentException](LibSvm.parseLine("1.0 5:"))
+  }
+
+  test("trailing colons are dropped like String.split(':') does") {
+    // "3:4:".split(':') == Array("3","4") in Scala — the reference
+    // accepted such tokens, so we must too
+    val Some(p) = LibSvm.parseLine("1.0 3:4:")
+    assert(p.indices.toSeq == Seq(2) && p.values.toSeq == Seq(4.0))
+    val Some(p2) = LibSvm.parseLine("1.0 3:4::")
+    assert(p2.indices.toSeq == Seq(2) && p2.values.toSeq == Seq(4.0))
   }
 
   test("maxDim filters features; all-filtered row dropped (Test.scala:150-152)") {
