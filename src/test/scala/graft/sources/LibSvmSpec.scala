@@ -62,4 +62,47 @@ class LibSvmSpec extends SparkTestBase {
     import spark.implicits._
     assert(LibSvm.inferDim(LibSvm.parse(Seq("", "# x").toDS())) == 0)
   }
+
+  /** The reference's split-based parse (Test.scala:128-155 semantics),
+    * reimplemented naively as the differential-oracle for the
+    * hand-rolled char-scan parser. */
+  private def splitParse(line: String, maxDim: Int): Option[(Double, Seq[(Int, Double)])] = {
+    val hash = line.indexOf('#')
+    val noComment = if (hash >= 0) line.substring(0, hash) else line
+    val trimmed = noComment.trim
+    if (trimmed.isEmpty) None
+    else {
+      val parts = trimmed.split("\\s+")
+      val label = parts.head.toDouble
+      val feats = parts.tail.toSeq.map { tok =>
+        val kv = tok.split(':')
+        require(kv.length == 2, s"malformed '$tok'")
+        (kv(0).toInt - 1, kv(1).toDouble)
+      }.filter(_._1 < maxDim)
+      if (feats.isEmpty) None else Some((label, feats))
+    }
+  }
+
+  test("property: char-scan parser is equivalent to split-based semantics") {
+    val rnd = new scala.util.Random(11)
+    def tok(): String = {
+      val idx = rnd.nextInt(20) + 1
+      val v = math.round(rnd.nextDouble() * 1000) / 100.0
+      val tail = if (rnd.nextInt(10) == 0) ":" else "" // trailing colon
+      s"$idx:$v$tail"
+    }
+    (1 to 500).foreach { _ =>
+      val nFeat = rnd.nextInt(6)
+      val ws = if (rnd.nextBoolean()) " " else "  "
+      val comment = if (rnd.nextInt(4) == 0) " # c o m" else ""
+      val lead = if (rnd.nextInt(5) == 0) "  " else ""
+      val line = lead + (f"${rnd.nextDouble() * 10}%.4f" +:
+        Seq.fill(nFeat)(tok())).mkString(ws) + comment
+      val maxDim = if (rnd.nextBoolean()) Int.MaxValue else rnd.nextInt(20) + 1
+      val exp = splitParse(line, maxDim)
+      val got = LibSvm.parseLine(line, maxDim)
+        .map(p => (p.label, p.indices.toSeq.zip(p.values.toSeq)))
+      assert(got == exp, s"line='$line' maxDim=$maxDim")
+    }
+  }
 }
