@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, Sessions, SkewJoin}
+import graft.operators.{AsofJoin, RangeJoin, Sessions, SkewJoin}
 
 /** Group B (relational core + event-time) — SURVEY.md §2.5:
   * key-group-by, multi-way joins, window functions, sort/limit, set
@@ -116,6 +116,20 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // banded range join: for each event, how many OTHER users fired
+    // an event within ±60 s — bucketized equi-join, not a nested loop
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      RangeJoin.bandJoin(l, r, "ts", "r_ts", bandSeconds = 60)
+        .filter(col("r_user_id") =!= col("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy(col("event_id"))
+    }),
+
     // event-time tumbling window aggregation (batch twin of the
     // Structured Streaming query — same Sessions.tumblingAgg code)
     "q_event_windows" -> ((s, d) => {
@@ -166,6 +180,11 @@ object RelationalQueries {
         "FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
         "AND o.o_orderdate <= e.ts " +
         "GROUP BY event_id, user_id ORDER BY event_id"),
+    "q_range_join" ->
+      ("SELECT a.event_id, count(*) AS n_nearby FROM events a JOIN events b " +
+        "ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000 " +
+        "AND b.user_id <> a.user_id " +
+        "GROUP BY a.event_id ORDER BY a.event_id"),
     "q_join_skew" ->
       ("SELECT s_nationkey, count(*) AS n_items, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
