@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Bucketed co-located join: writing both sides bucketed by the join
+  * key lets SortMergeJoin run with NO Exchange on either side — the
+  * at-scale answer to repeated fact-fact joins on the same key
+  * (shuffle once at write time, never again at read time). */
+class BucketingSpec extends SparkTestBase {
+
+  test("join of two tables bucketed on the key plans without a shuffle") {
+    import spark.implicits._
+    // warehouse.dir is a static conf — tables land in the session's
+    // default ./spark-warehouse; dropped (managed ⇒ files deleted) below
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+    // a previously-failed run may leave unregistered table dirs behind
+    Seq("b_orders", "b_items").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+
+    (1 to 1000).map(i => (i.toLong, i * 10.0)).toDF("key", "price")
+      .write.bucketBy(8, "key").sortBy("key").mode("overwrite")
+      .saveAsTable("b_orders")
+    (1 to 5000).map(i => ((i % 1000 + 1).toLong, i.toLong)).toDF("key", "item")
+      .write.bucketBy(8, "key").sortBy("key").mode("overwrite")
+      .saveAsTable("b_items")
+
+    val joined = spark.table("b_orders").join(spark.table("b_items"), "key")
+    val n = joined.count()
+    assert(n == 5000L)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+
+    // the same join over plain (non-bucketed) frames DOES shuffle —
+    // proving the assertion above is meaningful
+    // the merge hint must be on a join INPUT to steer the strategy
+    // (hinting the joined frame is a no-op); it rules out broadcast
+    // so the comparison is shuffle-SMJ vs bucket-SMJ
+    val plain = (1 to 1000).map(i => (i.toLong, i * 10.0)).toDF("key", "price")
+      .hint("merge")
+      .join((1 to 5000).map(i => ((i % 1000 + 1).toLong, i.toLong)).toDF("key", "item"),
+        "key")
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(plainPlan.contains("Exchange hashpartitioning"))
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+  }
+}
