@@ -39,5 +39,5 @@ object VectorOps {
     * Mirrors PredictOperation.predict
     * (/root/reference/.../SketchMultipleLinearRegression.scala:166-172). */
   def linearPredict(x: Column, weights: Seq[Double], intercept: Double): Column =
-    dotArr(x, array(weights.map(lit): _*)) + lit(intercept)
+    dotArr(x, lit(weights.toArray)) + lit(intercept)
 }

@@ -49,7 +49,7 @@ object Similarity {
   def lshBucket(vecCol: org.apache.spark.sql.Column,
                 planes: Array[Array[Double]]): org.apache.spark.sql.Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(VectorOps.dotArr(vecCol, array(p.map(lit).toSeq: _*)) >= 0,
+      when(VectorOps.dotArr(vecCol, lit(p)) >= 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
@@ -73,7 +73,7 @@ object Similarity {
     def centroidScores(vecCol: org.apache.spark.sql.Column,
                        normCol: org.apache.spark.sql.Column) =
       array(centroids.map { case (_, cv, cn) =>
-        VectorOps.dotArr(vecCol, array(cv.map(lit).toSeq: _*)) / (normCol * lit(cn))
+        VectorOps.dotArr(vecCol, lit(cv)) / (normCol * lit(cn))
       }.toSeq: _*)
     // corpus side: assign to argmax-cosine centroid
     val assigned = c.withColumn("cs", centroidScores(col("cv"), col("cn")))
