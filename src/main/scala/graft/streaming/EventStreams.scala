@@ -29,4 +29,24 @@ object EventStreams {
     stream.withColumn("fp", fp)
       .withWatermark(tsCol, watermark)
       .dropDuplicates("fp")
+
+  /** Stream-stream interval join: right rows within
+    * [left.ts, left.ts + `withinSeconds`] for the same key — e.g.
+    * clicks attributed to the impression they followed. Watermarks on
+    * BOTH sides bound the join state Spark must buffer (it evicts a
+    * side's rows once the other side's watermark passes the interval
+    * end) — this is what keeps a stream-stream join runnable forever
+    * at scale instead of growing state without bound. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         key: String, leftTs: String, rightTs: String,
+                         withinSeconds: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
 }

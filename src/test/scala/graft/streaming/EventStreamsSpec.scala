@@ -77,4 +77,33 @@ class EventStreamsSpec extends SparkTestBase {
       assert(afterLate == afterClose, "late event re-opened a closed window")
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks to impressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStreams.intervalJoinStream(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("r_ad_id", "click_ts"),
+      key = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
+      withinSeconds = 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData(
+        (1L, ts(30)),   // within 60 s of imp 1 → attributed
+        (2L, ts(90)),   // 90 s after imp 2 → outside window
+        (3L, ts(10)))   // no impression at all
+      q.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .select(col("ad_id"), col("click_ts")).collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toSet
+      assert(got == Set(1L -> ts(30)))
+    } finally q.stop()
+  }
 }
