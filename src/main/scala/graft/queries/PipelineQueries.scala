@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, EmbeddingQuant, Multimodal, Similarity, TextOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -119,6 +119,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // int8 embedding quantization with per-vector distortion check:
+    // every vector must reconstruct with cosine ≥ 0.995
+    "q_embed_quant" -> ((s, d) => {
+      EmbeddingQuant.quantReport(Tables.embeddings(s, d))
+        .groupBy(col("quant_ok"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("quant_ok"))
+    }),
+
     // multimodal frame sampling (video-pipeline temporal subsample):
     // frame COUNTS are byte-length arithmetic → oracle-checkable,
     // while the typed path carries the sampled frame payloads
@@ -201,6 +210,8 @@ object PipelineQueries {
         "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width, " +
         "CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS fake_height " +
         "FROM documents ORDER BY doc_id"),
+    "q_embed_quant" ->
+      ("SELECT TRUE AS quant_ok, count(*) AS n_vecs FROM embeddings"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class EmbeddingQuantSpec extends SparkTestBase {
+
+  test("int8 roundtrip keeps cosine >= 0.995 on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rep = EmbeddingQuant.quantReport(df).collect()
+    assert(rep.length == 200)
+    assert(rep.forall(_.getBoolean(1)), "a vector exceeded the distortion bound")
+  }
+
+  test("quantized values are genuine int8 and scale reconstructs max") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+    val (qv, scale) = EmbeddingQuant.quantize(col("embedding"))
+    val r = df.select(qv.as("qv"), scale.as("s")).head()
+    val q = r.getSeq[Byte](0)
+    assert(q.forall(b => b >= -127 && b <= 127))
+    assert(q(1) == -127) // max-magnitude element maps to ±127
+    assert(math.abs(r.getDouble(1) - 1.0 / 127.0) < 1e-12)
+  }
+}
