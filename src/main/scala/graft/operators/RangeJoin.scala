@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner banded join on event time. Returns left rows paired with
-    * every right row within the band (excluding exact self-pairs when
-    * `antiReflexive` and the id columns match). Column names from
-    * both sides survive — prefix/alias before calling on self-joins. */
+    * every right row within the band (self-pairs included — filter
+    * them at the call site for self-joins). Column names from both
+    * sides survive — prefix/alias before calling on self-joins. */
   def bandJoin(left: DataFrame, right: DataFrame,
                leftTime: String, rightTime: String,
                bandSeconds: Long): DataFrame = {

@@ -36,14 +36,22 @@ object EventStreams {
     * BOTH sides bound the join state Spark must buffer (it evicts a
     * side's rows once the other side's watermark passes the interval
     * end) — this is what keeps a stream-stream join runnable forever
-    * at scale instead of growing state without bound. */
+    * at scale instead of growing state without bound.
+    *
+    * The right side's key column (`rightKey`, default same name as
+    * `key`) is renamed to `r_<key>` in the output so both sides'
+    * keys survive unambiguously; `leftTs`/`rightTs` must be distinct
+    * names (rename one side before calling if they clash). */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
                          key: String, leftTs: String, rightTs: String,
                          withinSeconds: Long,
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes",
+                         rightKey: String = null): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    val rk = Option(rightKey).getOrElse(key)
     val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    val r = right.withColumnRenamed(rk, s"r_$key")
+      .withWatermark(rightTs, watermark)
     l.join(r,
       col(key) === col(s"r_$key") &&
         col(rightTs) >= col(leftTs) &&

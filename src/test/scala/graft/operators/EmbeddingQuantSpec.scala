@@ -17,6 +17,18 @@ class EmbeddingQuantSpec extends SparkTestBase {
     assert(rep.forall(_.getBoolean(1)), "a vector exceeded the distortion bound")
   }
 
+  test("zero vector passes explicitly; NaN cosine cannot pass vacuously") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),   // zero vector: quantizes exactly
+      (2L, Array(1.0f, -0.5f, 0.25f))) // normal vector
+      .toDF("vec_id", "embedding")
+    val rep = EmbeddingQuant.quantReport(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rep(1L), "zero vector should pass: 0 -> 0 is exact")
+    assert(rep(2L))
+  }
+
   test("quantized values are genuine int8 and scale reconstructs max") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")

@@ -17,15 +17,17 @@ class RangeJoinSpec extends SparkTestBase {
     val l = times.toDF("id", "t")
     val r = times.map { case (i, t) => (i + 1000, t) }.toDF("rid", "rt")
 
+    // multiset comparison: a bug emitting a pair once per candidate
+    // bucket (instead of exactly once) must fail, so no .toSet
     val got = RangeJoin.bandJoin(l, r, "t", "rt", bandSeconds = 30)
       .select(col("id"), col("rid")).collect()
-      .map(x => (x.getLong(0), x.getLong(1))).toSet
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
 
     val exp = (for {
       (i, t) <- times
       (j, u) <- times
       if math.abs(t.getTime - u.getTime) <= 30000L
-    } yield (i, j + 1000)).toSet
+    } yield (i, j + 1000)).sorted
     assert(got == exp)
     assert(exp.size > times.size) // sanity: some real cross-row pairs
   }

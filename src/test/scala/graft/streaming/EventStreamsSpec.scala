@@ -86,9 +86,11 @@ class EventStreamsSpec extends SparkTestBase {
 
     val imps = MemoryStream[(Long, java.sql.Timestamp)]
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    // both frames carry the key under its natural name `ad_id`;
+    // the operator renames the right side to r_ad_id internally
     val joined = EventStreams.intervalJoinStream(
       imps.toDF().toDF("ad_id", "imp_ts"),
-      clicks.toDF().toDF("r_ad_id", "click_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts"),
       key = "ad_id", leftTs = "imp_ts", rightTs = "click_ts",
       withinSeconds = 60)
     val q = joined.writeStream.outputMode("append")
