@@ -31,9 +31,14 @@ object VectorOps {
   /** L2 norm. */
   def l2Norm(x: Column): Column = sqrt(sumSq(x))
 
-  /** Cosine similarity between two array<double> columns. */
-  def cosineSim(x: Column, y: Column): Column =
-    dotArr(x, y) / (l2Norm(x) * l2Norm(y))
+  /** Cosine similarity between two array<double> columns. Null (not
+    * a DIVIDE_BY_ZERO error — ANSI mode throws on those) when either
+    * vector has zero norm: a zero embedding WILL occur in a real
+    * corpus, and a null score simply ranks last under desc ordering. */
+  def cosineSim(x: Column, y: Column): Column = {
+    val d = l2Norm(x) * l2Norm(y)
+    when(d > 0, dotArr(x, y) / d)
+  }
 
   /** Linear prediction wᵀx + b with a constant weight array.
     * Mirrors PredictOperation.predict

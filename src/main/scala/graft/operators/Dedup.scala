@@ -136,7 +136,8 @@ object Dedup {
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
     p.join(c, col("qid") =!= col("cid"))
       .select(col("qid"),
-        (VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .groupBy("qid")
       .agg(sum(when(col("cos") > threshold, 1L).otherwise(0L)).as("n_near"),
         round(max(col("cos")), 6).as("max_cos"))

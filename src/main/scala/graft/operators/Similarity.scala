@@ -31,7 +31,8 @@ object Similarity {
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
     c.join(q, col("qid") =!= col("vec_id"))
       .withColumn("score",
-        VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
@@ -73,7 +74,10 @@ object Similarity {
     def centroidScores(vecCol: org.apache.spark.sql.Column,
                        normCol: org.apache.spark.sql.Column) =
       array(centroids.map { case (_, cv, cn) =>
-        VectorOps.dotArr(vecCol, lit(cv)) / (normCol * lit(cn))
+        // zero-norm guard: ANSI mode throws on division by zero, and
+        // a zero vector (row or sampled centroid) is legal input
+        if (cn == 0) lit(null).cast("double")
+        else when(normCol > 0, VectorOps.dotArr(vecCol, lit(cv)) / (normCol * lit(cn)))
       }.toSeq: _*)
     // corpus side: assign to argmax-cosine centroid
     val assigned = c.withColumn("cs", centroidScores(col("cv"), col("cn")))
@@ -91,7 +95,8 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"), (col("cpos") + 1).cast("int").as("cid")))
     assigned.join(q, Seq("cid")).filter(col("qid") =!= col("vec_id"))
       .withColumn("score",
-        VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
@@ -115,7 +120,8 @@ object Similarity {
       .withColumn("qn", VectorOps.l2Norm(col("qv")))
     c.join(q, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
       .withColumn("score",
-        VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)

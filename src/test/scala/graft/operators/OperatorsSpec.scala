@@ -117,6 +117,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(row.getAs[Long]("n_tokens") == 4)
   }
 
+  test("zero embedding in the corpus does not crash similarity (ANSI div)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f))) // zero vector: score must be null, not a crash
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out.contains(2L))
+    assert(out(3L).isEmpty, "zero vector should score null") // null score ranks last
+  }
+
   test("multimodal stub resize emits exactly w*h bytes, deterministic") {
     val docs = docsDf(Seq(1L -> ("ab" * 50), 2L -> "x"))
     val out = Multimodal.resizeTo(Multimodal.withBinary(docs), w = 4, h = 3)
