@@ -89,9 +89,13 @@ class SketchLinearRegression extends Serializable {
       while (i < dim) { w2(i) -= eta * agg.grad(i) / n; i += 1 }
       weights = w2
       intercept -= eta * agg.interceptGrad / n
-      // relative-loss-change termination (SketchGradientDescent.scala:129-137)
+      // relative-loss-change termination (SketchGradientDescent.scala:129-137).
+      // prevLoss can be exactly 0 (perfectly fit data): guard the
+      // denominator so 0→0 counts as converged instead of NaN-ing the
+      // test and running every remaining iteration.
       converged = convergenceThreshold.exists(th =>
-        !prevLoss.isNaN && math.abs(prevLoss - curLoss) / prevLoss < th)
+        !prevLoss.isNaN &&
+          math.abs(prevLoss - curLoss) / math.max(prevLoss, 1e-12) < th)
       prevLoss = curLoss
       t += 1
     }

@@ -70,11 +70,13 @@ object Experiment {
     val eval = LibSvm.toLabeledVectors(testDf.as[LibSvm.Parsed], dim)
       .map(lv => (lv.label, model.predict(lv.features)))
       .toDF("truth", "prediction")
-      .agg(sum(abs(col("truth") - col("prediction"))).as("absSum"),
+      .agg(coalesce(sum(abs(col("truth") - col("prediction"))), lit(0.0)).as("absSum"),
         count(lit(1)).as("n")).head()
     val absoluteError = eval.getDouble(0)
     val nTest = eval.getLong(1)
-    val avgError = absoluteError / nTest
+    // an empty test split (tiny input, every row hashed to train)
+    // would otherwise make sum() null → NPE, and 0/0 → NaN
+    val avgError = if (nTest == 0) 0.0 else absoluteError / nTest
     val totalTime = System.currentTimeMillis() - t0
 
     // CSV schema parity with Test.scala:71-77:

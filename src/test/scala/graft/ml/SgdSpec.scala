@@ -43,6 +43,19 @@ class SgdSpec extends SparkTestBase {
     assert(m.lossHistory.length < 200, "never converged")
   }
 
+  test("zero loss converges instead of NaN-ing the relative test") {
+    // perfectly-fit data: w=0,b=0 already has loss 0, so prevLoss=0.
+    // The unguarded relative test 0/0 = NaN would never terminate.
+    val rows = Seq((0.0, Vectors.dense(0.0, 0.0)), (0.0, Vectors.dense(0.0, 0.0)))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val m = new SketchLinearRegression()
+      .setIterations(50).setStepsize(0.1).setConvergenceThreshold(1e-4)
+      .fitRDD(rdd)
+    assert(m.lossHistory.length == 2,
+      s"0→0 loss should converge at iteration 2, ran ${m.lossHistory.length}")
+    assert(m.lossHistory.forall(l => !l.isNaN))
+  }
+
   test("sketch-compressed training tracks uncompressed (A/B parity)") {
     // The reference's acceptance criterion is *comparable accuracy*
     // between --sketchOrFlink Sketch|Flink runs (Test.scala:43,82),

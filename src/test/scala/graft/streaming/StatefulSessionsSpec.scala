@@ -62,4 +62,52 @@ class StatefulSessionsSpec extends SparkTestBase {
     // stays open (no timeout in batch) — append semantics
     assert(out == Map((7L, 1L) -> 2L, (8L, 1L) -> 1L))
   }
+
+  test("post-timeout event continues the per-user sid sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(
+      stream.toDS().withWatermark("ts", "1 minute").as[Event], gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_resume").start()
+    try {
+      stream.addData(mkEvents)
+      q.processAllAvailable()
+      // watermark passes user 7's session 2 → event-time timeout closes it
+      stream.addData(Event(90, ts(10000), 999, "z", 0.0, "{}"))
+      q.processAllAvailable()
+      // a NEW user-7 event after the timeout must open session 3, not
+      // restart at sid 1 (batch numbering is monotone per user)
+      stream.addData(Event(91, ts(10005), 7, "a", 7.0, "{}"))
+      q.processAllAvailable()
+      stream.addData(Event(92, ts(20000), 999, "z", 0.0, "{}"))
+      q.processAllAvailable()
+      val sids = spark.table("sess_resume")
+        .filter(col("user_id") === 7)
+        .collect().map(_.getAs[Long]("sid")).sorted.toSeq
+      assert(sids == Seq(1L, 2L, 3L), s"user-7 sids after timeout+resume: $sids")
+    } finally q.stop()
+  }
+
+  test("gap decisions use full microsecond resolution (unix_micros parity)") {
+    import spark.implicits._
+    // A at t0 + 400µs, B at t0 + 30min + 900µs: true micro gap is
+    // 30min + 500µs > gap → TWO sessions. Millisecond-truncated
+    // arithmetic sees exactly 30min → one session (the old bug).
+    val a = new java.sql.Timestamp(t0.getTime); a.setNanos(400000)
+    val b = new java.sql.Timestamp(t0.getTime + 30 * 60000L); b.setNanos(900000)
+    val events = Seq(
+      Event(1, a, 5, "a", 1.0, "{}"),
+      Event(2, b, 5, "a", 2.0, "{}"))
+    val closed = StatefulSessions.sessionize(events.toDS(), gapMinutes = 30).collect()
+    // batch mode withholds the open tail: the gap-closed session 1
+    // only exists if the micro-resolution gap was honored
+    assert(closed.map(c => (c.user_id, c.sid, c.n_events)).toSeq == Seq((5L, 1L, 1L)),
+      s"expected session 1 closed by a 30min+500µs gap, got ${closed.toSeq}")
+    // and the same pair must agree with the batch operator's count
+    val batchSessions = Sessions.sessionize(events.toDF(), gapMinutes = 30)
+      .collect().map(_.getAs[Long]("sid")).sorted.toSeq
+    assert(batchSessions == Seq(1L, 2L), s"batch operator saw $batchSessions")
+  }
 }

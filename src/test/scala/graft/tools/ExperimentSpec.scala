@@ -2,7 +2,11 @@ package graft.tools
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
+import graft.ml.Splits
+import graft.sources.LibSvm
 
 /** End-to-end CLI harness run on a planted LibSVM file: both solver
   * paths produce finite errors and append reference-schema CSV lines
@@ -38,5 +42,33 @@ class ExperimentSpec extends SparkTestBase {
       val avgErr = cols(10).toDouble
       assert(avgErr.isFinite && avgErr < 1.0, s"avgError $avgErr in $line")
     }
+  }
+
+  test("empty test split logs zero error instead of NPE") {
+    spark
+    val dir = Files.createTempDirectory("graft-exp-empty")
+    // find candidate lines whose split-hash lands in the TRAIN bucket,
+    // so the written input yields an empty 25% test split
+    val candidates = (1 to 40).map(i => s"$i.0 1:${i * 0.5}")
+    val all = dir.resolve("all.libsvm")
+    Files.write(all, candidates.mkString("\n").getBytes)
+    val parsed = LibSvm.read(spark, all.toString, Int.MaxValue)
+    val (_, te) = Splits.byKey(parsed.toDF(),
+      xxhash64(col("label"), col("indices"), col("values")))
+    val testLabels = te.select("label").collect().map(_.getDouble(0)).toSet
+    val trainOnly = candidates.zipWithIndex.collect {
+      case (l, i) if !testLabels((i + 1).toDouble) => l
+    }
+    assert(trainOnly.nonEmpty, "need at least one train-bucket line")
+    val trainFile = dir.resolve("train.libsvm")
+    Files.write(trainFile, trainOnly.mkString("\n").getBytes)
+    val log = dir.resolve("log.txt").toString
+    Experiment.main(Array(
+      "--inputTrain", trainFile.toString, "--parallelism", "2",
+      "--iterations", "3", "--output", log))
+    val cols = scala.io.Source.fromFile(log).getLines().next()
+      .stripPrefix("CSV_Line: ").split(",")
+    assert(cols(9).toDouble == 0.0 && cols(10).toDouble == 0.0,
+      s"empty split should log 0 absErr/avgErr: ${cols.toSeq}")
   }
 }
