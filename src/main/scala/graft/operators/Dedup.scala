@@ -123,6 +123,94 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected pair list — the
+    * pairs→clusters step of the near-dup pipeline. Iterative
+    * min-label propagation with pointer jumping (label ← label of
+    * label), the hash-to-min family of MapReduce CC algorithms:
+    * converges in O(log d) rounds (d = component diameter — for LSH
+    * candidate graphs the clusters are near-cliques, so 2-3 rounds),
+    * and every shuffle is keyed by node id / label — no step ever
+    * materializes a component as one row, so a giant duplicate
+    * cluster costs its edge count, not its square.
+    *
+    * Per-node labels are monotone non-increasing, so the label sum is
+    * a strictly-decreasing convergence metric: one round with an
+    * unchanged sum ⇒ fixpoint, where every node carries the minimum
+    * doc id of its component.
+    *
+    * Returns (id, label) for every node that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage discipline: each round materializes to a persisted RDD
+    // and re-enters SQL through a flat LogicalRDD plan. Keeping the
+    // loop purely in DataFrames nests the previous round's plan ~6×
+    // per iteration (two self-references to l1, three to labels) —
+    // Catalyst re-analysis then grows exponentially and round 5
+    // never finishes planning. The RDD DAG grows linearly and each
+    // parent is cached.
+    def toRdd(df: DataFrame) =
+      df.rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def toDF(r: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      spark.createDataset(r).toDF("id", "label")
+    var cur = toRdd(edges.select(col("x").as("id"))
+      .union(edges.select(col("y").as("id")))
+      .distinct()
+      .withColumn("label", col("id")))
+    // BigInt sum: a Long sum of petabyte-scale doc ids can overflow
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var prevSum = labelSum(cur)
+    var iter = 0
+    var done = prevSum == 0 // only possible when there are no nodes
+    while (!done && iter < maxIter) {
+      val labels = toDF(cur)
+      // min label across each edge (both directions) plus own label
+      val lx = labels.select(col("id").as("x"), col("label"))
+      val ly = labels.select(col("id").as("y"), col("label"))
+      val l1 = edges.join(lx, "x").select(col("y").as("id"), col("label"))
+        .union(edges.join(ly, "y").select(col("x").as("id"), col("label")))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label ← label(label) — halves path lengths
+      val jump = l1.select(col("id").as("label"), col("label").as("label2"))
+      val next = toRdd(l1.join(jump, Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label")))
+      val s = labelSum(next)
+      done = s == prevSum
+      prevSum = s
+      cur.unpersist(blocking = false)
+      cur = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    toDF(cur)
+  }
+
+  /** pairs → clusters → keep/drop: every doc gets its component id
+    * (the minimum doc_id reachable through the candidate-pair graph;
+    * docs in no pair are their own component) and a keep flag — the
+    * component minimum is the canonical copy, the rest are drops.
+    * This is the decision surface a dedup pipeline feeds back into
+    * the corpus ("drop doc X"). */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Embedding-cosine near-dup stats per probe vector: neighbor count
     * above threshold + max cosine. Norms are precomputed per side so
     * the per-pair work is just the dot product. */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -62,6 +63,22 @@ object PipelineQueries {
         .join(nCand, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_candidates"))
         .orderBy(col("doc_id"))
+    }),
+
+    // pairs → connected components → keep/drop resolution. Duplicate
+    // pairs come from a 40-char-prefix fingerprint, CHAINED (each doc
+    // paired only with its predecessor in the group) so a 3-doc group
+    // is a path, not a clique — the oracle (windowed min over the
+    // fingerprint) only agrees if label propagation actually walks
+    // the graph.
+    "q_dedup_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val pairs = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("doc_id").as("b"))
+      Dedup.resolveDuplicates(docs, pairs).orderBy(col("doc_id"))
     }),
 
     // SimHash near-dup bands — rows-only check
@@ -177,6 +194,10 @@ object PipelineQueries {
       (s"SELECT doc_id, CAST(floor((least(len($toksSql)/100.0, 1.0)*0.3 " +
         s"+ (CAST($stopSql AS DOUBLE)/len($toksSql))*0.4 " +
         s"+ least((CAST(n_chars AS DOUBLE)/len($toksSql))/8.0, 1.0)*0.3)*1000000) AS BIGINT) AS quality_e6 " +
+        "FROM documents ORDER BY doc_id"),
+    "q_dedup_groups" ->
+      ("SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS component, " +
+        "doc_id = min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS keep " +
         "FROM documents ORDER BY doc_id"),
     "q_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp_md5, substr(md5(text),1,16) AS fp64 " +
