@@ -54,40 +54,56 @@ object Similarity {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Seeded k-means coarse centroids for [[ivfTopK]]. Fit runs on a
+    * deterministic sample capped at `sampleCap` rows (a 100 TB corpus
+    * doesn't need — and can't afford — an exact k-means over every
+    * vector to pick coarse cells), zero-norm vectors excluded (cosine
+    * k-means is undefined on them). Cosine distance matches the probe
+    * metric, so cells are angular regions like the search. */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+                      maxIter: Int = 10, sampleCap: Long = 100000L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.select(VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .filter(VectorOps.l2Norm(col("cv")) > 0)
+    val n = vecs.count()
+    val fit = if (n > sampleCap) vecs.sample(sampleCap.toDouble / n, seed) else vecs
+    val k = math.min(nlist.toLong, math.max(n, 1L)).toInt
+    new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features")
+      .fit(fit.select(array_to_vector(col("cv")).as("features")))
+      .clusterCenters.map(_.toArray)
+  }
+
   /** IVF-style ANN: the corpus is coarse-partitioned by nearest of
-    * `nlist` centroids (deterministically sampled from the corpus);
-    * each query probes its `nProbe` nearest centroids' inverted lists
+    * `nlist` k-means centroids ([[kmeansCentroids]], seeded); each
+    * query probes its `nProbe` nearest centroids' inverted lists
     * only. The scored candidate count drops from |Q|·|C| to
     * ~|Q|·|C|·nProbe/nlist, and the candidate join is a hash join on
     * centroid id — the partition-pruned shape that survives a 100 TB
     * corpus (a real deployment would bucket the corpus BY cid on
-    * disk so probes prune file groups). */
+    * disk so probes prune file groups). Centroid scoring is one
+    * [[graft.functions.CentroidCosines]] pass — constant codegen
+    * size, so nlist can grow to thousands of cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+              nlist: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    // deterministic centroid sample: first nlist by vec_id
-    val centroids = c.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id"), col("cv"), col("cn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    def centroidScores(vecCol: org.apache.spark.sql.Column,
-                       normCol: org.apache.spark.sql.Column) =
-      array(centroids.map { case (_, cv, cn) =>
-        // zero-norm guard: ANSI mode throws on division by zero, and
-        // a zero vector (row or sampled centroid) is legal input
-        if (cn == 0) lit(null).cast("double")
-        else when(normCol > 0, VectorOps.dotArr(vecCol, lit(cv)) / (normCol * lit(cn)))
-      }.toSeq: _*)
+    val centroids = kmeansCentroids(corpus, nlist, seed)
+    def centroidScores(vecCol: org.apache.spark.sql.Column) =
+      graft.functions.CentroidCosines.of(vecCol, centroids)
     // corpus side: assign to argmax-cosine centroid
-    val assigned = c.withColumn("cs", centroidScores(col("cv"), col("cn")))
+    val assigned = c.withColumn("cs", centroidScores(col("cv")))
       .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
       .drop("cs")
     // query side: nProbe nearest centroids each
     val q = broadcast(queries.select(col("vec_id").as("qid"),
         VectorOps.asDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.l2Norm(col("qv")))
-      .withColumn("cs", centroidScores(col("qv"), col("qn")))
+      .withColumn("cs", centroidScores(col("qv")))
       .select(col("qid"), col("qv"), col("qn"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
@@ -104,21 +120,55 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
-  /** ANN top-k restricted to same-hyperplane-bucket candidates.
-    * Recall < 1 by construction; bucket join instead of cross join. */
+  /** Mean recall@k of an ANN result against the exact result: for
+    * each query, the fraction of exact top-k neighbors the ANN run
+    * found, averaged over queries (queries the ANN missed entirely
+    * count as 0). One row: (n_queries, recall). This is how LSH/IVF
+    * recall becomes a *checked contract* rather than a rows-only
+    * smoke test — the caller bounds `recall` and the bound is
+    * oracle-comparable as a boolean. */
+  def meanRecall(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("qid"), col("neighbor_id"))
+      .join(ann.select(col("qid"), col("neighbor_id")), Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** ANN top-k over multi-table hyperplane LSH: `numTables`
+    * independent `bits`-plane sign buckets; a candidate is any vector
+    * sharing ≥1 (table, bucket) cell with the query. Single-table
+    * sign-LSH recall decays fast (one 4-bit table measured ~0.2 on
+    * the 64-dim test embeddings); L independent tables lift it to
+    * 1−(1−p^bits)^L while the per-table candidate fraction stays
+    * ~1/2^bits. Shape at 100 TB: the corpus is exploded ×L and
+    * shuffled on (table, bucket) — a bucket equi-join, never a cross
+    * product — then candidate *pairs* are deduped before scoring so
+    * a pair colliding in several tables is scored once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, seed: Long = 42L): DataFrame = {
+              bits: Int = 8, seed: Long = 42L, numTables: Int = 8): DataFrame = {
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
+    val planes = hyperplanes(dim, bits * numTables, seed)
+    def tableBuckets(vecCol: org.apache.spark.sql.Column) =
+      array((0 until numTables).map(t =>
+        lshBucket(vecCol, planes.slice(t * bits, (t + 1) * bits))): _*)
     val c = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
     val q = queries.select(col("vec_id").as("qid"),
         VectorOps.asDoubleArray(col("embedding")).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
       .withColumn("qn", VectorOps.l2Norm(col("qv")))
-    c.join(q, Seq("bucket")).filter(col("qid") =!= col("vec_id"))
+    val cCells = c.select(col("vec_id"),
+      posexplode(tableBuckets(col("cv"))).as(Seq("tbl", "bucket")))
+    val qCells = q.select(col("qid"),
+      posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
+    val candPairs = cCells.join(qCells, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id")).distinct()
+    candPairs.join(c, "vec_id").join(broadcast(q), "qid")
       .withColumn("score",
         when(col("qn") * col("cn") > 0,
           VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))))

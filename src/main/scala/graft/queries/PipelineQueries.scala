@@ -105,21 +105,28 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (the scale path) — recall<1, rows-only check
+    // LSH-bucketed ANN (the scale path) as a CHECKED recall contract:
+    // multi-table LSH top-5 must recover ≥50% of the exact top-5
+    // (measured 0.6-0.92 across SFs; the bound is the contract, the
+    // oracle checks the boolean + the probe count)
     "q_similarity_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-      Similarity.lshTopK(emb, queries, k = 5, bits = 4)
-        .orderBy(col("qid"), col("rank"))
+      val ann = Similarity.lshTopK(emb, queries, k = 5, bits = 4, numTables = 8)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      Similarity.meanRecall(ann, exact)
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
-    // IVF-partitioned ANN (centroid-pruned candidate join) —
-    // recall<1, rows-only check
+    // IVF-partitioned ANN (seeded-kmeans centroid-pruned candidate
+    // join), same checked recall contract (measured 0.59-0.92)
     "q_similarity_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-      Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nProbe = 4)
-        .orderBy(col("qid"), col("rank"))
+      val ann = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nProbe = 4)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      Similarity.meanRecall(ann, exact)
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
     // multimodal binary-column metadata (columnar, SQL-expressible path)
@@ -233,12 +240,16 @@ object PipelineQueries {
         "FROM documents ORDER BY doc_id"),
     "q_embed_quant" ->
       ("SELECT TRUE AS quant_ok, count(*) AS n_vecs FROM embeddings"),
+    "q_similarity_lsh" ->
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+    "q_similarity_ivf" ->
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
         "CAST(ceil(ceil(octet_length(encode(text))/256.0)/4.0) AS BIGINT) AS n_sampled " +
         "FROM documents ORDER BY doc_id")
-    // q_dedup_minhash / q_dedup_simhash / q_similarity_lsh /
-    // q_multimodal_decode: engine-hash / stub semantics — rows-only.
+    // q_dedup_minhash / q_dedup_simhash / q_multimodal_decode:
+    // engine-hash / stub semantics — rows-only.
   )
 }
