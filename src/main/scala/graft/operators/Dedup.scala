@@ -66,12 +66,31 @@ object Dedup {
     transform(sequence(lit(0), lit(numBands - 1)),
       b => hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
+  private val lshObserveSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Candidate near-dup pairs = documents sharing ≥1 LSH band bucket.
-    * Shuffle is on (band_idx, band_hash) — bucket-local self-join. */
-  def minhashCandidates(withBands: DataFrame): DataFrame = {
+    * Shuffle is on (band_idx, band_hash) — bucket-local self-join.
+    *
+    * Hot-bucket guard: a degenerate bucket (thousands of identical or
+    * near-empty docs sharing every band — the realistic 100 TB LSH
+    * failure mode) would make the self-join quadratic. Each bucket is
+    * capped at `maxBucketSize` members (the lowest doc_ids, so the
+    * cap is deterministic); within a capped bucket members still pair
+    * with each other, so genuine duplicate clusters stay connected
+    * through the kept representatives, while the pair count is
+    * bounded by bands·cap²/2 instead of bands·n²/2. The number of
+    * rows dropped by the cap is recorded as an `observe` metric
+    * (`lsh_bucket_truncated_N`, no extra job) — callers needing the
+    * count read it via a QueryExecutionListener / Observation. */
+  def minhashCandidates(withBands: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
     val b = withBands.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val l = b.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = b.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val ranked = b.withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .observe(s"lsh_bucket_truncated_${lshObserveSeq.incrementAndGet()}",
+        sum(when(col("r") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("r") <= maxBucketSize)
+    val l = ranked.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = ranked.select(col("band"), col("bh"), col("doc_id").as("b"))
     l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
