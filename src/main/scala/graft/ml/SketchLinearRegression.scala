@@ -20,9 +20,11 @@ import graft.sketch.{GradientCodec, SketchCodec}
   * `SketchMultipleLinearRegression.scala:89-103`:
   * iterations=10, stepSize=0.1, convergenceThreshold off,
   * learning rate η_t = stepSize/√t (FlinkML `LearningRateMethod.Default`,
-  * applied at `SketchGradientDescent.scala:289-292`), no
-  * regularization (`takeStep` = plain `w ← w − η·∇̄`,
-  * `SketchGradientDescent.scala:325-333`).
+  * applied at `SketchGradientDescent.scala:289-292`), regularization
+  * `None` (`takeStep` = plain `w ← w − η·∇̄`,
+  * `SketchGradientDescent.scala:325-333`). The full FlinkML schedule /
+  * penalty families the reference re-exposes are in [[Optimization]]
+  * (`setLearningRateMethod` / `setRegularizationPenalty`).
   *
   * Execution shape (SURVEY §3): Flink's bulk iteration
   * (`SketchGradientDescent.scala:159-169`) becomes a driver loop —
@@ -41,12 +43,21 @@ class SketchLinearRegression extends Serializable {
   private var convergenceThreshold: Option[Double] = None
   private var compressionType: String = "None"
   private var treeDepth: Int = 2
+  private var learningRateMethod: LearningRateMethod = LearningRateMethod.Default
+  private var regularizationPenalty: RegularizationPenalty = NoRegularization
+  private var regularizationConstant: Double = 0.0
 
   def setIterations(n: Int): this.type = { iterations = n; this }
   def setStepsize(s: Double): this.type = { stepSize = s; this }
   def setConvergenceThreshold(t: Double): this.type = { convergenceThreshold = Some(t); this }
   /** "Sketch" | "None" — the reference's `--compressionType` (`SketchConfig.scala:13`). */
   def setCompressionType(c: String): this.type = { compressionType = c; this }
+  /** Step-size schedule (`SketchMultipleLinearRegression.scala:56-58`). */
+  def setLearningRateMethod(m: LearningRateMethod): this.type = { learningRateMethod = m; this }
+  /** None | L1 | L2 penalty applied in `takeStep`
+    * (`SketchGradientDescent.scala:50,316-334`). */
+  def setRegularizationPenalty(p: RegularizationPenalty): this.type = { regularizationPenalty = p; this }
+  def setRegularizationConstant(c: Double): this.type = { regularizationConstant = c; this }
   /** treeAggregate depth — 2 ≙ the reference's combiner-tree Reduce
     * path; 1 ≙ its single-combiner ReduceGroup path
     * (`SketchConfig.scala:17`, `SketchGradientDescent.scala:235-282`). */
@@ -80,14 +91,18 @@ class SketchLinearRegression extends Serializable {
         depth = treeDepth)
       bcW.destroy()
       val n = agg.count.toDouble
-      val curLoss = agg.lossSum / n // mean loss (SketchGradientDescent.scala:371-383)
+      // mean data loss + penalty term (SketchGradientDescent.scala:371-383;
+      // convergence tracks the regularized objective so an L1/L2 run
+      // can't "converge" by trading data loss against the penalty)
+      val curLoss = regularizationPenalty.regLoss(
+        agg.lossSum / n, weights, regularizationConstant)
       lossHistory += curLoss
-      // η_t = stepSize / √t  (FlinkML LearningRateMethod.Default)
-      val eta = stepSize / math.sqrt(t)
+      val eta = learningRateMethod.rate(stepSize, t, regularizationConstant)
+      val meanGrad = Array.tabulate(dim)(i => agg.grad(i) / n)
       val w2 = weights.clone()
-      var i = 0
-      while (i < dim) { w2(i) -= eta * agg.grad(i) / n; i += 1 }
+      regularizationPenalty.takeStep(w2, meanGrad, regularizationConstant, eta)
       weights = w2
+      // intercept is regularization-free (SketchGradientDescent.scala:310)
       intercept -= eta * agg.interceptGrad / n
       // relative-loss-change termination (SketchGradientDescent.scala:129-137).
       // prevLoss can be exactly 0 (perfectly fit data): guard the
