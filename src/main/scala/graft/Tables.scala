@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Loaders for the driver-generated parquet star schema + LLM-pipeline
   * tables (TESTDATA.md / FIXTURES.md §A). One parquet file per table
@@ -30,4 +30,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Repartition ONLY when the input is narrower than the cluster.
+    * The driver's sf parquet is written as a single row group, so its
+    * scan arrives as ONE split and anything CPU-heavy downstream runs
+    * on one core unless spread; but at 100 TB the scan arrives as
+    * thousands of splits, where an unconditional `repartition` is a
+    * full shuffle of the entire input for nothing. Gate on the
+    * observed partition count: wide inputs pass through with no
+    * Exchange in the plan. (`ds.rdd.getNumPartitions` plans the query
+    * but launches no job.) */
+  private[graft] def spreadIfNarrow[T](ds: Dataset[T]): Dataset[T] = {
+    val want = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < want) ds.repartition(want) else ds
+  }
 }

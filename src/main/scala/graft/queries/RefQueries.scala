@@ -38,9 +38,10 @@ object RefQueries {
     val f = feats(Tables.lineitem(spark, sfDir))
     // single-row-group parquet ⇒ 1 partition; spread the row
     // conversion and the per-iteration gradient passes across all
-    // cores before the (cached) RDD is materialized
-    f.select(col("y"), array(col("x1"), col("x2"), col("x3")).as("xs"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    // cores before the (cached) RDD is materialized (no-op when the
+    // scan is already parallel — Tables.spreadIfNarrow)
+    Tables.spreadIfNarrow(
+        f.select(col("y"), array(col("x1"), col("x2"), col("x3")).as("xs")))
       .rdd.map(r => (r.getDouble(0), Vectors.dense(r.getSeq[Double](1).toArray)))
   }
 
@@ -69,11 +70,14 @@ object RefQueries {
         .otherwise(lit(""))).as("line")).as[String]
     // The sf0.x lineitem parquet is a single row group, so without
     // this the whole parse would run as ONE task. At 100 TB the scan
-    // arrives pre-split into thousands of file splits; locally we
-    // spread the CPU-heavy per-row parse across all cores explicitly
-    // (an 11 MB round-robin shuffle — noise next to the parse cost).
-    body.union(Seq("", "# comment-only line", "9.9 9:1.0").toDS())
-      .repartition(spark.sparkContext.defaultParallelism)
+    // arrives pre-split into thousands of file splits, where
+    // spreadIfNarrow passes it through shuffle-free; locally it's an
+    // 11 MB round-robin shuffle — noise next to the parse cost.
+    // (Spread the parquet-derived body, not the union: the 3-line
+    // local edge-set DS carries defaultParallelism empty partitions
+    // that would mask a narrow body.)
+    Tables.spreadIfNarrow(body)
+      .union(Seq("", "# comment-only line", "9.9 9:1.0").toDS())
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
