@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Single-thread CPU canary (xorshift64* spin, ~0.5 s): this VM has
+    * documented host-level CPU-starvation windows where any query can
+    * look 10-100× slower. Emitting mops before and after the run lets
+    * a reader mechanically reject a starved bench instead of
+    * mistaking it for a regression — healthy is ~1,500-1,900 mops
+    * (BASELINE.md); starved windows measure orders of magnitude
+    * lower. */
+  private def canaryMops(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var ops = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 500000000L) {
+      var i = 0
+      while (i < 1000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      ops += 3000000 // 3 ALU ops per iteration
+    }
+    if (x == 42) System.err.println("") // defeat dead-code elimination
+    math.round(ops / ((System.nanoTime() - t0) / 1e3) * 10.0) / 10.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -26,6 +46,7 @@ object Bench {
         System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
       }
     }
+    val mopsPre = canaryMops()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -38,7 +59,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mopsPost = canaryMops()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""canary_mops_pre":$mopsPre,"canary_mops_post":$mopsPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

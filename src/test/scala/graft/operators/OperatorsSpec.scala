@@ -46,6 +46,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(est > 0.5 && est <= 1.0, s"estimate $est")
   }
 
+  test("hot-bucket cap bounds candidate pairs on degenerate duplicate floods") {
+    // 1,000 byte-identical docs share every LSH band bucket — the
+    // realistic 100 TB failure mode where an uncapped bucket self-join
+    // goes quadratic (8 bands × 1000²/2 ≈ 4M pairs). With the cap the
+    // pair count is bounded by cap²/2 and the kept members (lowest
+    // doc_ids, deterministic) still pair with each other so the
+    // cluster stays connected through its representatives.
+    val flood = docsDf((1L to 1000L).map(i => i -> "same text repeated here okay"))
+    val cap = 50
+    val cand = Dedup.minhashCandidates(Dedup.minhash(flood), maxBucketSize = cap)
+    val n = cand.count()
+    val maxPairs = cap.toLong * (cap - 1) / 2 // identical sig ⇒ same members kept per band
+    assert(n == maxPairs, s"expected exactly $maxPairs capped pairs, got $n")
+    // representatives are the lowest doc_ids → doc 1 is in the kept set
+    assert(cand.filter(col("a") === 1L).count() == cap - 1)
+  }
+
   test("simhash: small edit → close hamming; different text → far") {
     val a = (1 to 80).map(i => s"tok$i").mkString(" ")
     val b = (1 to 78).map(i => s"tok$i").mkString(" ") + " q1 q2"
