@@ -53,7 +53,11 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // Per-query isolation: drop any cache/broadcast state a query
       // leaked so allocation-heavy successors don't pay its GC bill.
+      // clearCache only covers SQL-level cache; RDD-level persists
+      // (e.g. connected-components' final label RDD, which must stay
+      // cached until the caller consumes it) are dropped explicitly.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.functions.VectorOps
 
 /** Symmetric int8 quantization of embedding vectors: per-vector
   * scale = max|x| / 127, stored as (tinyint array, float scale) —
@@ -19,7 +18,14 @@ object EmbeddingQuant {
 
   /** embedding (array<double/float>) → (qv array<tinyint>, scale).
     * A zero vector has scale 0 — under ANSI mode the division would
-    * throw DIVIDE_BY_ZERO, so it is guarded to quantize to zeros. */
+    * throw DIVIDE_BY_ZERO, so it is guarded to quantize to zeros.
+    *
+    * NOTE: convenience column form for narrow arrays / single rows.
+    * The lambda references `scale`, and because Spark HOF lambdas
+    * have no let-binding, projection collapse inlines the whole
+    * `array_max(transform(...))` expression PER ELEMENT — O(dim²)
+    * interpreted work. Bulk paths must use [[quantReport]]'s
+    * explode shape instead. */
   def quantize(emb: Column): (Column, Column) = {
     val d = emb.cast("array<double>")
     val scale = array_max(transform(d, x => abs(x))) / 127.0
@@ -44,17 +50,31 @@ object EmbeddingQuant {
     * (0 → 0) so they pass explicitly; the cosine is only evaluated
     * for nonzero norms, and a null/NaN cosine fails. */
   def quantReport(embeddings: DataFrame, minCos: Double = 0.995): DataFrame = {
-    val (qv, scale) = quantize(col("embedding"))
-    val dq = dequantize(col("qv"), col("scale"))
-    val normProd = VectorOps.l2Norm(col("v")) * VectorOps.l2Norm(dq)
-    embeddings
-      .withColumn("qv", qv).withColumn("scale", scale)
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("cos",
-        when(normProd > 0, VectorOps.dotArr(col("v"), dq) / normProd))
+    // Explode shape, not nested HOFs: Spark HOF lambdas are
+    // interpreted (CodegenFallback) and have no let-binding, so
+    // referencing the scale expression inside a transform re-derives
+    // array_max per ELEMENT — O(dim²) per vector, measured 10×+ on
+    // 128-dim embeddings. Exploded, every step is a codegen'd scalar
+    // expression; the window max and the final aggregate shuffle on
+    // vec_id once (same key ⇒ AQE coalesces to a single exchange).
+    val ex = embeddings.select(col("vec_id"),
+      explode(col("embedding").cast("array<double>")).as("x"))
+    val scale = max(abs(col("x"))).over(Window.partitionBy(col("vec_id"))) / 127.0
+    ex.withColumn("scale", scale)
+      .withColumn("dq",
+        when(col("scale") === 0, lit(0.0))
+          .otherwise(round(col("x") / col("scale")).cast("tinyint")
+            .cast("double") * col("scale")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("dq")).as("xy"),
+        sum(col("x") * col("x")).as("xx"),
+        sum(col("dq") * col("dq")).as("yy"))
       .select(col("vec_id"),
-        when(VectorOps.l2Norm(col("v")) === 0, lit(true))
-          .otherwise(coalesce(nanvl(col("cos"), lit(-1.0)) >= minCos,
+        // zero vector (xx = 0) quantizes exactly → explicit pass;
+        // otherwise a null/NaN cosine must FAIL, not vacuously pass
+        when(col("xx") === 0, lit(true))
+          .otherwise(coalesce(
+            nanvl(col("xy") / (sqrt(col("xx")) * sqrt(col("yy"))), lit(-1.0)) >= minCos,
             lit(false))).as("quant_ok"))
   }
 }

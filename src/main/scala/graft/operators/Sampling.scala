@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: corpus-scale
+  * train/eval carving and per-stratum downsampling (e.g. keep 30% of
+  * English, 10% of everything else) that is REPRODUCIBLE — the same
+  * row always lands on the same side of the cut, on any engine.
+  *
+  * The sampling decision is a pure-arithmetic LCG mix of the row id,
+  * not `rand()` (unseeded, irreproducible across retries/partitions)
+  * and not `hash()` (murmur — engine-specific, so an external system
+  * auditing the sample couldn't recompute membership). The id is
+  * first reduced mod a prime so the multiply never overflows int64:
+  * overflow wraps silently in (non-ANSI) Spark but ERRORS in e.g.
+  * DuckDB, and cross-engine reproducibility is the whole point.
+  *
+  * Scale shape: a codegen'd per-row filter on the scan — no shuffle,
+  * no state, pushes down column pruning; at 100 TB the sample is one
+  * pass and the cut can be audited row-by-row from the id alone.
+  */
+object Sampling {
+
+  private val IdPrime = 1000003L // (IdPrime-1)·1103515245 + 12345 < 2^63
+
+  /** Pseudo-uniform bucket in [0, buckets): LCG over id mod a prime. */
+  def deterministicBucket(id: Column, buckets: Int = 1000): Column =
+    pmod(pmod(id, lit(IdPrime)) * lit(1103515245L) + lit(12345L), lit(buckets.toLong))
+
+  /** Keep each row iff its bucket < rate·1000 for its stratum.
+    * `rates` maps stratum value → sampling fraction (3 decimals of
+    * resolution); strata not listed use `defaultRate`. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+                 rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def perMille(r: Double) = {
+      require(r >= 0.0 && r <= 1.0, s"rate $r out of [0,1]")
+      lit(math.round(r * 1000))
+    }
+    val threshold = rates.foldLeft(perMille(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, perMille(v)).otherwise(acc)
+    }
+    df.filter(deterministicBucket(col(idCol)) < threshold)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, EmbeddingQuant, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, EmbeddingQuant, Multimodal, Sampling, Similarity, TextOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -25,6 +25,16 @@ object PipelineQueries {
       Dedup.exact(Tables.documents(s, d))
         .select(col("keep_id"), col("n_copies"), col("fp"))
         .orderBy(col("keep_id"))
+    }),
+
+    // deterministic stratified sample: keep 30% of English docs, 10%
+    // of every other language — arithmetic-hash cut, shuffle-free,
+    // bit-reproducible across engines (the oracle recomputes it)
+    "q_sample_stratified" -> ((s, d) => {
+      Sampling.stratified(Tables.documents(s, d), idCol = "doc_id",
+          strataCol = "lang", rates = Map("en" -> 0.3), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_text_stats" -> ((s, d) =>
@@ -202,6 +212,10 @@ object PipelineQueries {
         s"+ (CAST($stopSql AS DOUBLE)/len($toksSql))*0.4 " +
         s"+ least((CAST(n_chars AS DOUBLE)/len($toksSql))/8.0, 1.0)*0.3)*1000000) AS BIGINT) AS quality_e6 " +
         "FROM documents ORDER BY doc_id"),
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 " +
+        "< CASE WHEN lang = 'en' THEN 300 ELSE 100 END ORDER BY doc_id"),
     "q_dedup_groups" ->
       ("SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS component, " +
         "doc_id = min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS keep " +

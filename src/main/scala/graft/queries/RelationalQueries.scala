@@ -36,6 +36,45 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // multi-level rollup: (region, nation) → region subtotals →
+    // grand total in ONE pass. Catalyst expands the rollup into a
+    // single Expand + hash aggregate — at 100 TB this is one shuffle
+    // of pre-aggregated groups, not three separate aggregations.
+    // NULL grouping slots are coalesced to 'ALL' so ordering and the
+    // driver's row hash are deterministic across engines.
+    "q_rollup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r0 = Tables.region(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r0), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // pivot (long→wide conditional aggregation): order counts per
+    // priority pivoted over order status. Values are ENUMERATED so
+    // Spark skips the distinct-value discovery job — at 100 TB an
+    // unenumerated pivot is a full extra scan before planning.
+    "q_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+        .orderBy(col("priority"))
+    }),
+
     // window function: top-3 orders per market segment
     "q_window_topk" -> ((s, d) => {
       val joined = Tables.orders(s, d)
@@ -152,6 +191,20 @@ object RelationalQueries {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "q_rollup" ->
+      ("SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation, " +
+        "count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation"),
+    "q_pivot" ->
+      ("SELECT o_orderpriority AS priority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "q_window_topk" ->
       ("SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (" +
         "SELECT c_mktsegment, o_orderkey, o_totalprice, " +
