@@ -45,6 +45,35 @@ object Plans {
         "32 min() aggregates with map-side partial aggregation — the " +
         "shuffle carries one 32-long signature per (doc, shingle-hash) " +
         "group, never raw text."),
+    "q_rollup" ->
+      ("Catalyst expands the ROLLUP into one Expand node (3 grouping " +
+        "sets) feeding a partial+final HashAggregate — all three " +
+        "subtotal levels ride a single shuffle of pre-aggregated " +
+        "groups; the dimension tables broadcast exactly as in " +
+        "q_join_agg."),
+    "q_pivot" ->
+      ("Enumerated pivot values compile to two cascaded partial+final " +
+        "aggregations over a SINGLE scan — no distinct-value discovery " +
+        "job; both shuffles carry pre-aggregated (priority[, status]) " +
+        "groups, constant-size regardless of fact rows."),
+    "q_sample_stratified" ->
+      ("The LCG bucket predicate is codegen'd scalar arithmetic fused " +
+        "into the scan stage — no shuffle, no state, ReadSchema pruned " +
+        "to (doc_id, lang); the sample is one streaming pass at any " +
+        "scale and membership is auditable from the id alone."),
+    "q_embed_quant" ->
+      ("Explode → window-max → single hash aggregate: every " +
+        "per-element step is codegen'd scalar math (no interpreted HOF " +
+        "lambdas — the nested-transform form re-derived the scale per " +
+        "element, O(dim²) per vector); window and aggregate both key " +
+        "on vec_id, so the exploded rows shuffle once."),
+    "q_dedup_groups" ->
+      ("Connected components by min-label propagation with pointer " +
+        "jumping: every round shuffles (id, label) pairs keyed by " +
+        "id/label — a giant duplicate cluster costs its edge count, " +
+        "never its square — and rounds grow as O(log diameter). Each " +
+        "round re-enters SQL through a cached LogicalRDD so the plan " +
+        "stays flat instead of nesting exponentially."),
     "q_similarity_topk" ->
       ("Exact baseline, so the BroadcastNestedLoopJoin is deliberate: " +
         "the (small) query side is broadcast and the corpus streams " +
