@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bulk embedding-column operators beyond quantization
+  * ([[EmbeddingQuant]]) and search ([[Similarity]]).
+  *
+  * Same scale lesson as `EmbeddingQuant.quantReport`: bulk vector
+  * math is done in the posexplode shape — every hot expression is a
+  * codegen'd scalar, aggregation is partial (map-side combine) before
+  * the one group-key shuffle — never nested higher-order functions,
+  * which are interpreted and re-evaluate inner expressions per
+  * element.
+  */
+object EmbeddingOps {
+
+  /** Flat per-(group, position) centroid components (the k-means
+    * "update" half, and the class-prototype primitive for semantic
+    * dedup / clustering): posexplode → per-(group, pos) mean,
+    * partial-aggregated map-side before the one (group, pos) shuffle
+    * — at 100 TB the corpus is read once and only groups × dim
+    * already-aggregated rows move. Components are rounded to 6 dp so
+    * the result is order-stable across engines and partitionings.
+    * `pos` is 0-based and long-typed (portable across engines).
+    */
+  def centroidComponents(emb: DataFrame, groupCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("x")), 6).as("v"), count(lit(1)).as("n_vecs"))
+
+  /** Per-group mean vector reassembled into one array row per group
+    * (the operator-API shape): one extra shuffle of groups-many rows
+    * on top of [[centroidComponents]]. */
+  def centroids(emb: DataFrame, groupCol: String = "label",
+                vecCol: String = "embedding"): DataFrame =
+    centroidComponents(emb, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n_vecs")).as("n_vecs"), // every pos has the same count
+        transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("centroid"))
+}

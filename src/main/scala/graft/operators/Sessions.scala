@@ -26,6 +26,23 @@ object Sessions {
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Per-user inter-event gap statistics (lead/lag analytic surface;
+    * the diagnostic a gap-based sessionizer is tuned from): gap to
+    * the previous event of the same user in microseconds, aggregated
+    * per user. One hash partition by user_id serves both the lag
+    * window and the final aggregate. A single-event user has no gaps
+    * (max/avg are null — count(gap) disambiguates). */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        floor(avg(col("gap_us"))).as("avg_gap_us"))
+  }
+
   /** Gap-based sessionization (batch): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * lag → flag → running sum = session id; then per-session agg.

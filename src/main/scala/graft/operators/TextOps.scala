@@ -71,6 +71,23 @@ object TextOps {
         + least(avgTokLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long").as("quality_e6"))
   }
 
+  /** Canonical text normalization for dedup keys and model input:
+    * lowercase → strip everything but [a-z0-9 ] → collapse runs of
+    * spaces → trim. Kept to POSIX character classes so the same
+    * regexes mean the same thing in Java regex and RE2-family
+    * engines (portable normalization is what makes cross-system
+    * dedup keys comparable). Pure codegen'd string expressions —
+    * per-row map, no shuffle, scales with the scan. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), "  +", " "))
+
+  /** doc_id + normalized text + its length (the normalized-key view
+    * a dedup pipeline fingerprints). */
+  def normalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normalize(col("text")).as("norm_text"))
+      .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))
+
   /** Document fingerprints: full-text md5 + 64-bit prefix — identical
     * hex in Spark and DuckDB, so exact-dedup keys are portable. */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, EmbeddingQuant, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, EmbeddingOps, EmbeddingQuant, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -52,6 +52,11 @@ object PipelineQueries {
     "q_fingerprint" -> ((s, d) =>
       TextOps.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // canonical normalization (lowercase/strip/collapse) — the
+    // portable dedup-key view
+    "q_text_normalize" -> ((s, d) =>
+      TextOps.normalized(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
     "q_ngram_jaccard" -> ((s, d) => {
       val sub = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -59,6 +64,41 @@ object PipelineQueries {
         .filter(col("inter") >= 1)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // concat-and-chunk sequence packing (per-source token layout for
+    // fixed-length training sequences; seq_len 2048, BPE-estimate
+    // token counts)
+    "q_pack_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.packChunks(docs,
+          tokensCol = ceil(col("n_chars").cast("double") / 4.0).cast("long"),
+          seqLen = 2048)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-label embedding centroids (class prototypes / k-means
+    // update step) — exact per-position means, oracle-checked in the
+    // flat (label, pos, v) shape so every cell is scalar
+    "q_embed_centroid" -> ((s, d) =>
+      EmbeddingOps.centroidComponents(Tables.embeddings(s, d))
+        .orderBy(col("label"), col("pos"))),
+
+    // MinHash accuracy as a CHECKED contract (the sketch-family
+    // pattern): on the keyed subset where exact n-gram Jaccard is
+    // oracle-able, every pair's 32-permutation MinHash estimate must
+    // sit within ±0.35 of the exact Jaccard (4σ for 32 perms;
+    // measured max |err| ≈ 0.22 across SFs). The oracle recomputes
+    // the pair count and checks the boolean.
+    "q_minhash_est" -> ((s, d) => {
+      val sub = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
+      val exact = Dedup.ngramJaccardPairs(sub, minJaccard = 0.0)
+        .filter(col("inter") >= 1)
+      val est = Dedup.minhashEstimate(Dedup.minhash(sub),
+        exact.select(col("a"), col("b")))
+      exact.join(est, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (max(abs(col("est_jaccard") - col("jaccard"))) <= 0.35).as("est_ok"))
     }),
 
     // MinHash + LSH banding over the full table — rows-only check
@@ -223,6 +263,35 @@ object PipelineQueries {
     "q_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp_md5, substr(md5(text),1,16) AS fp64 " +
         "FROM documents ORDER BY doc_id"),
+    "q_text_normalize" ->
+      ("SELECT doc_id, " +
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+        "'  +', ' ', 'g')) AS norm_text, " +
+        "length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+        "'  +', ' ', 'g'))) AS n_norm_chars " +
+        "FROM documents ORDER BY doc_id"),
+    "q_pack_chunks" ->
+      ("WITH tok AS (SELECT doc_id, source, " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM documents), " +
+        "off AS (SELECT doc_id, source, n_tok, " +
+        "CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok " +
+        "FROM tok) " +
+        "SELECT doc_id, source, n_tok, start_tok, " +
+        "start_tok // 2048 AS chunk_id, " +
+        "(start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_chunks " +
+        "FROM off ORDER BY doc_id"),
+    "q_embed_centroid" ->
+      ("WITH ex AS (SELECT label, unnest(embedding) AS x, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
+        "SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS v, " +
+        "count(*) AS n_vecs FROM ex GROUP BY label, pos ORDER BY label, pos"),
+    "q_minhash_est" ->
+      (s"WITH sub AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 20 = 0), " +
+        "ex AS (SELECT doc_id, unnest(sh) AS s FROM sub), " +
+        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter " +
+        "FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_pairs, TRUE AS est_ok FROM pairs WHERE inter >= 1"),
     "q_ngram_jaccard" ->
       (s"WITH sub AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 20 = 0), " +
         "ex AS (SELECT doc_id, unnest(sh) AS s FROM sub), " +

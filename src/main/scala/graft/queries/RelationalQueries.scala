@@ -75,6 +75,21 @@ object RelationalQueries {
         .orderBy(col("priority"))
     }),
 
+    // full cube: every grouping-set combination of (priority, status)
+    // in ONE Expand + hash aggregate — like q_rollup but the complete
+    // lattice. At 100 TB this shuffles pre-aggregated groups once,
+    // vs. 4 separate scans for the 4 grouping sets.
+    "q_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("priority"), col("status"))
+    }),
+
     // window function: top-3 orders per market segment
     "q_window_topk" -> ((s, d) => {
       val joined = Tables.orders(s, d)
@@ -85,6 +100,41 @@ object RelationalQueries {
         .filter(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // ordered analytic window: per-customer running revenue total.
+    // One exchange on o_custkey + one sort; the running sum is a
+    // streaming frame (ROWS UNBOUNDED PRECEDING) — no per-row
+    // re-scan. Decimal accumulation so the cumulative sum is
+    // order-stable bit-for-bit against the oracle.
+    "q_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100) // bounded output for the gate
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_revenue"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // exact percentiles per group — the exact twin of
+    // q_sketch_quantiles (same pattern as exact top-k vs ANN):
+    // sort-based exact percentile with linear interpolation. One
+    // array-percentile buffer per group, unpacked to scalar columns
+    // so the result is flat (the driver gate compares scalar cells).
+    "q_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+        .select(col("l_returnflag"),
+          round(col("qs").getItem(0), 6).as("p25"),
+          round(col("qs").getItem(1), 6).as("p50"),
+          round(col("qs").getItem(2), 6).as("p75"),
+          round(col("qs").getItem(3), 6).as("p95"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // global sort + limit (top-k by value with deterministic tiebreak)
@@ -107,6 +157,26 @@ object RelationalQueries {
       val e = building.except(bigSpenders).withColumn("op", lit("except"))
       i.unionAll(e).select(col("op"), col("custkey"))
         .orderBy(col("op"), col("custkey"))
+    }),
+
+    // semi/anti joins: segment cohorts by whether a customer has any
+    // high-value order. Semi/anti carry NO payload columns from the
+    // probe side — at 100 TB that's a hash join that shuffles only
+    // the key column and never duplicates matched rows (vs. inner
+    // join + distinct, which explodes then dedups).
+    "q_semi_anti" -> ((s, d) => {
+      val highVal = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey"))
+      val c = Tables.customer(s, d)
+      def cohort(joinType: String, name: String) =
+        c.join(highVal, col("c_custkey") === col("o_custkey"), joinType)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(name).as("cohort"), col("c_mktsegment"), col("n"))
+      cohort("left_semi", "with_highval")
+        .unionAll(cohort("left_anti", "no_highval"))
+        .orderBy(col("cohort"), col("c_mktsegment"))
     }),
 
     // exact + approximate distinct-count aggregates over lineitem
@@ -180,6 +250,13 @@ object RelationalQueries {
     "q_event_sessions" -> ((s, d) => {
       Sessions.sessionize(Tables.events(s, d), gapMinutes = 30)
         .orderBy(col("user_id"), col("sid"))
+    }),
+
+    // lead/lag analytics: per-user inter-event gap statistics (the
+    // diagnostic sessionization gap thresholds are tuned from)
+    "q_event_gaps" -> ((s, d) => {
+      Sessions.interEventGaps(Tables.events(s, d))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -205,6 +282,21 @@ object RelationalQueries {
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled, " +
         "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "q_cube" ->
+      ("SELECT coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) " +
+        "ORDER BY priority, status"),
+    "q_semi_anti" ->
+      ("SELECT 'with_highval' AS cohort, c_mktsegment, count(*) AS n FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 350000) GROUP BY c_mktsegment " +
+        "UNION ALL " +
+        "SELECT 'no_highval' AS cohort, c_mktsegment, count(*) AS n FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 350000) GROUP BY c_mktsegment " +
+        "ORDER BY cohort, c_mktsegment"),
     "q_window_topk" ->
       ("SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (" +
         "SELECT c_mktsegment, o_orderkey, o_totalprice, " +
@@ -212,6 +304,19 @@ object RelationalQueries {
         "ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
         "FROM orders JOIN customer ON o_custkey = c_custkey) t " +
         "WHERE rk <= 3 ORDER BY c_mktsegment, rk"),
+    "q_running_total" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue " +
+        "FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey"),
+    "q_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25, " +
+        "round(quantile_cont(l_extendedprice, 0.50), 6) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.75), 6) AS p75, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_sort_limit" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"),
@@ -259,6 +364,13 @@ object RelationalQueries {
         "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, " +
         "max(us) - min(us) AS dur_us, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
-        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid")
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),
+    "q_event_gaps" ->
+      ("WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) " +
+        "SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps, " +
+        "max(gap_us) AS max_gap_us, " +
+        "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us " +
+        "FROM g GROUP BY user_id ORDER BY user_id")
   )
 }

@@ -117,6 +117,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("embedding centroids: per-group per-position means, ordered") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 3.0f), 0),
+      (2L, Seq(3.0f, 2.0f, 5.0f), 0),
+      (3L, Seq(10.0f, 20.0f, 30.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.centroids(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Seq[Double]]("centroid"))).toMap
+    assert(out(0) == (2L, Seq(2.0, 1.0, 4.0)))
+    assert(out(1) == (1L, Seq(10.0, 20.0, 30.0)))
+  }
+
+  test("inter-event gaps: per-user lag stats, single-event user has none") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val events = Seq(
+      (1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(40), 7L), // gaps 10s, 30s
+      (4L, ts(5), 8L))                                     // no gaps
+      .toDF("event_id", "ts", "user_id")
+    val out = Sessions.interEventGaps(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(7L).getAs[Long]("n_events") == 3)
+    assert(out(7L).getAs[Long]("n_gaps") == 2)
+    assert(out(7L).getAs[Long]("max_gap_us") == 30000000L)
+    assert(out(7L).getAs[Long]("avg_gap_us") == 20000000L)
+    assert(out(8L).getAs[Long]("n_gaps") == 0)
+    assert(out(8L).isNullAt(out(8L).fieldIndex("max_gap_us")))
+  }
+
   test("multimodal stub decode keeps schema/batch contract") {
     val docs = docsDf(Seq(1L -> "hello world", 2L -> "xyz"))
     val out = Multimodal.decodeFeatures(Multimodal.withBinary(docs), batchSize = 1)
