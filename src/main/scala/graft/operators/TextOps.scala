@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -47,29 +48,40 @@ object TextOps {
       size(regexTokens(col("text"))).cast("long").as("n_word_tokens"),
       ceil(col("n_chars").cast("double") / 4.0).cast("long").as("n_bpe_est"))
 
+  /** Stopword density of the whitespace tokens of `text`. */
+  private def stopRatioCol: Column = {
+    val toks = tokens(col("text"))
+    stopwordCount(toks).cast("double") / size(toks)
+  }
+
+  /** Stopword-density language gate: dense enough → `en`. */
+  private def langPredCol: Column =
+    when(stopRatioCol >= 0.05, lit("en")).otherwise(lit("unk"))
+
+  /** Composite quality heuristic in [0,1] scaled to an e6 integer:
+    * length, stopword, token-shape components. The float expression
+    * order is part of the cross-engine contract — keep it identical
+    * to the DuckDB oracle text. */
+  private def qualityE6Col: Column = {
+    val nTok = size(tokens(col("text"))).cast("double")
+    val avgTokLen = col("n_chars").cast("double") / nTok
+    floor((least(nTok / 100.0, lit(1.0)) * 0.3
+      + stopRatioCol * 0.4
+      + least(avgTokLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long")
+  }
+
   /** N-gram-heuristic language ID: stopword density → `en`, else by
     * doc length parity of heuristic classes. Deterministic, oracle-
     * expressible; a real model would plug into the same column shape. */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val ratio = stopwordCount(toks).cast("double") / size(toks)
+  def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang").as("lang_true"),
-      when(ratio >= 0.05, lit("en")).otherwise(lit("unk")).as("lang_pred"),
-      floor(ratio * 1e6).cast("long").as("en_score_e6"))
-  }
+      langPredCol.as("lang_pred"),
+      floor(stopRatioCol * 1e6).cast("long").as("en_score_e6"))
 
   /** Composite quality score in [0,1]: length, stopword, token-shape
     * components (the usual pre-training heuristic filter family). */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stopRatio = stopwordCount(toks).cast("double") / nTok
-    val avgTokLen = col("n_chars").cast("double") / nTok
-    docs.select(col("doc_id"),
-      floor((least(nTok / 100.0, lit(1.0)) * 0.3
-        + stopRatio * 0.4
-        + least(avgTokLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long").as("quality_e6"))
-  }
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityE6Col.as("quality_e6"))
 
   /** Canonical text normalization for dedup keys and model input:
     * lowercase → strip everything but [a-z0-9 ] → collapse runs of
@@ -94,4 +106,84 @@ object TextOps {
     docs.select(col("doc_id"),
       md5(col("text")).as("fp_md5"),
       substring(md5(col("text")), 1, 16).as("fp64"))
+
+  // --- PII redaction ---------------------------------------------------
+
+  /** Character-class-only patterns (no alternation, no backrefs) so
+    * backtracking (Java) and leftmost-longest (RE2/DuckDB) engines
+    * find the identical spans — greedy quantifiers over character
+    * classes are engine-agnostic. */
+  private[operators] val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private[operators] val PhoneRe = "[0-9]{3}-[0-9]{4,6}"
+
+  /** PII scrub for training corpora: emails → `<EMAIL>`, then
+    * phone-shaped digit groups → `<NUM>`. Email pass runs first so a
+    * digit run inside an address is redacted as part of the address.
+    * Pure codegen'd regexp_replace — per-row map on the scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<NUM>")
+
+  /** Redacted text + per-class match counts (the audit columns a
+    * scrub job reports). `textCol` lets callers plant or derive the
+    * text (e.g. concat of fields) without materializing it first. */
+  def piiRedacted(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(col("doc_id"),
+      redactPii(textCol).as("red_text"),
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  // --- TF-IDF-style term ranking ---------------------------------------
+
+  /** Per-document top-k informative terms — the tf-idf shape kept in
+    * INTEGER arithmetic so ranks are bit-portable across engines:
+    * score = tf · (N ÷ df) (floor division; rare terms get a large
+    * idf factor, ubiquitous terms get 1). explode → (doc, term) tf
+    * with map-side partial agg → vocab-sized df agg, broadcast back —
+    * the corpus shuffles once as (doc, term) partials; df is
+    * vocab-sized (sublinear in corpus size), so the join is a
+    * broadcast, never a shuffle of the corpus. Ties break by higher
+    * tf then term text, so top-k is deterministic. */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(regexTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(!col("term").isin(StopWords: _*))
+      .withColumn("score", expr("tf * (n_docs div df)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  // --- composed corpus selection ---------------------------------------
+
+  /** End-to-end corpus selection — the composed filter pipeline every
+    * pretraining run fronts its data with: heuristic quality gate +
+    * language gate, then exact dedup on the NORMALIZED text (min
+    * doc_id per md5(normalize) key wins), then per-source doc and
+    * token-estimate totals (the mixture report that feeds sampling
+    * weights). One scan computes all per-row signals; the only
+    * shuffles move (norm_key) for the dedup window and (source) for
+    * the final groups — both already-reduced keys, never raw text
+    * twice. */
+  def corpusSelect(docs: DataFrame, minQualityE6: Long = 400000L,
+                   keepLang: String = "en"): DataFrame = {
+    val kept = docs
+      .withColumn("quality_e6", qualityE6Col)
+      .withColumn("lang_pred", langPredCol)
+      .filter(col("quality_e6") >= minQualityE6 && col("lang_pred") === keepLang)
+      .withColumn("norm_key", md5(normalize(col("text"))))
+    val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
+    kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+          .cast("long").as("n_tokens_est"))
+  }
 }

@@ -57,6 +57,29 @@ object PipelineQueries {
     "q_text_normalize" -> ((s, d) =>
       TextOps.normalized(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // PII scrub with per-class audit counts. The documents fixture is
+    // PII-free, so a contact line is PLANTED deterministically from
+    // (doc_id, source) — the oracle then actually exercises matching
+    // redaction in both engines, not just pass-through.
+    "q_pii_redact" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".net tel 555-"),
+        lpad(col("doc_id").cast("string"), 6, "0"))
+      TextOps.piiRedacted(Tables.documents(s, d), planted)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-doc top-3 informative terms (integer tf-idf ranking)
+    "q_top_terms" -> ((s, d) =>
+      TextOps.topTerms(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // composed corpus selection: quality gate + lang gate + exact
+    // dedup on normalized text + per-source mixture report
+    "q_corpus_select" -> ((s, d) =>
+      TextOps.corpusSelect(Tables.documents(s, d)).orderBy(col("source"))),
+
     // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
     "q_ngram_jaccard" -> ((s, d) => {
       val sub = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -223,6 +246,17 @@ object PipelineQueries {
     "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), " +
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
 
+  /** DuckDB twins of TextOps.qualityE6Col / langPredCol / normalize —
+    * the float expression order matches the Spark side exactly. */
+  private val qualitySql =
+    s"CAST(floor((least(len($toksSql)/100.0, 1.0)*0.3 " +
+      s"+ (CAST($stopSql AS DOUBLE)/len($toksSql))*0.4 " +
+      s"+ least((CAST(n_chars AS DOUBLE)/len($toksSql))/8.0, 1.0)*0.3)*1000000) AS BIGINT)"
+  private val langPredSql =
+    s"CASE WHEN CAST($stopSql AS DOUBLE)/len($toksSql) >= 0.05 THEN 'en' ELSE 'unk' END"
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))"
+
   private def cosSql(a: String, b: String): String =
     s"(list_aggregate(list_transform(range(1, len($a.embedding)+1), " +
       s"i -> CAST($a.embedding[i] AS DOUBLE)*CAST($b.embedding[i] AS DOUBLE)), 'sum') " +
@@ -286,6 +320,37 @@ object PipelineQueries {
         "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
         "SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS v, " +
         "count(*) AS n_vecs FROM ex GROUP BY label, pos ORDER BY label, pos"),
+    "q_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) " +
+        "|| '@' || source || '.net tel 555-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS t " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'), " +
+        "'[0-9]{3}-[0-9]{4,6}', '<NUM>', 'g') AS red_text, " +
+        "CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4,6}')) AS BIGINT) AS n_phones " +
+        "FROM p ORDER BY doc_id"),
+    "q_top_terms" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
+        "FROM documents) GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, " +
+        "tf.tf * (n.n_docs // df.df) AS score FROM tf JOIN df USING (term), n " +
+        "WHERE tf.term NOT IN ('the','a','of','and','in')), " +
+        "r AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, tf DESC, term) AS rk FROM sc) " +
+        "SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"),
+    "q_corpus_select" ->
+      (s"WITH kept AS (SELECT doc_id, source, n_chars, md5($normSql) AS nk " +
+        s"FROM documents WHERE $qualitySql >= 400000 AND $langPredSql = 'en'), " +
+        "ded AS (SELECT *, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn " +
+        "FROM kept) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est " +
+        "FROM ded WHERE rn = 1 GROUP BY source ORDER BY source"),
     "q_minhash_est" ->
       (s"WITH sub AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 20 = 0), " +
         "ex AS (SELECT doc_id, unnest(sh) AS s FROM sub), " +

@@ -149,6 +149,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(8L).isNullAt(out(8L).fieldIndex("max_gap_us")))
   }
 
+  test("pii redaction scrubs planted emails and phone numbers") {
+    val docs = docsDf(Seq(
+      1L -> "reach me at jane.doe42@mail.example.org or 555-123456 thanks",
+      2L -> "no pii here at all",
+      3L -> "two mails a@b.cc x.y@z.dd and 123-4567"))
+    val out = TextOps.piiRedacted(docs, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("red_text"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_phones"))).toMap
+    assert(out(1L) == ("reach me at <EMAIL> or <NUM> thanks", 1L, 1L))
+    assert(out(2L) == ("no pii here at all", 0L, 0L))
+    assert(out(3L) == ("two mails <EMAIL> <EMAIL> and <NUM>", 2L, 1L))
+  }
+
+  test("top terms ranks rare terms above ubiquitous ones") {
+    // 'rare' appears in 1 of 4 docs (idf factor 4); 'common' in all
+    // four (factor 1). In doc 1 common has tf 3 > rare's tf 2, but
+    // rare's score 2*4=8 beats common's 3*1=3.
+    val docs = docsDf(Seq(
+      1L -> "common common common rare rare",
+      2L -> "common other other",
+      3L -> "common other",
+      4L -> "common solo"))
+    val out = TextOps.topTerms(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("score"))).toMap
+    assert(out((1L, 1)) == ("rare", 8L))
+    assert(out((1L, 2)) == ("common", 3L))
+    assert(out((4L, 1)) == ("solo", 4L))
+  }
+
+  test("corpus select: quality+lang gate, dedup on normalized text, per-source totals") {
+    import spark.implicits._
+    // stopword-rich text passes the lang gate and scores high quality
+    val good = "the of and in a " * 30 + "tail"
+    val docs = Seq(
+      (1L, good, "s1"), (2L, good + "...", "s1"), // dup after normalize
+      (3L, good + " extra", "s2"),
+      (4L, "zz qq ww", "s2")) // no stopwords → lang 'unk', dropped
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    val out = TextOps.corpusSelect(docs, minQualityE6 = 100000L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens_est"))).toMap
+    assert(out("s1")._1 == 1L) // docs 1+2 collapse to one
+    assert(out("s2")._1 == 1L) // doc 3 kept, doc 4 gated out
+    assert(out.size == 2)
+  }
+
   test("multimodal stub decode keeps schema/batch contract") {
     val docs = docsDf(Seq(1L -> "hello world", 2L -> "xyz"))
     val out = Multimodal.decodeFeatures(Multimodal.withBinary(docs), batchSize = 1)
