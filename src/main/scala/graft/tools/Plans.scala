@@ -80,7 +80,74 @@ object Plans {
         "through one codegen'd dot-product scan (native DotProduct " +
         "expression), then per-query top-k via WindowGroupLimit. The " +
         "scale paths that avoid the cross product are q_similarity_lsh " +
-        "(bucket join) and q_similarity_ivf (centroid-pruned join)."))
+        "(bucket join) and q_similarity_ivf (centroid-pruned join)."),
+    "q_cube" ->
+      ("The full grouping-set lattice (4 sets) compiles to ONE Expand " +
+        "node feeding a partial+final HashAggregate — the fact table " +
+        "is scanned once and the only shuffle carries pre-aggregated " +
+        "groups, vs. 4 separate scan+agg jobs."),
+    "q_running_total" ->
+      ("The o_custkey <= 100 predicate is in PushedFilters, then one " +
+        "hash Exchange on o_custkey + one in-partition sort; the " +
+        "cumulative sum is a streaming ROWS frame evaluated in a " +
+        "single forward pass — no per-row frame re-scan."),
+    "q_percentiles" ->
+      ("Exact percentiles accumulate a per-group value-frequency " +
+        "buffer (ObjectHashAggregate) partially per partition before " +
+        "one group shuffle — the honest cost of EXACT quantiles is " +
+        "that buffer being distinct-values-sized; the bounded-memory " +
+        "twin at 100 TB is q_sketch_quantiles (approx_percentile), " +
+        "same pattern as exact top-k vs ANN."),
+    "q_semi_anti" ->
+      ("Both cohorts run as BroadcastHashJoin LeftSemi/LeftAnti with " +
+        "the high-value custkey side broadcast: the probe stream is " +
+        "never duplicated on multi-matches and carries no payload " +
+        "from the build side — vs. inner join + distinct, which " +
+        "explodes then dedups."),
+    "q_event_gaps" ->
+      ("One hash Exchange on user_id serves BOTH the lag window and " +
+        "the final per-user aggregate (the aggregate reuses the " +
+        "window's partitioning — no second exchange); the lag is a " +
+        "single sorted forward pass per partition."),
+    "q_pack_chunks" ->
+      ("Per-shard running token offsets: one hash Exchange on the " +
+        "shard key + one in-partition sort, then the offset is a " +
+        "streaming ROWS frame and every chunk bound is codegen'd " +
+        "integer arithmetic — packing a 100 TB corpus is one shuffle " +
+        "of (id, shard, n_tok) triples, never text."),
+    "q_embed_centroid" ->
+      ("posexplode → per-(label, pos) mean with map-side partial " +
+        "aggregation: the corpus is read once and the one shuffle " +
+        "carries groups x dim ALREADY-AGGREGATED rows (sum, count), " +
+        "not exploded elements."),
+    "q_minhash_est" ->
+      ("The exact side reuses the q_ngram_jaccard inverted-index " +
+        "join (only co-shingled pairs materialize); the estimate side " +
+        "is 32 grouped min() aggregates joined back on the bounded " +
+        "candidate-pair set — error checking adds joins on PAIRS " +
+        "(bounded), never a second corpus pass."),
+    "q_text_normalize" ->
+      ("Three nested codegen'd string expressions fused into the " +
+        "scan stage projection: per-row map, no shuffle, no UDF — " +
+        "normalization throughput is scan throughput."),
+    "q_pii_redact" ->
+      ("Planting + both redaction passes + both audit counts are one " +
+        "codegen'd projection over the scan (regexp_replace/" +
+        "regexp_extract_all are native expressions) — zero shuffles; " +
+        "a 100 TB scrub is embarrassingly parallel."),
+    "q_top_terms" ->
+      ("The corpus shuffles once as map-side-combined (doc, term, tf) " +
+        "partials — never raw text; df and the doc count are " +
+        "vocab-sized/scalar and BROADCAST back; the per-doc top-3 is " +
+        "WindowGroupLimit-pruned to k rows per doc before the final " +
+        "window sort."),
+    "q_corpus_select" ->
+      ("All per-row gates (quality, lang, normalize, md5) are one " +
+        "codegen'd scan projection; only SURVIVING rows shuffle — " +
+        "first on norm_key for the keep-min window (WindowGroupLimit " +
+        "prunes losers map-side), then as per-source partial " +
+        "aggregates. Raw text crosses the wire at most once, post-" +
+        "filter."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
