@@ -173,11 +173,25 @@ object TextOps {
     * twice. */
   def corpusSelect(docs: DataFrame, minQualityE6: Long = 400000L,
                    keepLang: String = "en"): DataFrame = {
+    // Tokenize ONCE into counts, then derive both gates from the
+    // counts: same float arithmetic as qualityE6Col/langPredCol
+    // (n_stop/n_tok ≡ stopRatioCol bitwise), but the codegen'd
+    // method splits each text 2× instead of 6× — the first-run
+    // compile cost and per-row work both shrink.
+    val nTok = col("n_tok").cast("double")
+    val stopRatio = col("n_stop").cast("double") / col("n_tok")
+    val avgTokLen = col("n_chars").cast("double") / nTok
     val kept = docs
-      .withColumn("quality_e6", qualityE6Col)
-      .withColumn("lang_pred", langPredCol)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        size(tokens(col("text"))).as("n_tok"),
+        stopwordCount(tokens(col("text"))).as("n_stop"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        floor((least(nTok / 100.0, lit(1.0)) * 0.3
+          + stopRatio * 0.4
+          + least(avgTokLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long").as("quality_e6"),
+        when(stopRatio >= 0.05, lit("en")).otherwise(lit("unk")).as("lang_pred"),
+        md5(normalize(col("text"))).as("norm_key"))
       .filter(col("quality_e6") >= minQualityE6 && col("lang_pred") === keepLang)
-      .withColumn("norm_key", md5(normalize(col("text"))))
     val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
     kept.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
