@@ -43,6 +43,28 @@ object Sessions {
         floor(avg(col("gap_us"))).as("avg_gap_us"))
   }
 
+  /** Time-based rolling aggregates (RANGE frame, not ROWS): for each
+    * event, the count and value-sum of the same user's events in the
+    * trailing `windowMinutes` — the "requests in the last hour" /
+    * rate-limiter / feature-engineering primitive. A RANGE frame
+    * bounds by TIME OFFSET from the current row, so ties and bursts
+    * are handled by value, not by row position. Same scale shape as
+    * any per-user analytic: one hash exchange on user_id + one
+    * in-partition sort, evaluated in a single forward pass with a
+    * sliding lower bound. Value sums ride DECIMAL(18,2) so the
+    * rolling totals are order-stable cross-engine. */
+  def rollingCounts(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowMinutes * 60L * 1000000L, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_trailing"))
+  }
+
   /** Gap-based sessionization (batch): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * lag → flag → running sum = session id; then per-session agg.

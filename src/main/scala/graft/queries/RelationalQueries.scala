@@ -257,6 +257,14 @@ object RelationalQueries {
     "q_event_gaps" -> ((s, d) => {
       Sessions.interEventGaps(Tables.events(s, d))
         .orderBy(col("user_id"))
+    }),
+
+    // RANGE-frame rolling window: per-event trailing-hour count/sum
+    // for the same user — time-offset frame bounds (vs. the ROWS
+    // frame of q_running_total)
+    "q_rolling_range" -> ((s, d) => {
+      Sessions.rollingCounts(Tables.events(s, d), windowMinutes = 60)
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -365,6 +373,13 @@ object RelationalQueries {
         "max(us) - min(us) AS dur_us, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),
+    "q_rolling_range" ->
+      ("SELECT user_id, event_id, epoch_us(ts) AS us, " +
+        "count(*) OVER w AS n_trailing, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "q_event_gaps" ->
       ("WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) " +

@@ -149,6 +149,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(8L).isNullAt(out(8L).fieldIndex("max_gap_us")))
   }
 
+  test("rolling range window: trailing-time frame includes boundary and ties") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, 10.0),
+      (2L, ts(60), 7L, 20.0),  // exactly 60 min later: inside a 60-min frame
+      (3L, ts(121), 7L, 40.0), // 61 min after event 2: only itself
+      (4L, ts(121), 7L, 5.0))  // tie with event 3: RANGE peers see each other
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessions.rollingCounts(events, windowMinutes = 60).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_trailing"), r.getAs[Double]("sum_trailing"))).toMap
+    assert(out(1L) == (1L, 10.0))
+    assert(out(2L) == (2L, 30.0)) // includes event 1 at the exact boundary
+    assert(out(3L) == (2L, 45.0)) // tie peer included, event 2 aged out
+    assert(out(4L) == (2L, 45.0))
+  }
+
   test("pii redaction scrubs planted emails and phone numbers") {
     val docs = docsDf(Seq(
       1L -> "reach me at jane.doe42@mail.example.org or 555-123456 thanks",
