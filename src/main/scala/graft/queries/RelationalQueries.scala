@@ -259,6 +259,15 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // one-scan dataset profiling: per-column nulls / exact distinct /
+    // numeric ranges over orders (the ingestion health report)
+    "q_profile" -> ((s, d) => {
+      graft.operators.Profiling.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
     // RANGE-frame rolling window: per-event trailing-hour count/sum
     // for the same user — time-offset frame bounds (vs. the ROWS
     // frame of q_running_total)
@@ -373,6 +382,20 @@ object RelationalQueries {
         "max(us) - min(us) AS dur_us, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),
+    "q_profile" -> {
+      def num(c: String) =
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS min_v, " +
+          s"CAST(max(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS max_v FROM orders"
+      def str(c: String) =
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+          "CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v FROM orders"
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), str("o_orderpriority"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "q_rolling_range" ->
       ("SELECT user_id, event_id, epoch_us(ts) AS us, " +
         "count(*) OVER w AS n_trailing, " +

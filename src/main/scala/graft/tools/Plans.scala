@@ -147,7 +147,18 @@ object Plans {
         "first on norm_key for the keep-min window (WindowGroupLimit " +
         "prunes losers map-side), then as per-source partial " +
         "aggregates. Raw text crosses the wire at most once, post-" +
-        "filter."))
+        "filter."),
+    "q_rolling_range" ->
+      ("The RANGE frame evaluates with a sliding lower bound in one " +
+        "sorted forward pass per user partition — one hash Exchange " +
+        "on user_id + one Sort, same shape as any per-key analytic; " +
+        "the time-offset bound never re-scans the frame per row."),
+    "q_profile" ->
+      ("All five columns profile in ONE parquet scan: the " +
+        "count(distinct) set compiles to a single Expand (gid 0 " +
+        "carries the plain aggregates, one grouping set per distinct " +
+        "column) feeding partial+final HashAggregates — shuffle " +
+        "volume is per-column partial states, input is read once."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

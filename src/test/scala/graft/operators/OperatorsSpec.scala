@@ -149,6 +149,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(8L).isNullAt(out(8L).fieldIndex("max_gap_us")))
   }
 
+  test("profiling: nulls, exact distincts, numeric-only ranges in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("x")),
+      (Some(1L), None, Some("y")),
+      (None, Some(7.25), None))
+      .toDF("k", "v", "s")
+    val out = Profiling.profile(df, Seq("k", "v", "s")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("k").getAs[Long]("n_rows") == 3)
+    assert(out("k").getAs[Long]("n_nulls") == 1)
+    assert(out("k").getAs[Long]("n_distinct") == 1) // nulls excluded
+    assert(out("k").getAs[Double]("min_v") == 1.0)
+    assert(out("v").getAs[Double]("max_v") == 7.25)
+    assert(out("s").getAs[Long]("n_distinct") == 2)
+    assert(out("s").isNullAt(out("s").fieldIndex("min_v")))
+  }
+
   test("rolling range window: trailing-time frame includes boundary and ties") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
