@@ -42,4 +42,28 @@ object Sampling {
     }
     df.filter(deterministicBucket(col(idCol)) < threshold)
   }
+
+  /** Source-rebalanced mixture sampling with DATA-DERIVED rates: cap
+    * every stratum at `targetPerStratum` expected rows — the "don't
+    * let one crawl dominate the mixture" rebalance a pretraining run
+    * applies before packing. Per-stratum keep rate (in permille) is
+    * min(1000, target·1000 ÷ n) in INTEGER arithmetic, so the rates —
+    * and therefore exact sample membership — are reproducible on any
+    * engine from the counts alone.
+    *
+    * Scale shape: one aggregate pass builds the stratum-cardinality
+    * table (strata-sized, broadcast back), then the keep decision is
+    * the same codegen'd LCG-bucket filter as [[stratified]] — the
+    * corpus itself is never shuffled. */
+  def rebalanced(df: DataFrame, idCol: String, strataCol: String,
+                 targetPerStratum: Long): DataFrame = {
+    require(targetPerStratum > 0, s"target must be positive, got $targetPerStratum")
+    val rates = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(strataCol),
+        least(lit(1000L), expr(s"${targetPerStratum * 1000L} div __n")).as("__rate_pm"))
+    df.join(broadcast(rates), strataCol)
+      .filter(deterministicBucket(col(idCol)) < col("__rate_pm"))
+      .drop("__rate_pm")
+  }
 }

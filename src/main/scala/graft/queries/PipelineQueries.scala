@@ -57,6 +57,17 @@ object PipelineQueries {
     "q_text_normalize" -> ((s, d) =>
       TextOps.normalized(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // source-rebalanced mixture sampling: every source capped at 15
+    // expected docs via integer-arithmetic data-derived rates; the
+    // report is per-source kept counts
+    "q_source_mix" -> ((s, d) => {
+      Sampling.rebalanced(Tables.documents(s, d), idCol = "doc_id",
+          strataCol = "source", targetPerStratum = 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // PII scrub with per-class audit counts. The documents fixture is
     // PII-free, so a contact line is PLANTED deterministically from
     // (doc_id, source) — the oracle then actually exercises matching
@@ -320,6 +331,12 @@ object PipelineQueries {
         "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
         "SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS v, " +
         "count(*) AS n_vecs FROM ex GROUP BY label, pos ORDER BY label, pos"),
+    "q_source_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), " +
+        "r AS (SELECT source, least(1000, 15000 // n) AS rate FROM c) " +
+        "SELECT d.source, count(*) AS n_kept FROM documents d JOIN r USING (source) " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate " +
+        "GROUP BY d.source ORDER BY d.source"),
     "q_pii_redact" ->
       ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) " +
         "|| '@' || source || '.net tel 555-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS t " +

@@ -149,6 +149,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(8L).isNullAt(out(8L).fieldIndex("max_gap_us")))
   }
 
+  test("rebalanced sampling caps big strata, keeps small strata whole") {
+    import spark.implicits._
+    val df = ((1L to 1000L).map(i => (i, "big")) ++
+      (2001L to 2005L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.rebalanced(df, "doc_id", "source", targetPerStratum = 100)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // big: rate 100/1000 → ~10% of 1000 (LCG spread, not exact)
+    assert(out("big") > 50 && out("big") < 200, s"big kept ${out("big")}")
+    // small: rate clamps to 1000 permille → every row kept
+    assert(out("small") == 5)
+    // determinism: the same cut reproduces row-for-row
+    val again = Sampling.rebalanced(df, "doc_id", "source", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.rebalanced(df, "doc_id", "source", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("profiling: nulls, exact distincts, numeric-only ranges in one pass") {
     import spark.implicits._
     val df = Seq(
