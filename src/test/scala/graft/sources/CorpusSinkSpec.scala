@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Corpus sink layout contract: partition dirs per shard, bounded
+  * file fan-out, id-sorted rows inside every file, lossless
+  * round-trip. */
+class CorpusSinkSpec extends SparkTestBase {
+
+  test("partitioned write: layout, bounded files, sorted rows, round-trip") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("corpus_sink").toString
+    try {
+      CorpusSink.writeParquet(docs, dir, filesPerShard = 4)
+
+      // one partition dir per shard value
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(dirs == Set("source=src0", "source=src1", "source=src2"))
+
+      // bounded fan-out per shard dir
+      dirs.foreach { d =>
+        val files = new java.io.File(s"$dir/$d").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.nonEmpty && files.length <= 4,
+          s"$d has ${files.length} files")
+      }
+
+      // rows inside a single file are id-sorted (row-group stats prune)
+      val oneFile = new java.io.File(s"$dir/source=src0").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+      val ids = spark.read.parquet(oneFile).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), "rows not sorted within file")
+
+      // lossless round-trip (partition column comes back typed string)
+      val back = spark.read.parquet(dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val orig = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(back == orig)
+    } finally {
+      // best-effort temp cleanup
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(Paths.get(dir).toFile)
+    }
+  }
+}
