@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through unprefixed: sbt's default
+// LoggedOutput strategy writes "[info] <line>" and can glue program
+// stdout onto log noise, which corrupted the driver-parsed bench JSON
+// (BENCH_r04 "parsed": null). StdoutOutput inherits this process's
+// stdout directly.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

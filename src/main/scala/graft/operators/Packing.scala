@@ -34,11 +34,45 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol), col(shardCol), tokensCol.cast("long").as("n_tok"))
       .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      // floor division keeps everything in integer space; an empty
-      // doc (n_tok = 0) spans 0 chunks by the same arithmetic
-      .withColumn("chunk_id", floor(col("start_tok") / seqLen))
+      // `div` is pure 64-bit integer division (bit-reproducible);
+      // floor(col / int) would round-trip through double and lose
+      // ulps above 2^53 total tokens per shard — a thin margin at
+      // 100 TB (~2.5e13 tokens). An empty doc (n_tok = 0) occupies no
+      // token span, so it spans 0 chunks explicitly (the arithmetic
+      // alone would claim 1 whenever start_tok isn't chunk-aligned).
+      .withColumn("chunk_id", expr(s"start_tok div $seqLen"))
       .withColumn("n_chunks",
-        floor((col("start_tok") + col("n_tok") - 1) / seqLen)
-          - col("chunk_id") + lit(1L))
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(expr(s"(start_tok + n_tok - 1) div $seqLen")
+            - col("chunk_id") + lit(1L)))
   }
+
+  /** Materialize the chunk→segment rows a training loader actually
+    * consumes: one row per (chunk_id, doc_id) with the doc-relative
+    * token span `[tok_start, tok_start + tok_len)` that lands in that
+    * chunk and its offset `chunk_off` within the chunk. Documents
+    * spanning several chunks are split at every chunk boundary, so
+    * per chunk the segments tile exactly `seqLen` tokens (except the
+    * final partial chunk of each shard); empty docs emit no segments.
+    *
+    * Scale shape: [[packChunks]]'s per-shard window plus one
+    * `explode(sequence(first_chunk, last_chunk))` per doc — the
+    * generated row count is docs + boundary crossings, all arithmetic
+    * 64-bit integer, no extra shuffle beyond the packing window.
+    */
+  def chunkSegments(docs: DataFrame, tokensCol: Column, seqLen: Int,
+                    shardCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    packChunks(docs, tokensCol, seqLen, shardCol, idCol)
+      .filter(col("n_tok") > 0)
+      .select(col(shardCol), col(idCol), col("n_tok"), col("start_tok"),
+        explode(sequence(col("chunk_id"),
+          col("chunk_id") + col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("seg_start",
+        greatest(col("start_tok"), col("chunk_id") * seqLen))
+      .withColumn("seg_end",
+        least(col("start_tok") + col("n_tok"), (col("chunk_id") + 1) * seqLen))
+      .select(col(shardCol), col("chunk_id"), col(idCol),
+        (col("seg_start") - col("start_tok")).as("tok_start"),
+        (col("seg_end") - col("seg_start")).as("tok_len"),
+        (col("seg_start") - col("chunk_id") * seqLen).as("chunk_off"))
 }

@@ -138,36 +138,55 @@ object Similarity {
         avg(col("n_hit").cast("double") / col("n_exact")).as("recall"))
   }
 
-  /** ANN top-k over multi-table hyperplane LSH: `numTables`
-    * independent `bits`-plane sign buckets; a candidate is any vector
-    * sharing ≥1 (table, bucket) cell with the query. Single-table
-    * sign-LSH recall decays fast (one 4-bit table measured ~0.2 on
-    * the 64-dim test embeddings); L independent tables lift it to
-    * 1−(1−p^bits)^L while the per-table candidate fraction stays
-    * ~1/2^bits. Shape at 100 TB: the corpus is exploded ×L and
-    * shuffled on (table, bucket) — a bucket equi-join, never a cross
-    * product — then candidate *pairs* are deduped before scoring so
-    * a pair colliding in several tables is scored once. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, seed: Long = 42L, numTables: Int = 8): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, bits * numTables, seed)
+  /** Candidate (qid, vec_id) pairs from multi-table hyperplane LSH:
+    * `numTables` independent `bits`-plane sign buckets; a candidate is
+    * any corpus vector sharing ≥1 (table, bucket) cell with the query
+    * (self-pairs excluded, each pair emitted once). Both sides are
+    * exploded ×numTables and shuffled on (table, bucket) — a bucket
+    * equi-join, never a cross product. This is the shared pruning
+    * front-end for [[lshTopK]] and ANN-candidate near-dup
+    * ([[Dedup.embeddingNearDupLsh]]).
+    *
+    * `dim` is the embedding dimensionality (pipeline config in any
+    * real deployment); 0 falls back to probing the first corpus row —
+    * one extra tiny job per call, avoid in hot paths. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                    bits: Int = 8, seed: Long = 42L, numTables: Int = 8,
+                    dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(d, bits * numTables, seed)
     def tableBuckets(vecCol: org.apache.spark.sql.Column) =
       array((0 until numTables).map(t =>
         lshBucket(vecCol, planes.slice(t * bits, (t + 1) * bits))): _*)
+    val cCells = corpus.select(col("vec_id"),
+      posexplode(tableBuckets(VectorOps.asDoubleArray(col("embedding"))))
+        .as(Seq("tbl", "bucket")))
+    val qCells = queries.select(col("vec_id").as("qid"),
+      posexplode(tableBuckets(VectorOps.asDoubleArray(col("embedding"))))
+        .as(Seq("tbl", "bucket")))
+    cCells.join(qCells, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id")).distinct()
+  }
+
+  /** ANN top-k over multi-table hyperplane LSH candidates
+    * ([[lshCandidates]]). Single-table sign-LSH recall decays fast
+    * (one 4-bit table measured ~0.2 on the 64-dim test embeddings);
+    * L independent tables lift it to 1−(1−p^bits)^L while the
+    * per-table candidate fraction stays ~1/2^bits. Candidate *pairs*
+    * are deduped before scoring so a pair colliding in several tables
+    * is scored once. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 8, seed: Long = 42L, numTables: Int = 8,
+              dim: Int = 0): DataFrame = {
     val c = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
     val q = queries.select(col("vec_id").as("qid"),
         VectorOps.asDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.l2Norm(col("qv")))
-    val cCells = c.select(col("vec_id"),
-      posexplode(tableBuckets(col("cv"))).as(Seq("tbl", "bucket")))
-    val qCells = q.select(col("qid"),
-      posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
-    val candPairs = cCells.join(qCells, Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id")).distinct()
+    val candPairs = lshCandidates(corpus, queries, bits, seed, numTables, dim)
     candPairs.join(c, "vec_id").join(broadcast(q), "qid")
       .withColumn("score",
         when(col("qn") * col("cn") > 0,

@@ -111,6 +111,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // chunk→segment materialization of the packing layout: the rows a
+    // training loader consumes — docs split at every chunk boundary,
+    // (chunk_id, doc_id, tok_start, tok_len, chunk_off) all integer
+    "q_pack_segments" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.chunkSegments(docs,
+          tokensCol = ceil(col("n_chars").cast("double") / 4.0).cast("long"),
+          seqLen = 2048)
+        .orderBy(col("source"), col("chunk_id"), col("doc_id"))
+    }),
+
     // per-label embedding centroids (class prototypes / k-means
     // update step) — exact per-position means, oracle-checked in the
     // flat (label, pos, v) shape so every cell is scalar
@@ -324,8 +335,24 @@ object PipelineQueries {
         "FROM tok) " +
         "SELECT doc_id, source, n_tok, start_tok, " +
         "start_tok // 2048 AS chunk_id, " +
-        "(start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_chunks " +
+        "CASE WHEN n_tok = 0 THEN 0 ELSE " +
+        "(start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 END AS n_chunks " +
         "FROM off ORDER BY doc_id"),
+    "q_pack_segments" ->
+      ("WITH tok AS (SELECT doc_id, source, " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM documents), " +
+        "off AS (SELECT doc_id, source, n_tok, " +
+        "CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok " +
+        "FROM tok), " +
+        "seg AS (SELECT source, doc_id, n_tok, start_tok, " +
+        "unnest(range(start_tok // 2048, (start_tok + n_tok - 1) // 2048 + 1)) AS chunk_id " +
+        "FROM off WHERE n_tok > 0) " +
+        "SELECT source, chunk_id, doc_id, " +
+        "greatest(start_tok, chunk_id*2048) - start_tok AS tok_start, " +
+        "least(start_tok + n_tok, (chunk_id+1)*2048) - greatest(start_tok, chunk_id*2048) AS tok_len, " +
+        "greatest(start_tok, chunk_id*2048) - chunk_id*2048 AS chunk_off " +
+        "FROM seg ORDER BY source, chunk_id, doc_id"),
     "q_embed_centroid" ->
       ("WITH ex AS (SELECT label, unnest(embedding) AS x, " +
         "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +

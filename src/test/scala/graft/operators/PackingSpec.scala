@@ -42,6 +42,63 @@ class PackingSpec extends SparkTestBase {
     assert(out(3L) == (256L, 1L, 1L)) // fills chunk 1 exactly
   }
 
+  test("empty doc at a non-aligned offset still spans 0 chunks") {
+    val d = docs(Seq((1L, "a", 100L), (2L, "a", 0L), (3L, "a", 100L)))
+    val out = Packing.packChunks(d, col("n_tok"), seqLen = 256)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunks"))).toMap
+    // start_tok = 100 is mid-chunk: the raw span arithmetic would
+    // claim 1 chunk; an empty doc must span 0
+    assert(out(2L) == (100L, 0L))
+    assert(out(3L) == (100L, 1L))
+  }
+
+  test("chunk boundaries stay exact above 2^53 tokens (integer div, not double)") {
+    // start_tok = 2^53 + 2047: as a double this rounds (ties-to-even)
+    // up to 2^53 + 2048, so floor(double / 2048) would misplace the
+    // doc into chunk 2^42 + 1; integer div keeps it in chunk 2^42.
+    val big = (1L << 53) + 2047L
+    val d = docs(Seq((1L, "a", big), (2L, "a", 5L)))
+    val out = Packing.packChunks(d, col("n_tok"), seqLen = 2048)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_id"))).toMap
+    assert(out(2L) == (big, 1L << 42))
+  }
+
+  test("chunkSegments tiles every interior chunk to exactly seqLen tokens") {
+    val d = docs(Seq(
+      (1L, "a", 100L), (2L, "a", 0L), (3L, "a", 300L), (4L, "a", 112L),
+      (5L, "b", 700L)))
+    val seg = Packing.chunkSegments(d, col("n_tok"), seqLen = 256).collect()
+    // empty docs emit no segments
+    assert(!seg.exists(_.getAs[Long]("doc_id") == 2L))
+    // doc 3 (span 100..399) splits at the 256 boundary
+    val d3 = seg.filter(_.getAs[Long]("doc_id") == 3L)
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("tok_len"), r.getAs[Long]("chunk_off"))).sortBy(_._1)
+    assert(d3.toSeq == Seq((0L, 0L, 156L, 100L), (1L, 156L, 144L, 0L)))
+    // per-doc segment lengths sum to n_tok; doc-relative spans abut
+    val byDoc = seg.groupBy(_.getAs[Long]("doc_id"))
+    for ((id, rows) <- byDoc) {
+      val n = Map(1L -> 100L, 3L -> 300L, 4L -> 112L, 5L -> 700L)(id)
+      assert(rows.map(_.getAs[Long]("tok_len")).sum == n, s"doc $id")
+      val spans = rows.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len")))
+        .sortBy(_._1)
+      assert(spans.head._1 == 0L)
+      spans.sliding(2).foreach {
+        case Array((s0, l0), (s1, _)) => assert(s0 + l0 == s1, s"doc $id gap")
+        case _ =>
+      }
+    }
+    // every chunk except each shard's last tiles to exactly seqLen
+    val byChunk = seg.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("chunk_id")))
+    val lastChunk = byChunk.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    for (((src, cid), rows) <- byChunk if cid != lastChunk(src)) {
+      assert(rows.map(_.getAs[Long]("tok_len")).sum == 256L, s"chunk $src/$cid")
+      assert(rows.map(_.getAs[Long]("chunk_off")).min == 0L)
+    }
+  }
+
   test("total chunk count matches ceil(shard tokens / seqLen)") {
     val d = docs((1L to 40L).map(i => (i, s"s${i % 3}", 37L)))
     val out = Packing.packChunks(d, col("n_tok"), seqLen = 64)
