@@ -20,8 +20,12 @@ object EmbeddingOps {
     * dedup / clustering): posexplode → per-(group, pos) mean,
     * partial-aggregated map-side before the one (group, pos) shuffle
     * — at 100 TB the corpus is read once and only groups × dim
-    * already-aggregated rows move. Components are rounded to 6 dp so
-    * the result is order-stable across engines and partitionings.
+    * already-aggregated rows move. The mean accumulates as
+    * DECIMAL(38,18) (exact, order-independent — the repo convention
+    * for order-stable sums) before one double division and a 6 dp
+    * round, so the result is bit-stable across engines and
+    * partitionings; a double `avg` would be accumulation-order
+    * dependent and could flip a value landing on a rounding boundary.
     * `pos` is 0-based and long-typed (portable across engines).
     */
   def centroidComponents(emb: DataFrame, groupCol: String = "label",
@@ -29,7 +33,10 @@ object EmbeddingOps {
     emb.select(col(groupCol),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
       .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
-      .agg(round(avg(col("x")), 6).as("v"), count(lit(1)).as("n_vecs"))
+      .agg(
+        round(sum(col("x").cast("decimal(38,18)")).cast("double")
+          / count(lit(1)), 6).as("v"),
+        count(lit(1)).as("n_vecs"))
 
   /** Per-group mean vector reassembled into one array row per group
     * (the operator-API shape): one extra shuffle of groups-many rows

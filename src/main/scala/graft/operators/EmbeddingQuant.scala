@@ -48,7 +48,13 @@ object EmbeddingQuant {
     * let `cos >= minCos` vacuously PASS exactly the vectors whose
     * quantization is meaningless. Zero vectors quantize exactly
     * (0 → 0) so they pass explicitly; the cosine is only evaluated
-    * for nonzero norms, and a null/NaN cosine fails. */
+    * for nonzero norms, and a null/NaN cosine fails.
+    *
+    * Null/empty embeddings: `explode_outer` keeps a row for a null or
+    * zero-length array (plain `explode` would silently DROP the
+    * vector from the report, making downstream row counts lie), and
+    * such vectors pass explicitly — there is nothing to quantize, so
+    * the round-trip is vacuously exact. */
   def quantReport(embeddings: DataFrame, minCos: Double = 0.995): DataFrame = {
     // Explode shape, not nested HOFs: Spark HOF lambdas are
     // interpreted (CodegenFallback) and have no let-binding, so
@@ -58,7 +64,7 @@ object EmbeddingQuant {
     // expression; the window max and the final aggregate shuffle on
     // vec_id once (same key ⇒ AQE coalesces to a single exchange).
     val ex = embeddings.select(col("vec_id"),
-      explode(col("embedding").cast("array<double>")).as("x"))
+      explode_outer(col("embedding").cast("array<double>")).as("x"))
     val scale = max(abs(col("x"))).over(Window.partitionBy(col("vec_id"))) / 127.0
     ex.withColumn("scale", scale)
       .withColumn("dq",
@@ -70,9 +76,10 @@ object EmbeddingQuant {
         sum(col("x") * col("x")).as("xx"),
         sum(col("dq") * col("dq")).as("yy"))
       .select(col("vec_id"),
-        // zero vector (xx = 0) quantizes exactly → explicit pass;
+        // zero vector (xx = 0) quantizes exactly and a null/empty
+        // vector (xx null) has nothing to quantize → explicit pass;
         // otherwise a null/NaN cosine must FAIL, not vacuously pass
-        when(col("xx") === 0, lit(true))
+        when(col("xx").isNull || col("xx") === 0, lit(true))
           .otherwise(coalesce(
             nanvl(col("xy") / (sqrt(col("xx")) * sqrt(col("yy"))), lit(-1.0)) >= minCos,
             lit(false))).as("quant_ok"))

@@ -13,32 +13,48 @@ import org.apache.spark.sql.types.NumericType
   * (input row, column) grouping set) feeding partial+final hash
   * aggregates, so the input is read once and only per-column partial
   * states shuffle. The wide 1-row result is then unpivoted to one row
-  * per column with a codegen'd stack() — no second pass.
+  * per column with a codegen'd explode-of-structs — no second pass.
   */
 object Profiling {
 
   /** One row per profiled column: row count, null count, exact
     * distinct count, min/max (numeric columns only — doubles ride a
     * DECIMAL(18,2) path so the report is hash-stable cross-engine;
-    * non-numeric min/max are null). */
+    * non-numeric min/max are null).
+    *
+    * Column names are data here, not trusted identifiers: input
+    * references are backquote-escaped (a name containing dots,
+    * backticks, quotes, or commas resolves literally instead of
+    * breaking parsing or being read as a nested-field path), the
+    * report label is a `lit`, and the intermediate aggregate aliases
+    * are positional so no generated identifier ever embeds a
+    * user-supplied name. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val schema = df.schema
     def isNum(c: String) = schema(c).dataType.isInstanceOf[NumericType]
-    val aggs = cols.flatMap { c =>
+    def bq(c: String) = "`" + c.replace("`", "``") + "`"
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
-        count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        (if (isNum(c)) min(col(c).cast("decimal(18,2)")).cast("double")
-         else lit(null).cast("double")).as(s"__min_$c"),
-        (if (isNum(c)) max(col(c).cast("decimal(18,2)")).cast("double")
-         else lit(null).cast("double")).as(s"__max_$c"))
+        count(lit(1)).as(s"__n_$i"),
+        count(col(bq(c))).as(s"__nn_$i"),
+        countDistinct(col(bq(c))).as(s"__nd_$i"),
+        (if (isNum(c)) min(col(bq(c)).cast("decimal(18,2)")).cast("double")
+         else lit(null).cast("double")).as(s"__min_$i"),
+        (if (isNum(c)) max(col(bq(c)).cast("decimal(18,2)")).cast("double")
+         else lit(null).cast("double")).as(s"__max_$i"))
     }
-    val stackArgs = cols.map { c =>
-      s"'$c', __n_$c, `__n_$c` - `__nn_$c`, __nd_$c, __min_$c, __max_$c"
-    }.mkString(", ")
+    val reportRows = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__n_$i").as("n_rows"),
+        (col(s"__n_$i") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_v"),
+        col(s"__max_$i").as("max_v"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_v, max_v)")
+      .select(explode(array(reportRows: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_v"), col("p.max_v"))
   }
 }

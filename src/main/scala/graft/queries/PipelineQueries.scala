@@ -356,7 +356,8 @@ object PipelineQueries {
     "q_embed_centroid" ->
       ("WITH ex AS (SELECT label, unnest(embedding) AS x, " +
         "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +
-        "SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS v, " +
+        "SELECT label, pos, " +
+        "round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS v, " +
         "count(*) AS n_vecs FROM ex GROUP BY label, pos ORDER BY label, pos"),
     "q_source_mix" ->
       ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), " +

@@ -29,6 +29,19 @@ class EmbeddingQuantSpec extends SparkTestBase {
     assert(rep(2L))
   }
 
+  test("null and empty embeddings stay in the report and pass explicitly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array.empty[Float]),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val rep = EmbeddingQuant.quantReport(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rep.size == 3, "a null/empty vector was dropped from the report")
+    assert(rep(1L) && rep(2L) && rep(3L))
+  }
+
   test("quantized values are genuine int8 and scale reconstructs max") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")

@@ -187,6 +187,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(out("s").isNullAt(out("s").fieldIndex("min_v")))
   }
 
+  test("profiling: hostile column names (dots, backticks, quotes, commas)") {
+    import spark.implicits._
+    val names = Seq("a.b", "c`d", "e'f, g")
+    val df = Seq((1L, "x", 2.0), (2L, "x", 3.0))
+      .toDF(names: _*)
+    val out = Profiling.profile(df, names).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.keySet == names.toSet)
+    assert(out("a.b").getAs[Long]("n_distinct") == 2)
+    assert(out("c`d").getAs[Long]("n_distinct") == 1)
+    assert(out("e'f, g").getAs[Double]("max_v") == 3.0)
+  }
+
   test("rolling range window: trailing-time frame includes boundary and ties") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
