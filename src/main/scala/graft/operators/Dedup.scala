@@ -142,6 +142,15 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[connectedComponents]] result with its convergence contract:
+    * `rounds` = propagate+jump rounds executed, `converged` = the
+    * last round changed no label (⇒ every node carries its component
+    * minimum). At 100 TB a silent `maxIter` exit would hand
+    * downstream keep/drop decisions half-merged clusters — callers
+    * must be able to SEE that instead of discovering it in the
+    * output. */
+  case class CCResult(labels: DataFrame, rounds: Int, converged: Boolean)
+
   /** Connected components over an undirected pair list — the
     * pairs→clusters step of the near-dup pipeline. Iterative
     * min-label propagation with pointer jumping (label ← label of
@@ -152,14 +161,19 @@ object Dedup {
     * materializes a component as one row, so a giant duplicate
     * cluster costs its edge count, not its square.
     *
-    * Per-node labels are monotone non-increasing, so the label sum is
-    * a strictly-decreasing convergence metric: one round with an
-    * unchanged sum ⇒ fixpoint, where every node carries the minimum
-    * doc id of its component.
+    * Convergence is detected by counting changed labels in the SAME
+    * action that materializes each round (a `LongAccumulator` filled
+    * by the RDD map), so a round costs exactly one job — the earlier
+    * design paid a separate label-sum aggregate job per round.
+    * Labels are monotone non-increasing, so "no label changed" is a
+    * true fixpoint test. (Accumulators can over-count on task retry,
+    * but the test only compares against zero, and a retried task adds
+    * nothing unless some label genuinely changed.)
     *
-    * Returns (id, label) for every node that appears in `pairs`.
+    * Returns (id, label) for every node that appears in `pairs`,
+    * plus rounds-used and the converged flag.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponentsStats(pairs: DataFrame, maxIter: Int = 25): CCResult = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -176,44 +190,55 @@ object Dedup {
     // Catalyst re-analysis then grows exponentially and round 5
     // never finishes planning. The RDD DAG grows linearly and each
     // parent is cached.
-    def toRdd(df: DataFrame) =
-      df.rdd.map(r => (r.getLong(0), r.getLong(1)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     def toDF(r: org.apache.spark.rdd.RDD[(Long, Long)]) =
       spark.createDataset(r).toDF("id", "label")
-    var cur = toRdd(edges.select(col("x").as("id"))
+    var cur = edges.select(col("x").as("id"))
       .union(edges.select(col("y").as("id")))
       .distinct()
-      .withColumn("label", col("id")))
-    // BigInt sum: a Long sum of petabyte-scale doc ids can overflow
-    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
-      r.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
-    var prevSum = labelSum(cur)
+      .withColumn("label", col("id"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
-    var done = prevSum == 0 // only possible when there are no nodes
-    while (!done && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val labels = toDF(cur)
-      // min label across each edge (both directions) plus own label
+      // min label across each edge (both directions) plus own label;
+      // the `own` marker carries each node's previous label through
+      // the aggregate so the changed-count needs no extra join
       val lx = labels.select(col("id").as("x"), col("label"))
       val ly = labels.select(col("id").as("y"), col("label"))
-      val l1 = edges.join(lx, "x").select(col("y").as("id"), col("label"))
-        .union(edges.join(ly, "y").select(col("x").as("id"), col("label")))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+      val l1 = edges.join(lx, "x")
+        .select(col("y").as("id"), col("label"), lit(false).as("own"))
+        .union(edges.join(ly, "y")
+          .select(col("x").as("id"), col("label"), lit(false).as("own")))
+        .union(labels.withColumn("own", lit(true)))
+        .groupBy("id").agg(min("label").as("label"),
+          max(when(col("own"), col("label"))).as("old_label"))
       // pointer jump: label ← label(label) — halves path lengths
       val jump = l1.select(col("id").as("label"), col("label").as("label2"))
-      val next = toRdd(l1.join(jump, Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label")))
-      val s = labelSum(next)
-      done = s == prevSum
-      prevSum = s
+      val changed = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val next = l1.join(jump, Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"),
+          col("old_label"))
+        .rdd.map { r =>
+          val lbl = r.getLong(1)
+          if (lbl != r.getLong(2)) changed.add(1L)
+          (r.getLong(0), lbl)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // one action: materializes the round AND fills the accumulator
+      converged = changed.value == 0L
       cur.unpersist(blocking = false)
       cur = next
       iter += 1
     }
     edges.unpersist(blocking = false)
-    toDF(cur)
+    CCResult(toDF(cur), iter, converged)
   }
+
+  /** Labels-only view of [[connectedComponentsStats]]. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsStats(pairs, maxIter).labels
 
   /** pairs → clusters → keep/drop: every doc gets its component id
     * (the minimum doc_id reachable through the candidate-pair graph;

@@ -37,6 +37,19 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("convergence contract: rounds reported, converged flag honest") {
+    // a 5-chain needs >1 round but converges well inside 25
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Dedup.connectedComponentsStats(pairs)
+    assert(r.converged, "chain should reach the fixpoint")
+    assert(r.rounds >= 2 && r.rounds <= 5, s"unexpected round count ${r.rounds}")
+    assert(r.labels.collect().map(_.getLong(1)).forall(_ == 1L))
+    // starved iteration budget must NOT claim convergence
+    val starvedBudget = Dedup.connectedComponentsStats(pairs, maxIter = 1)
+    assert(!starvedBudget.converged,
+      "one round cannot prove a 4-hop chain's fixpoint")
+  }
+
   test("resolveDuplicates keeps the component minimum and isolated docs") {
     val docs = Seq(1L, 2L, 3L, 4L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
