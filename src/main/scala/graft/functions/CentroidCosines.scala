@@ -115,4 +115,29 @@ object CentroidCosines {
   /** Column-API entry point. */
   def of(vec: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(CentroidCosines(Bridge.expression(vec), centroids.map(_.toSeq).toSeq))
+
+  /** Register `centroid_cosines(vec, matrix)` for SQL — `matrix` must
+    * be a foldable `array<array<double>>` literal (e.g.
+    * `array(array(1.0d, 0.0d), array(0.0d, 1.0d))`): the centroid
+    * matrix is part of the plan, exactly like the Column API, so the
+    * generated code keeps its constant-size loop shape. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "centroid_cosines", exprs => {
+      require(exprs.length == 2,
+        "centroid_cosines(vec, centroid_matrix) takes exactly 2 args")
+      val m = exprs(1)
+      require(m.foldable && m.dataType.isInstanceOf[ArrayType] &&
+        m.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType],
+        "centroid matrix must be a foldable array<array<double>> literal")
+      val inner = m.dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[ArrayType].elementType
+      require(inner == DoubleType,
+        s"centroid matrix elements must be double, got ${inner.sql}")
+      val arr = m.eval().asInstanceOf[ArrayData]
+      val matrix: Seq[Seq[Double]] = (0 until arr.numElements()).map { i =>
+        val row = arr.getArray(i)
+        (0 until row.numElements()).map(j => row.getDouble(j))
+      }
+      CentroidCosines(exprs.head, matrix)
+    })
 }

@@ -90,9 +90,19 @@ object SketchGradientSum {
     Bridge.column(SketchGradientSum(Bridge.expression(grad), compression)
       .toAggregateExpression())
 
-  /** Register `gradient_sketch_sum(arr)` for SQL. The builder returns
-    * the raw AggregateFunction — the analyzer wraps it. */
+  /** Register `gradient_sketch_sum(arr[, codec])` for SQL. The
+    * builder returns the raw AggregateFunction — the analyzer wraps
+    * it. The optional second arg is a foldable codec-name literal
+    * ('Sketch' default, 'None' for the lossless baseline path),
+    * mirroring the Column API's `compression` parameter. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Bridge.registerFunction(spark, "gradient_sketch_sum",
-      exprs => SketchGradientSum(exprs.head))
+    Bridge.registerFunction(spark, "gradient_sketch_sum", exprs => {
+      require(exprs.nonEmpty && exprs.length <= 2,
+        "gradient_sketch_sum(arr[, codec]) takes 1 or 2 args")
+      val comp = if (exprs.length == 2) {
+        require(exprs(1).foldable, "codec name must be a literal")
+        exprs(1).eval().toString
+      } else "Sketch"
+      SketchGradientSum(exprs.head, comp)
+    })
 }

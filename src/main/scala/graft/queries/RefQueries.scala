@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{SketchGradientSum, VectorOps}
+import graft.functions.{GraftFunctions, SketchGradientSum, VectorOps}
 import graft.ml.SketchLinearRegression
 import graft.sketch.{IdentityCodec, SketchCodec}
 import graft.sources.LibSvm
@@ -184,19 +184,22 @@ object RefQueries {
     }),
 
     // S12-S15 in SQL: the gradient_sketch_sum TypedImperativeAggregate
-    // (partial buffers cross the Exchange through the gradient codec).
-    // Lossless codec here so DuckDB can oracle it; the Sketch codec
-    // path is property-tested in SketchGradientSumSpec.
+    // (partial buffers cross the Exchange through the gradient codec),
     "q_sketch_agg_sql" -> ((s, d) => {
-      val grads = feats(Tables.lineitem(s, d))
+      // exercised as SQL TEXT through the session FunctionRegistry —
+      // the sketch aggregate is first-class SQL, not just Column API.
+      // Lossless codec here so DuckDB can oracle it; the Sketch codec
+      // path is property-tested in SketchGradientSumSpec.
+      GraftFunctions.registerAll(s)
+      feats(Tables.lineitem(s, d))
         .select(array(col("x1"), col("x2"), col("x3")).as("grad"))
-      grads.agg(
-          SketchGradientSum.gradientSketchSum(col("grad"), "None").as("g"),
-          count(lit(1)).as("n"))
-        .select(round(element_at(col("g"), 1), 4).as("g1"),
-          round(element_at(col("g"), 2), 4).as("g2"),
-          round(element_at(col("g"), 3), 4).as("g3"),
-          col("n"))
+        .createOrReplaceTempView("graft_gradients")
+      s.sql(
+        "SELECT round(element_at(g, 1), 4) AS g1, " +
+          "round(element_at(g, 2), 4) AS g2, " +
+          "round(element_at(g, 3), 4) AS g3, n " +
+          "FROM (SELECT gradient_sketch_sum(grad, 'None') AS g, " +
+          "count(1) AS n FROM graft_gradients)")
     }),
 
     // §2.4: quantize→sketch→decode roundtrip stats on a deterministic
