@@ -54,28 +54,55 @@ object Similarity {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** Seeded k-means coarse centroids for [[ivfTopK]]. Fit runs on a
-    * deterministic sample capped at `sampleCap` rows (a 100 TB corpus
-    * doesn't need — and can't afford — an exact k-means over every
-    * vector to pick coarse cells), zero-norm vectors excluded (cosine
-    * k-means is undefined on them). Cosine distance matches the probe
-    * metric, so cells are angular regions like the search. */
+  /** Seeded k-means coarse centroids for [[ivfTopK]]. The fit sample
+    * is a deterministic hash filter — keep rows whose embedding
+    * xxhash64 is ≡ 0 (mod `sampleMod`) — so there is NO pre-count
+    * pass over the corpus (a count-then-sample design costs one full
+    * extra scan at 100 TB; here the sampling decision is per-row
+    * arithmetic on the scan). The sample is cached before the k-means
+    * loop, so the corpus is read exactly ONCE regardless of
+    * `maxIter`; a 100 TB deployment sets `sampleMod` ≈ rows / 100k.
+    * Zero-norm vectors are excluded (cosine k-means is undefined on
+    * them). Cosine distance matches the probe metric, so cells are
+    * angular regions like the search. */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-                      maxIter: Int = 10, sampleCap: Long = 100000L): Array[Array[Double]] = {
+                      maxIter: Int = 10, sampleMod: Int = 1): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
     val vecs = corpus.select(VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .filter(VectorOps.l2Norm(col("cv")) > 0)
-    val n = vecs.count()
-    val fit = if (n > sampleCap) vecs.sample(sampleCap.toDouble / n, seed) else vecs
-    val k = math.min(nlist.toLong, math.max(n, 1L)).toInt
-    new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setDistanceMeasure("cosine")
-      .setFeaturesCol("features")
-      .fit(fit.select(array_to_vector(col("cv")).as("features")))
-      .clusterCenters.map(_.toArray)
+    val sampled = if (sampleMod == 1) vecs
+      else vecs.filter(pmod(xxhash64(col("cv")), lit(sampleMod.toLong)) === 0)
+    val fit = sampled.select(array_to_vector(col("cv")).as("features")).cache()
+    try {
+      // count() materializes the cache (the single corpus scan) and
+      // bounds k — KMeans needs k <= n and the sample could be tiny
+      val n = fit.count()
+      val k = math.min(nlist.toLong, math.max(n, 1L)).toInt
+      new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setDistanceMeasure("cosine")
+        .setFeaturesCol("features")
+        .fit(fit)
+        .clusterCenters.map(_.toArray)
+    } finally fit.unpersist(blocking = false)
   }
+
+  /** Corpus rows with their coarse IVF cell id appended (`cid`,
+    * 1-based argmax-cosine centroid, one [[graft.functions.CentroidCosines]]
+    * codegen pass). This is the column a bucketed disk layout
+    * partitions by: written through
+    * [[graft.sources.CorpusSink.writeParquet]] with `shardCol = "cid"`,
+    * a probe that reads `nProbe` cells prunes every other cell's
+    * FILES at the directory level — the scan never opens them
+    * (proved in `IvfLayoutSpec`). */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    corpus
+      .withColumn("__cs", graft.functions.CentroidCosines.of(
+        VectorOps.asDoubleArray(col("embedding")), centroids))
+      .withColumn("cid", expr("array_position(__cs, array_max(__cs))").cast("int"))
+      .drop("__cs")
 
   /** IVF-style ANN: the corpus is coarse-partitioned by nearest of
     * `nlist` k-means centroids ([[kmeansCentroids]], seeded); each
