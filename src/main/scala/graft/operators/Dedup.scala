@@ -255,9 +255,15 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("component"))
   }
 
-  /** Embedding-cosine near-dup stats per probe vector: neighbor count
-    * above threshold + max cosine. Norms are precomputed per side so
-    * the per-pair work is just the dot product. */
+  /** EXACT embedding-cosine near-dup stats per probe vector: neighbor
+    * count above threshold + max cosine, scored against every
+    * candidate (broadcast nested-loop — probes × candidates pairs).
+    * This is the verification BASELINE, not the scale path: it is
+    * only safe when the probe side is small enough to broadcast. A
+    * probe set that grows with the corpus (e.g. "2% of all docs")
+    * must route through [[embeddingNearDupLsh]] instead, where
+    * candidates come from a bucket equi-join. Norms are precomputed
+    * per side so the per-pair work is just the dot product. */
   def embeddingNearDup(probes: DataFrame, candidates: DataFrame,
                        threshold: Double): DataFrame = {
     val p = broadcast(probes.select(col("vec_id").as("qid"),
@@ -273,5 +279,42 @@ object Dedup {
       .groupBy("qid")
       .agg(sum(when(col("cos") > threshold, 1L).otherwise(0L)).as("n_near"),
         round(max(col("cos")), 6).as("max_cos"))
+  }
+
+  /** Scale-safe embedding near-dup: the same per-probe stats as
+    * [[embeddingNearDup]], but scored over multi-table hyperplane LSH
+    * candidates only ([[Similarity.lshCandidates]]) — every join is a
+    * (table, bucket) or id equi-join, so the shape survives a probe
+    * set that is a fixed FRACTION of a 100 TB corpus (the broadcast
+    * nested-loop of the exact form outgrows executor memory there).
+    *
+    * Approximate by construction: a near pair hashing into disjoint
+    * buckets in all tables is missed, so `n_near` can undercount and
+    * `max_cos` can read low — never the reverse (candidates ⊆ all
+    * pairs). With `bits` = 2 and 8 tables a cos = 0.2 pair survives
+    * with p ≈ 0.95 (1 − (1 − p_plane²)^8, p_plane = 1 − θ/π); recall
+    * vs exact is gated as a checked contract in `q_dedup_embedding`.
+    * Probes with zero candidates surface as (n_near = 0, max_cos
+    * null) through the left join — silently dropping them would make
+    * the report lie about coverage. */
+  def embeddingNearDupLsh(corpus: DataFrame, probes: DataFrame, threshold: Double,
+                          bits: Int = 2, seed: Long = 42L, numTables: Int = 8,
+                          dim: Int = 0): DataFrame = {
+    val cand = Similarity.lshCandidates(corpus, probes, bits, seed, numTables, dim)
+    val c = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    val p = probes.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+    val scored = cand.join(c, "vec_id").join(p, "qid")
+      .select(col("qid"),
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy("qid")
+      .agg(sum(when(col("cos") > threshold, 1L).otherwise(0L)).as("n_near"),
+        round(max(col("cos")), 6).as("max_cos"))
+    p.select(col("qid")).join(scored, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_near"))
   }
 }

@@ -184,12 +184,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // embedding-cosine near-dup stats on a keyed probe subset
+    // embedding-cosine near-dup on a keyed probe subset, routed
+    // through LSH candidates (the scale path: bucket equi-joins, no
+    // probe broadcast — the probe set is a fixed fraction of the
+    // corpus, so the exact broadcast form would outgrow executor
+    // memory at 100×). Checked contract, like q_similarity_lsh: the
+    // exact all-pairs stats are computed ONLY as the verification
+    // baseline (bounded probes at verification SF); the ANN route
+    // must be sound (never over-counts) and recover >= 80% of the
+    // exact near pairs (measured 96-97% at sf0.01/sf0.1 with
+    // bits = 2, 8 tables).
     "q_dedup_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
-      Dedup.embeddingNearDup(probes, probes, threshold = 0.2)
-        .orderBy(col("qid"))
+      val exact = Dedup.embeddingNearDup(probes, emb, threshold = 0.2)
+        .select(col("qid"), col("n_near").as("n_exact"))
+      val ann = Dedup.embeddingNearDupLsh(emb, probes, threshold = 0.2,
+          bits = 2, numTables = 8, dim = 64)
+        .select(col("qid"), col("n_near").as("n_ann"))
+      exact.join(ann, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_ann"))
+        .agg(count(lit(1)).as("n_probes"),
+          (sum(when(col("n_ann") > col("n_exact"), 1L).otherwise(0L)) === 0)
+            .as("sound"),
+          (sum(col("n_exact")) === 0 ||
+            sum(col("n_ann")).cast("double")
+              / greatest(sum(col("n_exact")), lit(1L)) >= 0.8).as("recall_ok"))
     }),
 
     // brute-force cosine top-5 for keyed probe queries (exact ANN baseline)
@@ -412,12 +432,8 @@ object PipelineQueries {
         "FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
         "WHERE inter >= 1 ORDER BY a, b"),
     "q_dedup_embedding" ->
-      ("SELECT a.vec_id AS qid, " +
-        s"CAST(sum(CASE WHEN ${cosSql("a", "b")} > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near, " +
-        s"round(max(${cosSql("a", "b")}),6) AS max_cos " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
-        "AND a.vec_id % 50 = 0 AND b.vec_id % 50 = 0 " +
-        "GROUP BY a.vec_id ORDER BY qid"),
+      ("SELECT count(*) AS n_probes, TRUE AS sound, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id % 50 = 0"),
     "q_similarity_topk" ->
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
         s"${cosSql("a", "b")} AS score " +
