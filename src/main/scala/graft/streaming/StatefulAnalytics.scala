@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch analytic operators in
+  * `graft.operators.Sessions` that window functions can't express in
+  * Structured Streaming (no lag/RANGE frames over a stream):
+  *
+  *  - [[rolling]] ↔ `Sessions.rollingCounts` — per-event trailing
+  *    time-window count/sum per user;
+  *  - [[gaps]] ↔ `Sessions.interEventGaps` — per-user inter-event
+  *    gap statistics, updated incrementally.
+  *
+  * Both are `flatMapGroupsWithState` keyed by user_id (SURVEY §2.5
+  * Group B streaming surface) and run identically on a batch Dataset,
+  * which is how the specs cross-check them against the batch
+  * operators (DuckDB can't oracle late-data semantics, SURVEY §7
+  * risk 6).
+  *
+  * Ordering contract: events are processed in (event-time, event_id)
+  * order within each invocation, so results match the batch operator
+  * exactly when each user's events arrive across micro-batches in
+  * nondecreasing event-time order (and RANGE-frame ties co-arrive).
+  * Within-watermark disorder only affects the disordered events' own
+  * rows — emitted rows are never retracted.
+  */
+object StatefulAnalytics {
+
+  import StatefulSessions.{micros, Event}
+
+  // ---------------------------------------------------------------
+  // rolling trailing-window counts
+  // ---------------------------------------------------------------
+
+  /** Retained per-user tail: events inside the trailing horizon of
+    * the newest event seen, as parallel (us, value) arrays. Bounded
+    * by the events genuinely inside one window width — the same
+    * working set the computation needs — and cleared wholesale by
+    * event-time timeout once the watermark passes newest + window. */
+  case class RollingState(us: Array[Long], value: Array[Double])
+
+  case class RollingRow(user_id: Long, event_id: Long, us: Long,
+                        n_trailing: Long, sum_trailing: Double)
+
+  /** Process a user's new events against the trailing-window tail.
+    * For each event: count/sum of the user's events with time in
+    * [us − windowUs, us] — RANGE-frame semantics, so equal-time peers
+    * (same `us`) see each other regardless of event_id order. */
+  def updateRolling(windowUs: Long)(userId: Long, events: Iterator[Event],
+                                    state: GroupState[RollingState]): Iterator[RollingRow] = {
+    if (state.hasTimedOut) {
+      // watermark passed newest event + window: the tail can never
+      // intersect a future in-order event's frame
+      state.remove()
+      return Iterator.empty
+    }
+    val st = state.getOption.getOrElse(RollingState(Array.empty, Array.empty))
+    val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    // merged timeline: retained tail + new events (tail is already
+    // sorted; new events sort after in-order arrival)
+    val allUs = st.us ++ sorted.map(e => micros(e.ts))
+    val allVal = st.value ++ sorted.map(_.value)
+    val out = sorted.zipWithIndex.map { case (e, i) =>
+      val us = micros(e.ts)
+      val lo = us - windowUs
+      var n = 0L
+      var sum = 0.0
+      var j = 0
+      while (j < allUs.length) {
+        // peers later in this batch with EQUAL us are in-frame (RANGE
+        // includes all peers of the current row); strictly-later
+        // events are not
+        if (allUs(j) >= lo && allUs(j) <= us) { n += 1; sum += allVal(j) }
+        j += 1
+      }
+      RollingRow(userId, e.event_id, us, n, sum)
+    }
+    val newest = allUs.last
+    val keepFrom = {
+      var k = 0
+      while (k < allUs.length && allUs(k) < newest - windowUs) k += 1
+      k
+    }
+    state.update(RollingState(allUs.drop(keepFrom), allVal.drop(keepFrom)))
+    try state.setTimeoutTimestamp(newest / 1000L + windowUs / 1000L)
+    catch { case _: UnsupportedOperationException => () /* batch mode */ }
+    out.iterator
+  }
+
+  /** Streaming (or batch) trailing-window rolling aggregates. For
+    * streaming inputs apply `withWatermark("ts", ...)` first. */
+  def rolling(events: Dataset[Event], windowMinutes: Int = 60): Dataset[RollingRow] = {
+    val windowUs = windowMinutes.toLong * 60L * 1000000L
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateRolling(windowUs))(Encoders.product[RollingState], Encoders.product[RollingRow])
+  }
+
+  // ---------------------------------------------------------------
+  // inter-event gap statistics
+  // ---------------------------------------------------------------
+
+  /** Per-user running gap aggregate: two longs + three accumulators —
+    * bounded by #distinct users, like any per-user counter. */
+  case class GapState(lastUs: Long, nEvents: Long, nGaps: Long,
+                      maxGapUs: Long, sumGapUs: Long)
+
+  case class GapRow(user_id: Long, n_events: Long, n_gaps: Long,
+                    max_gap_us: Option[Long], avg_gap_us: Option[Long])
+
+  /** Fold a user's new events into the running gap aggregate and
+    * emit the updated row (update-stream semantics: one fresh row per
+    * user per batch that saw data; the latest row per user is the
+    * current answer). A single-event user has no gaps — max/avg stay
+    * null, n_gaps disambiguates, matching the batch operator. */
+  def updateGaps(userId: Long, events: Iterator[Event],
+                 state: GroupState[GapState]): Iterator[GapRow] = {
+    val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L, 0L, 0L))
+    sorted.foreach { e =>
+      val us = micros(e.ts)
+      if (st.nEvents > 0L) {
+        val gap = us - st.lastUs
+        st = GapState(us, st.nEvents + 1, st.nGaps + 1,
+          math.max(st.maxGapUs, gap), st.sumGapUs + gap)
+      } else st = GapState(us, 1L, 0L, 0L, 0L)
+    }
+    state.update(st)
+    Iterator.single(GapRow(userId, st.nEvents, st.nGaps,
+      if (st.nGaps > 0) Some(st.maxGapUs) else None,
+      if (st.nGaps > 0) Some(Math.floorDiv(st.sumGapUs, st.nGaps)) else None))
+  }
+
+  /** Streaming (or batch) inter-event gap statistics. State never
+    * times out — it is the aggregate itself (two longs + three
+    * accumulators per user), exactly the state any running per-user
+    * aggregate carries. */
+  def gaps(events: Dataset[Event]): Dataset[GapRow] =
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateGaps)(Encoders.product[GapState], Encoders.product[GapRow])
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Sessions
+import graft.streaming.StatefulSessions.Event
+
+/** Batch/streaming parity for the stateful analytic twins: the same
+  * rows through `StatefulAnalytics.rolling`/`gaps` (batch mode and
+  * incremental MemoryStream) must match the window-function batch
+  * operators `Sessions.rollingCounts`/`interEventGaps`. */
+class StatefulAnalyticsSpec extends SparkTestBase {
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+  private def ev(id: Long, min: Int, user: Long, v: Double) =
+    Event(id, ts(min), user, "click", v, "{}")
+
+  // boundary (exactly window-width apart), ties, burst, two users
+  private val fixture = Seq(
+    ev(1, 0, 7, 10.0), ev(2, 60, 7, 20.0), ev(3, 121, 7, 40.0),
+    ev(4, 121, 7, 5.0), ev(5, 130, 7, 1.0),
+    ev(6, 10, 8, 2.5), ev(7, 200, 8, 7.25))
+
+  private def batchRolling = {
+    import spark.implicits._
+    Sessions.rollingCounts(fixture.toDF(), windowMinutes = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .toSet
+  }
+
+  test("batch-mode rolling equals the RANGE-frame window operator") {
+    import spark.implicits._
+    val out = StatefulAnalytics.rolling(fixture.toDS(), windowMinutes = 60)
+      .collect()
+      .map(r => (r.user_id, r.event_id, r.n_trailing, r.sum_trailing)).toSet
+    assert(out == batchRolling)
+  }
+
+  test("incremental rolling over a MemoryStream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StatefulAnalytics.rolling(
+        stream.toDS().withWatermark("ts", "10 minutes"), windowMinutes = 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rolling_out").start()
+    try {
+      // arrival in global event-time order (the in-order contract —
+      // later batches advance the watermark, so an old-timestamped
+      // event in a late batch would be dropped as late data), ties
+      // co-arriving, split across 3 batches
+      stream.addData(fixture.filter(e => e.ts.getTime <= ts(60).getTime))
+      q.processAllAvailable()
+      stream.addData(fixture.filter(e =>
+        e.ts.getTime > ts(60).getTime && e.ts.getTime <= ts(130).getTime))
+      q.processAllAvailable()
+      stream.addData(fixture.filter(e => e.ts.getTime > ts(130).getTime))
+      q.processAllAvailable()
+      val streamed = spark.table("rolling_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batchRolling)
+    } finally q.stop()
+  }
+
+  test("rolling state retains only the trailing window of events") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val state = TestGroupState.create[StatefulAnalytics.RollingState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val windowUs = 60L * 60L * 1000000L
+    val evs = Seq(ev(1, 0, 7, 1.0), ev(2, 30, 7, 1.0), ev(3, 120, 7, 1.0))
+    StatefulAnalytics.updateRolling(windowUs)(7L, evs.iterator, state).toList
+    // events at minute 0 and 30 are outside minute-120's trailing hour
+    assert(state.get.us.toSeq == Seq(StatefulSessions.micros(ts(120))),
+      "stale events were retained beyond the window horizon")
+  }
+
+  test("batch-mode gaps equal the lag-window operator; single-event user null") {
+    import spark.implicits._
+    val out = StatefulAnalytics.gaps(fixture.toDS()).collect()
+      .map(r => r.user_id -> ((r.n_events, r.n_gaps, r.max_gap_us, r.avg_gap_us)))
+      .toMap
+    val batch = Sessions.interEventGaps(fixture.toDF()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out == batch)
+    // sanity on the fixture itself: user 8 has one gap of 190 min
+    assert(out(8L) == ((2L, 1L, Some(190L * 60L * 1000000L), Some(190L * 60L * 1000000L))))
+  }
+
+  test("incremental gaps update across batches and converge to batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StatefulAnalytics.gaps(stream.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("gaps_out").start()
+    try {
+      stream.addData(fixture.filter(_.event_id <= 3))
+      q.processAllAvailable()
+      stream.addData(fixture.filter(_.event_id > 3))
+      q.processAllAvailable()
+      // update mode appends one refreshed row per (user, batch);
+      // n_events is monotone, so max-per-user is the latest row
+      val last = spark.table("gaps_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(desc("n_events"))))
+        .filter(col("rk") === 1).drop("rk")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val batch = Sessions.interEventGaps(fixture.toDF()).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      assert(last == batch)
+    } finally q.stop()
+  }
+}
