@@ -115,6 +115,28 @@ object Plans {
         "streaming ROWS frame and every chunk bound is codegen'd " +
         "integer arithmetic — packing a 100 TB corpus is one shuffle " +
         "of (id, shard, n_tok) triples, never text."),
+    "q_pack_segments" ->
+      ("The chunk→segment explode rides the SAME per-shard window " +
+        "output as q_pack_chunks: `explode(sequence(first_chunk, " +
+        "last_chunk))` generates docs + boundary-crossings rows of " +
+        "pure 64-bit integer arithmetic — materializing the training " +
+        "loader's layout adds NO shuffle beyond the packing window."),
+    "q_dedup_embedding" ->
+      ("The near-dup route is (table, bucket) equi-joins from " +
+        "multi-table LSH + id hash joins — the probe set is never " +
+        "broadcast against the corpus, so the shape survives probes " +
+        "defined as a fixed fraction of a 100 TB corpus. The single " +
+        "BroadcastNestedLoopJoin in the plan is the EXACT verification " +
+        "baseline the contract grades recall against (bounded probes " +
+        "at verification SF), not the operator."),
+    "q_similarity_ivf" ->
+      ("Centroids fit on a deterministic hash-sample CACHED before " +
+        "the k-means loop — no pre-count pass, the corpus is read " +
+        "once. Probing is a hash join on cid (candidates ~ " +
+        "|Q|·|C|·nProbe/nlist); centroid scoring is one codegen'd " +
+        "CentroidCosines pass, constant code size at any nlist. On " +
+        "disk the same cid bucketing prunes unprobed cells' FILES " +
+        "(IvfLayoutSpec)."),
     "q_embed_centroid" ->
       ("posexplode → per-(label, pos) mean with map-side partial " +
         "aggregation: the corpus is read once and the one shuffle " +
