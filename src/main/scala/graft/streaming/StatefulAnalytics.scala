@@ -59,23 +59,26 @@ object StatefulAnalytics {
     val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     // merged timeline: retained tail + new events (tail is already
-    // sorted; new events sort after in-order arrival)
+    // sorted; new events sort after in-order arrival). The timeline
+    // is time-ascending and events are processed time-ascending, so
+    // each frame is a [lo, hi) index span found by two MONOTONE
+    // pointers + a prefix-sum — O(events) per batch, not
+    // O(events × window) for bursty users.
     val allUs = st.us ++ sorted.map(e => micros(e.ts))
     val allVal = st.value ++ sorted.map(_.value)
-    val out = sorted.zipWithIndex.map { case (e, i) =>
+    val prefix = new Array[Double](allUs.length + 1)
+    var p = 0
+    while (p < allUs.length) { prefix(p + 1) = prefix(p) + allVal(p); p += 1 }
+    var lo = 0 // first index with us >= frame start
+    var hi = 0 // one past the last index with us <= current us
+    val out = sorted.map { e =>
       val us = micros(e.ts)
-      val lo = us - windowUs
-      var n = 0L
-      var sum = 0.0
-      var j = 0
-      while (j < allUs.length) {
-        // peers later in this batch with EQUAL us are in-frame (RANGE
-        // includes all peers of the current row); strictly-later
-        // events are not
-        if (allUs(j) >= lo && allUs(j) <= us) { n += 1; sum += allVal(j) }
-        j += 1
-      }
-      RollingRow(userId, e.event_id, us, n, sum)
+      while (lo < allUs.length && allUs(lo) < us - windowUs) lo += 1
+      // peers later in this batch with EQUAL us are in-frame (RANGE
+      // includes all peers of the current row); strictly-later
+      // events are not
+      while (hi < allUs.length && allUs(hi) <= us) hi += 1
+      RollingRow(userId, e.event_id, us, (hi - lo).toLong, prefix(hi) - prefix(lo))
     }
     val newest = allUs.last
     val keepFrom = {

@@ -67,6 +67,19 @@ class StatefulAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bursty user: pointer-span frames match the window operator exactly") {
+    import spark.implicits._
+    // 300 events over 5 hours with many exact-time ties (i/3 ⇒ burst
+    // triples) — stresses the monotone lo/hi pointers and prefix sums
+    val burst = (1 to 300).map(i => ev(i.toLong, (i / 3) * 2, 9L, (i % 4) * 0.25))
+    val batch = Sessions.rollingCounts(burst.toDF(), windowMinutes = 60)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4))).toSet
+    val out = StatefulAnalytics.rolling(burst.toDS(), windowMinutes = 60)
+      .collect().map(r => (r.event_id, r.n_trailing, r.sum_trailing)).toSet
+    assert(out == batch)
+  }
+
   test("rolling state retains only the trailing window of events") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val state = TestGroupState.create[StatefulAnalytics.RollingState](
