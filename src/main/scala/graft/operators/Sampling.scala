@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data curation: corpus-scale
@@ -41,6 +42,30 @@ object Sampling {
       case (acc, (k, v)) => when(col(strataCol) === k, perMille(v)).otherwise(acc)
     }
     df.filter(deterministicBucket(col(idCol)) < threshold)
+  }
+
+  /** Deterministic training-order shuffle + sharding: assign every
+    * row a pseudo-random order key (the same LCG family as the
+    * sampling cut — auditable from the id alone on any engine), a
+    * shard = key mod `nShards`, and its 0-based position within the
+    * shard. This is the reproducible "global shuffle" a pretraining
+    * run applies before packing: the same corpus always yields the
+    * same shard files in the same order, on any engine, after any
+    * retry.
+    *
+    * Scale shape: the key and shard are codegen'd per-row arithmetic
+    * on the scan; the position is ONE analytic window partitioned by
+    * shard (one hash exchange on ~nShards keys + in-partition sort) —
+    * never a global single-partition ordering. At 100 TB pick
+    * nShards ≈ output file count so each shard sorts ~corpus/nShards
+    * rows in one task. Key collisions tie-break by id, so positions
+    * stay total and deterministic. */
+  def trainOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("okey"), col(idCol))
+    df.withColumn("okey", deterministicBucket(col(idCol), IdPrime.toInt))
+      .withColumn("shard", pmod(col("okey"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
   /** Source-rebalanced mixture sampling with DATA-DERIVED rates: cap

@@ -107,6 +107,49 @@ object TextOps {
       md5(col("text")).as("fp_md5"),
       substring(md5(col("text")), 1, 16).as("fp64"))
 
+  // --- repetition quality signals --------------------------------------
+
+  /** Gopher-style repetition signals per document — the "drop
+    * boilerplate and degenerate text" quality gates: the fraction of
+    * characters covered by the single most frequent word-bigram, and
+    * the fraction of bigram occurrences that are repeats. High values
+    * of either mark templated or looping text a pretraining run
+    * filters out.
+    *
+    * Mechanics: bigram explode → (doc, gram) counts with map-side
+    * partial agg → per-doc window picks the top gram (ties break by
+    * gram text, so the report is deterministic) → one aggregate per
+    * doc. Fractions are floor-divided ×1e6 integers, never a float
+    * round-trip, so the report is bit-identical across engines.
+    *
+    * Scale shape: one scan; the only shuffles are the (doc, gram)
+    * partial-agg exchange and the doc_id window — both keyed on the
+    * doc, never all-pairs. Docs with fewer than 2 tokens have no
+    * bigrams and are absent from the report.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val counts = docs
+      .filter(size(toks) >= 2) // sequence(1, 0) would step DOWN, not empty
+      .select(col("doc_id"), col("n_chars"), explode(grams).as("gm"))
+      .groupBy(col("doc_id"), col("n_chars"), col("gm"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gm"))
+    counts.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rn") === 1, col("gm"))).as("top_gram"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("top_gram"), col("top_cnt"),
+        expr("top_cnt * length(top_gram) * 1000000 div n_chars").as("top_frac_e6"),
+        expr("(n_grams - n_distinct) * 1000000 div n_grams").as("dup_frac_e6"))
+  }
+
   // --- PII redaction ---------------------------------------------------
 
   /** Character-class-only patterns (no alternation, no backrefs) so

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, EmbeddingOps, EmbeddingQuant, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{Contamination, Dedup, EmbeddingOps, EmbeddingQuant, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -90,6 +90,34 @@ object PipelineQueries {
     // dedup on normalized text + per-source mixture report
     "q_corpus_select" -> ((s, d) =>
       TextOps.corpusSelect(Tables.documents(s, d)).orderBy(col("source"))),
+
+    // train/eval decontamination: docs with doc_id % 10 == 0 stand in
+    // for the held-out eval suite; every other doc is train. Per
+    // train doc: distinct word-3-shingles, how many also occur in
+    // eval, overlap fraction, and the >= 10% contaminated flag — all
+    // integer arithmetic, eval shingle set broadcast
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.overlapReport(
+          train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          eval = docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality signals: per doc, the char
+    // fraction covered by the most frequent word-bigram and the
+    // repeated-bigram fraction — the "drop templated/looping text"
+    // gates, as floor-divided e6 integers
+    "q_quality_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // deterministic training-order shuffle: LCG order key → shard
+    // (8) → in-shard position; the reproducible global shuffle +
+    // sharding a run applies before packing
+    "q_train_order" -> ((s, d) =>
+      Sampling.trainOrder(Tables.documents(s, d), idCol = "doc_id", nShards = 8)
+        .select(col("doc_id"), col("okey"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))),
 
     // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
     "q_ngram_jaccard" -> ((s, d) => {
@@ -416,6 +444,41 @@ object PipelineQueries {
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est " +
         "FROM ded WHERE rn = 1 GROUP BY source ORDER BY source"),
+    "q_contamination" ->
+      (s"WITH tr AS (SELECT doc_id, unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 <> 0), " +
+        s"ev AS (SELECT DISTINCT unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "c AS (SELECT tr.doc_id, count(*) AS n_shingles, count(ev.s) AS n_overlap " +
+        "FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, " +
+        "CAST(n_overlap AS BIGINT) AS n_overlap, " +
+        "n_overlap * 1000000 // n_shingles AS contam_e6, " +
+        "n_overlap * 1000000 >= 100000 * n_shingles AS contaminated " +
+        "FROM c ORDER BY doc_id"),
+    "q_quality_repetition" ->
+      ("WITH w AS (SELECT doc_id, n_chars, string_split(text,' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, n_chars, " +
+        "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gm " +
+        "FROM w WHERE len(t) >= 2), " +
+        "c AS (SELECT doc_id, n_chars, gm, count(*) AS cnt FROM g GROUP BY 1, 2, 3), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, gm) AS rn FROM c), " +
+        "a AS (SELECT doc_id, n_chars, sum(cnt) AS n_grams, count(*) AS n_distinct, " +
+        "max(CASE WHEN rn = 1 THEN gm END) AS top_gram, " +
+        "max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt FROM r GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "CAST(n_distinct AS BIGINT) AS n_distinct, top_gram, " +
+        "CAST(top_cnt AS BIGINT) AS top_cnt, " +
+        "top_cnt * length(top_gram) * 1000000 // n_chars AS top_frac_e6, " +
+        "CAST((n_grams - n_distinct) * 1000000 // n_grams AS BIGINT) AS dup_frac_e6 " +
+        "FROM a ORDER BY doc_id"),
+    "q_train_order" ->
+      ("WITH k AS (SELECT doc_id, " +
+        "((doc_id % 1000003) * 1103515245 + 12345) % 1000003 AS okey FROM documents) " +
+        "SELECT doc_id, okey, okey % 8 AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY okey % 8 ORDER BY okey, doc_id) - 1 " +
+        "AS BIGINT) AS pos FROM k ORDER BY doc_id"),
     "q_minhash_est" ->
       (s"WITH sub AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 20 = 0), " +
         "ex AS (SELECT doc_id, unnest(sh) AS s FROM sub), " +

@@ -121,6 +121,27 @@ object Plans {
         "last_chunk))` generates docs + boundary-crossings rows of " +
         "pure 64-bit integer arithmetic — materializing the training " +
         "loader's layout adds NO shuffle beyond the packing window."),
+    "q_contamination" ->
+      ("The eval shingle set (benchmark suites are MBs at any corpus " +
+        "scale) builds once and broadcasts; the train side is ONE scan " +
+        "→ shingle window keyed by doc_id → BroadcastHashJoin → one " +
+        "doc_id-keyed aggregate. The 100 TB corpus is never shuffled " +
+        "on shingle text; `broadcastEval=false` degrades the same " +
+        "plan to a shuffled hash join when the eval side is genuinely " +
+        "large."),
+    "q_quality_repetition" ->
+      ("Bigram explode feeds a partial+final HashAggregate on " +
+        "(doc_id, gram) — map-side combine absorbs the repetition the " +
+        "operator exists to measure — then the top-gram window and " +
+        "final per-doc aggregate reuse the SAME doc_id hash " +
+        "partitioning (no second exchange). All fractions are " +
+        "codegen'd integer div, bit-stable across engines."),
+    "q_train_order" ->
+      ("The order key and shard are per-row LCG arithmetic on the " +
+        "scan (auditable from the id alone); the only exchange is the " +
+        "hash partition on shard + in-partition sort for the position " +
+        "window — a 100 TB global shuffle becomes nShards independent " +
+        "sorts, never a single-partition global ordering."),
     "q_dedup_embedding" ->
       ("The near-dup route is (table, bucket) equi-joins from " +
         "multi-table LSH + id hash joins — the probe set is never " +
