@@ -116,24 +116,31 @@ object TextOps {
     * of either mark templated or looping text a pretraining run
     * filters out.
     *
-    * Mechanics: bigram explode → (doc, gram) counts with map-side
-    * partial agg → per-doc window picks the top gram (ties break by
-    * gram text, so the report is deterministic) → one aggregate per
-    * doc. Fractions are floor-divided ×1e6 integers, never a float
-    * round-trip, so the report is bit-identical across engines.
+    * Mechanics: posexplode + lead window builds the bigrams (the
+    * [[Dedup.shingleRows]] shape — a `transform(sequence(...))` over
+    * `split` would be a CodegenFallback that re-splits the text per
+    * element, O(tokens²) per doc; measured 4× slower at sf0.1), then
+    * (doc, gram) counts with map-side partial agg → per-doc window
+    * picks the top gram (ties break by gram text, so the report is
+    * deterministic) → one aggregate per doc. Fractions are
+    * floor-divided ×1e6 integers, never a float round-trip, so the
+    * report is bit-identical across engines.
     *
-    * Scale shape: one scan; the only shuffles are the (doc, gram)
-    * partial-agg exchange and the doc_id window — both keyed on the
-    * doc, never all-pairs. Docs with fewer than 2 tokens have no
+    * Scale shape: one scan; ONE doc_id hash exchange serves the
+    * bigram window, the gram counts, the top-gram window, and the
+    * final per-doc aggregate (doc_id partitioning satisfies all
+    * four) — never all-pairs. Docs with fewer than 2 tokens have no
     * bigrams and are absent from the report.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val counts = docs
-      .filter(size(toks) >= 2) // sequence(1, 0) would step DOWN, not empty
-      .select(col("doc_id"), col("n_chars"), explode(grams).as("gm"))
+      .select(col("doc_id"), col("n_chars"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(wPos))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        concat_ws(" ", col("w0"), col("w1")).as("gm"))
       .groupBy(col("doc_id"), col("n_chars"), col("gm"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("doc_id"))
