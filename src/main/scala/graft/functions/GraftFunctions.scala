@@ -17,5 +17,6 @@ object GraftFunctions {
     DotProduct.register(spark)
     CentroidCosines.register(spark)
     SketchGradientSum.register(spark)
+    HeavyHitters.register(spark)
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.HeavyHitters
+import graft.operators.TextOps
 
 /** Sketch-family queries (SURVEY.md §2.4 "Spark built-ins that cover
   * the family of sketch functionality"): HyperLogLog++, Count-Min,
@@ -88,6 +90,34 @@ object SketchQueries {
       val fpr = probes.count(bf.mightContain).toDouble / probes.size
       Seq((nKeys, noFalseNeg, fpr <= 0.05))
         .toDF("n_keys", "no_false_neg", "fpr_ok")
+    }),
+
+    // Misra-Gries heavy hitters over document terms: the bounded-
+    // memory twin of q_top_terms' exact histogram. The sketch agg is
+    // the 100 TB path (≤ 2k counters per partial, constant-size
+    // exchange); the exact side here is only the contract baseline.
+    // The fixture vocabulary (31 terms) is under the capacity (64),
+    // so the summary is provably exact and the contract booleans are
+    // deterministic; the lossy compaction path is spec-covered with
+    // planted skew (HeavyHittersSpec).
+    "q_sketch_heavy" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(explode(TextOps.regexTokens(col("text"))).as("term"))
+      val cand = terms.agg(HeavyHitters.heavyHitters(col("term"), 64).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.term").as("term"), col("c.est").as("est"),
+          col("c.err_bound").as("err"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val top = exact.orderBy(col("n").desc, col("term")).limit(10)
+      val covered = top.join(cand.select(col("term"), col("est")), Seq("term"), "left")
+        .agg((count(col("est")) === count(lit(1))).as("top10_covered"))
+      val boundsOk = cand.join(exact, "term")
+        .agg(coalesce(min(col("est") <= col("n") &&
+          col("n") <= col("est") + col("err")), lit(false)).as("bounds_ok"))
+      val top1 = exact.orderBy(col("n").desc, col("term")).limit(1)
+        .select(col("term").as("top1_term"), col("n").as("top1_n"))
+      val nTerms = exact.agg(count(lit(1)).as("n_terms"))
+      top1.crossJoin(nTerms).crossJoin(covered).crossJoin(boundsOk)
     })
   )
 
@@ -105,6 +135,14 @@ object SketchQueries {
         "GROUP BY 1 ORDER BY 1"),
     "q_sketch_bloom" ->
       ("SELECT count(DISTINCT l_orderkey) AS n_keys, TRUE AS no_false_neg, " +
-        "TRUE AS fpr_ok FROM lineitem")
+        "TRUE AS fpr_ok FROM lineitem"),
+    "q_sketch_heavy" ->
+      ("WITH t AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
+        "FROM documents), " +
+        "e AS (SELECT term, count(*) AS n FROM t GROUP BY 1) " +
+        "SELECT (SELECT term FROM e ORDER BY n DESC, term LIMIT 1) AS top1_term, " +
+        "(SELECT CAST(n AS BIGINT) FROM e ORDER BY n DESC, term LIMIT 1) AS top1_n, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_terms, " +
+        "TRUE AS top10_covered, TRUE AS bounds_ok")
   )
 }

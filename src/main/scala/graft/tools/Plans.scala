@@ -121,6 +121,14 @@ object Plans {
         "last_chunk))` generates docs + boundary-crossings rows of " +
         "pure 64-bit integer arithmetic — materializing the training " +
         "loader's layout adds NO shuffle beyond the packing window."),
+    "q_sketch_heavy" ->
+      ("The heavy_hitters aggregate runs as ObjectHashAggregate " +
+        "partial+final: every partial buffer is ≤ 2k counters " +
+        "regardless of input size, so the exchange ships " +
+        "constant-size summaries — per-group approximate top-k at " +
+        "100 TB where an exact (group, term) histogram would not " +
+        "fit. The exact side of the plan exists only as the " +
+        "contract baseline."),
     "q_contamination" ->
       ("The eval shingle set (benchmark suites are MBs at any corpus " +
         "scale) builds once and broadcasts; the train side is ONE scan " +
