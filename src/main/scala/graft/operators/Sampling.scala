@@ -68,6 +68,31 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Deterministic per-group reservoir: EXACTLY min(k, |group|) rows
+    * per group — the "k examples per source/language for eval or
+    * inspection" cut, where [[stratified]]'s rate-based cut only hits
+    * an expected count. Rows are ranked inside each group by the same
+    * auditable LCG key as the other cuts (id tie-break keeps the rank
+    * total), so membership is reproducible on any engine from the id
+    * alone — unlike a true reservoir, whose result depends on
+    * traversal order.
+    *
+    * Scale shape: one hash exchange on the group key; the rank
+    * filter is a top-k window, which Spark runs with WindowGroupLimit
+    * — each map task pre-prunes to its local top k BEFORE the
+    * exchange, so the shuffle carries ≤ k·partitions rows per group,
+    * not the group. */
+  def perGroupSample(df: DataFrame, idCol: String, groupCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__okey"), col(idCol))
+    df.withColumn("__okey", deterministicBucket(col(idCol), IdPrime.toInt))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("__okey")
+  }
+
   /** Source-rebalanced mixture sampling with DATA-DERIVED rates: cap
     * every stratum at `targetPerStratum` expected rows — the "don't
     * let one crawl dominate the mixture" rebalance a pretraining run

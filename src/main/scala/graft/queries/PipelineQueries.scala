@@ -111,6 +111,16 @@ object PipelineQueries {
     "q_quality_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // deterministic per-group reservoir: exactly 5 docs per source
+    // ranked by the LCG key (vs rate-based expected counts) — the
+    // "k examples per source" inspection/eval cut, WindowGroupLimit
+    // pre-prunes map-side
+    "q_sample_group" -> ((s, d) =>
+      Sampling.perGroupSample(Tables.documents(s, d), idCol = "doc_id",
+          groupCol = "source", k = 5)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+        .orderBy(col("source"), col("rk"))),
+
     // deterministic training-order shuffle: LCG order key → shard
     // (8) → in-shard position; the reproducible global shuffle +
     // sharding a run applies before packing
@@ -473,6 +483,12 @@ object PipelineQueries {
         "top_cnt * length(top_gram) * 1000000 // n_chars AS top_frac_e6, " +
         "CAST((n_grams - n_distinct) * 1000000 // n_grams AS BIGINT) AS dup_frac_e6 " +
         "FROM a ORDER BY doc_id"),
+    "q_sample_group" ->
+      ("WITH r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY ((doc_id % 1000003) * 1103515245 + 12345) % 1000003, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 " +
+        "ORDER BY source, rk"),
     "q_train_order" ->
       ("WITH k AS (SELECT doc_id, " +
         "((doc_id % 1000003) * 1103515245 + 12345) % 1000003 AS okey FROM documents) " +

@@ -49,4 +49,28 @@ class SamplingSpec extends SparkTestBase {
       Map("en" -> 0.9), defaultRate = 0.05).count()
     assert(math.abs(n - 150.0) < 80, s"default-rate count $n")
   }
+
+  test("per-group reservoir: exactly min(k, group size) rows, reproducible") {
+    import spark.implicits._
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "tiny"))).toDF("doc_id", "lang")
+    val s1 = Sampling.perGroupSample(df, "doc_id", "lang", k = 7)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 7L, "tiny" -> 3L))
+    val s2 = Sampling.perGroupSample(df, "doc_id", "lang", k = 7)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // ranks are dense 1..n and the pick is shuffled, not the smallest ids
+    val big = s1.filter(col("lang") === "big").orderBy("rk").collect()
+    assert(big.map(_.getAs[Int]("rk")).toSeq == (1 to 7))
+    assert(big.map(_.getLong(0)).toSeq != (0L until 7L))
+  }
+
+  test("per-group reservoir runs with WindowGroupLimit map-side pruning") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "lang")
+    val plan = Sampling.perGroupSample(df, "doc_id", "lang", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
 }
