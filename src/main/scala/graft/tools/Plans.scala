@@ -121,6 +121,12 @@ object Plans {
         "last_chunk))` generates docs + boundary-crossings rows of " +
         "pure 64-bit integer arithmetic — materializing the training " +
         "loader's layout adds NO shuffle beyond the packing window."),
+    "q_sample_group" ->
+      ("Per-group rank filter runs with WindowGroupLimit: each map " +
+        "task pre-prunes to its local top k before the exchange, so " +
+        "the shuffle carries ≤ k·partitions rows per group — the " +
+        "fixed-count per-source cut costs one bounded exchange, " +
+        "never a full group sort."),
     "q_sketch_heavy" ->
       ("The heavy_hitters aggregate runs as ObjectHashAggregate " +
         "partial+final: every partial buffer is ≤ 2k counters " +
