@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the full pretraining data pipeline as
+  * ONE composed dataflow — hold out the eval set, gate on quality and
+  * language, exact-dedup on normalized text, DECONTAMINATE against
+  * the eval set, rebalance the source mixture, and pack what's left
+  * into fixed-length training sequences. The output is the per-source
+  * curation report (docs, tokens, chunks) a run signs off on before
+  * training.
+  *
+  * Every stage is an already-certified operator ([[TextOps]] gates,
+  * [[Contamination.overlapReport]], [[Sampling.rebalanced]],
+  * [[Packing.chunkSegments]]) — this composition certifies they
+  * agree on one frame end-to-end, and its oracle cross-checks the
+  * packing's tiling invariant: distinct chunks per source must equal
+  * ceil(total_tokens / seqLen) computed independently.
+  *
+  * Scale shape: eval exclusion is a broadcast anti-join on ids; the
+  * gates are one tokenize pass on the scan; the dedup window shuffles
+  * (norm_key) with text riding along ONCE (the following shingle
+  * pass needs it — same order of bytes as the shingle exchange
+  * itself); contamination broadcasts the eval shingle set; rebalance
+  * is a broadcast-rates LCG filter (no shuffle); packing is the
+  * per-source window. No stage shuffles the corpus more than once.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+             minQualityE6: Long = 400000L, keepLang: String = "en",
+             contamThresholdE6: Long = 100000L,
+             targetPerSource: Long = 15L, seqLen: Int = 2048): DataFrame = {
+    // 1. hold out eval: never train on (or dedup against) held-out ids
+    val candidates = docs.join(broadcast(evalDocs.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+    // 2-3. quality + language gates (one tokenize pass)
+    val gated = TextOps.gatedDocs(candidates, minQualityE6, keepLang,
+      keep = Seq("doc_id", "source", "n_chars", "text"))
+    // 4. exact dedup on normalized text: min doc_id per key survives
+    val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
+    val ded = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    // 5. decontamination: drop docs sharing ≥ threshold shingles w/ eval
+    val contaminated = Contamination
+      .overlapReport(ded, evalDocs, contamThresholdE6)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
+    // 6. source-mixture rebalance (data-derived integer rates)
+    val balanced = Sampling.rebalanced(clean, idCol = "doc_id",
+      strataCol = "source", targetPerStratum = targetPerSource)
+    // 7. pack into fixed-length sequences; report per source
+    val segments = Packing.chunkSegments(balanced,
+      tokensCol = ceil(col("n_chars").cast("double") / 4.0).cast("long"),
+      seqLen = seqLen)
+    segments.groupBy(col("source")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tok_len")).cast("long").as("n_tokens"),
+      countDistinct(col("chunk_id")).as("n_chunks"))
+  }
+}

@@ -221,27 +221,47 @@ object TextOps {
     * shuffles move (norm_key) for the dedup window and (source) for
     * the final groups — both already-reduced keys, never raw text
     * twice. */
-  def corpusSelect(docs: DataFrame, minQualityE6: Long = 400000L,
-                   keepLang: String = "en"): DataFrame = {
-    // Tokenize ONCE into counts, then derive both gates from the
-    // counts: same float arithmetic as qualityE6Col/langPredCol
-    // (n_stop/n_tok ≡ stopRatioCol bitwise), but the codegen'd
-    // method splits each text 2× instead of 6× — the first-run
-    // compile cost and per-row work both shrink.
+  /** Tokenize-once gate expressions over pre-computed (n_tok, n_stop,
+    * n_chars) count columns — the float expression order is the
+    * cross-engine contract (identical to qualityE6Col/langPredCol
+    * bitwise), shared by [[corpusSelect]] and [[Curation.curate]]. */
+  private[operators] def qualityE6FromCounts: Column = {
     val nTok = col("n_tok").cast("double")
     val stopRatio = col("n_stop").cast("double") / col("n_tok")
     val avgTokLen = col("n_chars").cast("double") / nTok
-    val kept = docs
-      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+    floor((least(nTok / 100.0, lit(1.0)) * 0.3
+      + stopRatio * 0.4
+      + least(avgTokLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long")
+  }
+
+  private[operators] def langPredFromCounts: Column =
+    when(col("n_stop").cast("double") / col("n_tok") >= 0.05, lit("en"))
+      .otherwise(lit("unk"))
+
+  /** Quality + language gate over one tokenize pass: rows surviving
+    * both gates, with the normalized dedup key attached. `keep` lists
+    * the columns carried through (the caller decides whether raw
+    * text rides along — corpusSelect drops it before its shuffle). */
+  private[operators] def gatedDocs(docs: DataFrame, minQualityE6: Long,
+                                   keepLang: String, keep: Seq[String]): DataFrame =
+    docs
+      .select((keep.map(col) ++ Seq(
         size(tokens(col("text"))).as("n_tok"),
-        stopwordCount(tokens(col("text"))).as("n_stop"))
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        floor((least(nTok / 100.0, lit(1.0)) * 0.3
-          + stopRatio * 0.4
-          + least(avgTokLen / 8.0, lit(1.0)) * 0.3) * 1e6).cast("long").as("quality_e6"),
-        when(stopRatio >= 0.05, lit("en")).otherwise(lit("unk")).as("lang_pred"),
-        md5(normalize(col("text"))).as("norm_key"))
+        stopwordCount(tokens(col("text"))).as("n_stop"),
+        md5(normalize(col("text"))).as("norm_key"))): _*)
+      .withColumn("quality_e6", qualityE6FromCounts)
+      .withColumn("lang_pred", langPredFromCounts)
       .filter(col("quality_e6") >= minQualityE6 && col("lang_pred") === keepLang)
+      .select((keep.map(col) :+ col("norm_key")): _*)
+
+  def corpusSelect(docs: DataFrame, minQualityE6: Long = 400000L,
+                   keepLang: String = "en"): DataFrame = {
+    // Tokenize ONCE into counts, then derive both gates from the
+    // counts (same float arithmetic as qualityE6Col/langPredCol
+    // bitwise); raw text is dropped before the dedup shuffle, so
+    // only (norm_key) and (source) keys ever cross an exchange.
+    val kept = gatedDocs(docs, minQualityE6, keepLang,
+      keep = Seq("doc_id", "source", "n_chars"))
     val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
     kept.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

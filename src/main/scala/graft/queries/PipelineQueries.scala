@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Contamination, Dedup, EmbeddingOps, EmbeddingQuant, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -128,6 +128,19 @@ object PipelineQueries {
       Sampling.trainOrder(Tables.documents(s, d), idCol = "doc_id", nShards = 8)
         .select(col("doc_id"), col("okey"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
+
+    // END-TO-END curation: hold out eval (doc_id % 10 == 0) → quality
+    // + lang gates → normalized exact dedup → decontaminate vs eval
+    // shingles → source rebalance (cap 15 expected/source) → pack to
+    // 2048-token sequences. The oracle independently re-derives every
+    // stage in SQL and cross-checks the packing tiling invariant
+    // (distinct chunks == ceil(total_tokens/seqLen))
+    "q_curate_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(docs,
+          evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+        .orderBy(col("source"))
+    }),
 
     // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
     "q_ngram_jaccard" -> ((s, d) => {
@@ -454,6 +467,29 @@ object PipelineQueries {
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est " +
         "FROM ded WHERE rn = 1 GROUP BY source ORDER BY source"),
+    "q_curate_e2e" ->
+      (s"WITH cand AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        s"gated AS (SELECT doc_id, source, n_chars, text, md5($normSql) AS nk " +
+        s"FROM cand WHERE $qualitySql >= 400000 AND $langPredSql = 'en'), " +
+        "ded AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY nk ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1), " +
+        s"ev AS (SELECT DISTINCT unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        s"trsh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM ded), " +
+        "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov " +
+        "FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
+        "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 100000 * n_sh), " +
+        "clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+        "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
+        "rates AS (SELECT source, least(1000, 15000 // n) AS rate FROM cnt), " +
+        "bal AS (SELECT c.* FROM clean c JOIN rates USING (source) " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
+        "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) " +
+        "AS n_tok FROM bal) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_chunks " +
+        "FROM tok GROUP BY source ORDER BY source"),
     "q_contamination" ->
       (s"WITH tr AS (SELECT doc_id, unnest($shinglesSql) AS s " +
         "FROM documents WHERE doc_id % 10 <> 0), " +

@@ -121,6 +121,15 @@ object Plans {
         "last_chunk))` generates docs + boundary-crossings rows of " +
         "pure 64-bit integer arithmetic — materializing the training " +
         "loader's layout adds NO shuffle beyond the packing window."),
+    "q_curate_e2e" ->
+      ("Seven stages, three corpus-sized exchanges: the gates are " +
+        "per-row expressions on the scan; eval exclusion and the " +
+        "contaminated-id drop are broadcast anti-joins; rebalance is " +
+        "a broadcast-rates filter. Only the dedup window (norm_key), " +
+        "the shingle window (doc_id), and the packing window " +
+        "(source) shuffle corpus-sized data — each keyed, none " +
+        "all-pairs, so the composition scales exactly as its worst " +
+        "single stage."),
     "q_sample_group" ->
       ("Per-group rank filter runs with WindowGroupLimit: each map " +
         "task pre-prunes to its local top k before the exchange, so " +

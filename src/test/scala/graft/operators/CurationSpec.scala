@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** End-to-end curation: a planted corpus where each stage (eval
+  * holdout, quality gate, language gate, dedup, decontamination,
+  * packing) removes exactly one known doc, and the final report's
+  * arithmetic is recomputed by hand. */
+class CurationSpec extends SparkTestBase {
+
+  // ~100 tokens, stopword-dense enough for the 'en' gate, long
+  // tokens for the quality gate; `tag` makes texts distinct
+  private def goodText(tag: String): String =
+    (Seq.fill(10)("the") ++ (0 until 90).map(i => s"${tag}word$i")).mkString(" ")
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (10L, "s1", goodText("ev")),   // eval doc (id % 10 == 0): held out
+      (1L, "s1", goodText("k")),     // survives everything
+      (2L, "s1", goodText("k")),     // exact dup of 1 → dedup drops
+      (3L, "s1", goodText("ev")),    // same text as eval → contaminated
+      (4L, "s1", "tiny low quality"),// fails the quality gate
+      (5L, "s1", (0 until 100).map(i => s"xw$i").mkString(" ")), // no stopwords → 'unk'
+      (6L, "s2", goodText("m")),     // second source, 2 clean docs
+      (7L, "s2", goodText("n"))
+    ).map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+  }
+
+  test("each stage drops its planted doc; report arithmetic is exact") {
+    val docs = corpus
+    val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val out = Curation.curate(docs, ev, targetPerSource = 1000L, seqLen = 64)
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    val nTok = (tag: String) => (goodText(tag).length + 3) / 4 // ceil(len/4)
+    val s1 = out(0); val s2 = out(1)
+    assert(s1.getAs[Long]("n_docs") == 1L, s"s1: $s1")
+    assert(s1.getAs[Long]("n_tokens") == nTok("k").toLong)
+    assert(s1.getAs[Long]("n_chunks") == (nTok("k") + 63) / 64)
+    assert(s2.getAs[Long]("n_docs") == 2L, s"s2: $s2")
+    val s2tok = nTok("m") + nTok("n")
+    assert(s2.getAs[Long]("n_tokens") == s2tok.toLong)
+    // packing tiling invariant: distinct chunks == ceil(total/seqLen)
+    assert(s2.getAs[Long]("n_chunks") == (s2tok + 63) / 64)
+  }
+
+  test("rebalance stage caps a dominant source") {
+    import spark.implicits._
+    // 40 distinct clean docs in s1, 3 in s2; cap at 8 expected/source
+    val docs = ((1L to 40L).map(i => (i * 10 + 1, "s1", goodText(s"a$i"))) ++
+      (1L to 3L).map(i => (i * 10 + 3, "s2", goodText(s"b$i"))))
+      .map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val ev = docs.limit(0)
+    val out = Curation.curate(docs, ev, targetPerSource = 8L, seqLen = 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    // s1 rate = 8000 div 40 = 200 permille → expected 8 kept (LCG cut);
+    // s2 rate = min(1000, 8000 div 3) = 1000 → all 3 kept
+    assert(out("s2") == 3L)
+    assert(out("s1") < 40L && out("s1") > 0L, s"s1 kept ${out("s1")}")
+  }
+
+  test("empty eval set disables holdout and decontamination") {
+    import spark.implicits._
+    val docs = Seq((10L, "s1", goodText("e")))
+      .map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = Curation.curate(docs, docs.limit(0), seqLen = 64).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_docs") == 1L)
+  }
+}
