@@ -57,4 +57,19 @@ object EventStreams {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
   }
+
+  /** Streaming heavy hitters: the Misra-Gries summary as an
+    * incremental streaming aggregate — the streaming twin of
+    * `q_sketch_heavy`. Because the sketch is a mergeable commutative
+    * monoid ([[graft.functions.HeavyHitters]]), Structured Streaming
+    * folds each micro-batch's partial buffer into the state store via
+    * the SAME merge() the batch partial+final aggregation uses; state
+    * stays ≤ 2k counters per group forever, which is what makes an
+    * unbounded top-k stream runnable at all (exact per-group
+    * histograms grow without bound). Grouping columns (e.g. a tumbling
+    * `window(ts, ...)`) are the caller's; output mode complete/update. */
+  def heavyTermsStream(stream: DataFrame, term: org.apache.spark.sql.Column,
+                       k: Int, groupBy: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    stream.groupBy(groupBy: _*)
+      .agg(graft.functions.HeavyHitters.heavyHitters(term, k).as("hh"))
 }
