@@ -47,6 +47,39 @@ object Packing {
             - col("chunk_id") + lit(1L)))
   }
 
+  /** Overlapping sliding-window chunking (the RAG/embedding-index
+    * layout, vs. the disjoint concat-and-chunk training layout above):
+    * each document is cut independently into windows of `window`
+    * tokens starting every `stride` tokens, so consecutive windows
+    * share `window - stride` tokens of context. Windows are emitted
+    * while they still cover unseen tokens — a doc of `n` tokens gets
+    * `1 + ceil((n - window) / stride)` windows (one if `n <= window`),
+    * the last one truncated at `n`; empty docs emit none.
+    *
+    * Scale shape: no shuffle at all — one `explode(sequence(...))`
+    * per row on the scan, all 64-bit integer arithmetic (`div`, not
+    * double division), so the layout is bit-reproducible and the
+    * operator is embarrassingly parallel at any corpus size.
+    */
+  def slidingWindows(docs: DataFrame, tokensCol: Column, window: Int,
+                     stride: Int, idCol: String = "doc_id"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs.select(col(idCol), tokensCol.cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_win",
+        when(col("n_tok") <= window, lit(1L))
+          .otherwise(expr(s"(n_tok - $window + $stride - 1) div $stride")
+            + lit(1L)))
+      .select(col(idCol), col("n_tok"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_id"))
+      .withColumn("win_start", col("win_id") * stride)
+      .withColumn("win_len",
+        least(lit(window.toLong), col("n_tok") - col("win_start")))
+      .select(col(idCol), col("win_id"), col("win_start"), col("win_len"))
+  }
+
   /** Materialize the chunk→segment rows a training loader actually
     * consumes: one row per (chunk_id, doc_id) with the doc-relative
     * token span `[tok_start, tok_start + tok_len)` that lands in that

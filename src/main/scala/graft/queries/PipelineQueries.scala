@@ -173,6 +173,18 @@ object PipelineQueries {
         .orderBy(col("source"), col("chunk_id"), col("doc_id"))
     }),
 
+    // overlapping sliding-window chunking (RAG/embedding-index
+    // layout): window 64, stride 48 → 16 tokens of shared context
+    // between consecutive windows (sized so fixture docs, 11–145
+    // tokens, exercise 1–3 windows); pure per-row integer arithmetic
+    "q_chunk_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.slidingWindows(docs,
+          tokensCol = ceil(col("n_chars").cast("double") / 4.0).cast("long"),
+          window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("win_id"))
+    }),
+
     // per-label embedding centroids (class prototypes / k-means
     // update step) — exact per-position means, oracle-checked in the
     // flat (label, pos, v) shape so every cell is scalar
@@ -424,6 +436,16 @@ object PipelineQueries {
         "least(start_tok + n_tok, (chunk_id+1)*2048) - greatest(start_tok, chunk_id*2048) AS tok_len, " +
         "greatest(start_tok, chunk_id*2048) - chunk_id*2048 AS chunk_off " +
         "FROM seg ORDER BY source, chunk_id, doc_id"),
+    "q_chunk_overlap" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM documents), " +
+        "k AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 64 THEN 1 " +
+        "ELSE (n_tok - 64 + 47) // 48 + 1 END AS n_win " +
+        "FROM tok WHERE n_tok > 0), " +
+        "w AS (SELECT doc_id, n_tok, unnest(range(n_win)) AS win_id FROM k) " +
+        "SELECT doc_id, win_id, win_id*48 AS win_start, " +
+        "CAST(least(64, n_tok - win_id*48) AS BIGINT) AS win_len " +
+        "FROM w ORDER BY doc_id, win_id"),
     "q_embed_centroid" ->
       ("WITH ex AS (SELECT label, unnest(embedding) AS x, " +
         "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos FROM embeddings) " +

@@ -274,6 +274,14 @@ object RelationalQueries {
     "q_rolling_range" -> ((s, d) => {
       Sessions.rollingCounts(Tables.events(s, d), windowMinutes = 60)
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // robust per-group outlier counts: the median/MAD rule over event
+    // values — exact interpolated percentiles, integer verdicts
+    "q_outliers" -> ((s, d) => {
+      graft.operators.Outliers.robustOutliers(Tables.events(s, d),
+          valueCol = "value", groupCol = "event_type", k = 3.0)
+        .orderBy(col("event_type"))
     })
   )
 
@@ -409,6 +417,20 @@ object RelationalQueries {
         "SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps, " +
         "max(gap_us) AS max_gap_us, " +
         "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us " +
-        "FROM g GROUP BY user_id ORDER BY user_id")
+        "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_outliers" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+        "FROM events GROUP BY 1), " +
+        "dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT d.event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN d.med - d.value > 3.0*m.mad THEN 1 ELSE 0 END) + " +
+        "sum(CASE WHEN d.value - d.med > 3.0*m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "CAST(sum(CASE WHEN d.med - d.value > 3.0*m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(sum(CASE WHEN d.value - d.med > 3.0*m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
+        "FROM dev d JOIN mad m USING (event_type) " +
+        "GROUP BY 1 ORDER BY 1")
   )
 }

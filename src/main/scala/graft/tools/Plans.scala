@@ -144,6 +144,19 @@ object Plans {
         "100 TB where an exact (group, term) histogram would not " +
         "fit. The exact side of the plan exists only as the " +
         "contract baseline."),
+    "q_chunk_overlap" ->
+      ("Sliding-window chunking is ZERO-shuffle: one " +
+        "`explode(sequence(0, n_win-1))` per doc on the scan, window " +
+        "bounds from codegen'd 64-bit `div` arithmetic — each " +
+        "partition chunks independently, so the RAG index layout " +
+        "scales with no exchange at any corpus size."),
+    "q_outliers" ->
+      ("Three grouped aggregates (median, MAD, verdict counts), each " +
+        "a hash partial+final on event_type; the tiny per-group " +
+        "statistics come BACK as broadcast joins, so the event stream " +
+        "never shuffles. A `percentile() OVER (PARTITION BY group)` " +
+        "window would pin each group on one task — a skew bomb when " +
+        "one group holds half of 100 TB."),
     "q_contamination" ->
       ("The eval shingle set (benchmark suites are MBs at any corpus " +
         "scale) builds once and broadcasts; the train side is ONE scan " +

@@ -99,6 +99,51 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("slidingWindows covers every token with bounded overlap") {
+    val d = docs(Seq(
+      (1L, "a", 100L),  // shorter than window → one truncated window
+      (2L, "a", 512L),  // exactly one window
+      (3L, "a", 513L),  // one token past → second window
+      (4L, "a", 0L),    // empty → no windows
+      (5L, "a", 896L),  // 512 + 384 exactly → 2 windows, both cover to 896
+      (6L, "a", 2000L)))
+    val out = Packing.slidingWindows(d, col("n_tok"), window = 512, stride = 384)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("win_id"),
+        r.getAs[Long]("win_start"), r.getAs[Long]("win_len"))).sortBy(_._1).toSeq)
+      .toMap
+    assert(out(1L) == Seq((0L, 0L, 100L)))
+    assert(out(2L) == Seq((0L, 0L, 512L)))
+    assert(out(3L) == Seq((0L, 0L, 512L), (1L, 384L, 129L)))
+    assert(!out.contains(4L))
+    assert(out(5L) == Seq((0L, 0L, 512L), (1L, 384L, 512L)))
+    // doc 6: windows at 0, 384, 768, 1152, 1536 — last covers to 2000
+    assert(out(6L).map(_._2) == Seq(0L, 384L, 768L, 1152L, 1536L))
+    assert(out(6L).last == (4L, 1536L, 464L))
+    // coverage invariant: windows abut or overlap, and the union of
+    // [win_start, win_start+win_len) spans [0, n_tok) for every doc
+    for ((id, wins) <- out) {
+      val n = Map(1L -> 100L, 2L -> 512L, 3L -> 513L, 5L -> 896L, 6L -> 2000L)(id)
+      assert(wins.head._2 == 0L)
+      assert(wins.last._2 + wins.last._3 == n, s"doc $id end")
+      wins.sliding(2).foreach {
+        case Seq((_, s0, l0), (_, s1, _)) =>
+          assert(s1 <= s0 + l0, s"doc $id gap"); assert(s1 - s0 == 384L)
+        case _ =>
+      }
+      assert(wins.forall(_._3 <= 512L))
+    }
+  }
+
+  test("slidingWindows with stride == window is disjoint chunking") {
+    val d = docs(Seq((1L, "a", 1000L)))
+    val out = Packing.slidingWindows(d, col("n_tok"), window = 256, stride = 256)
+      .collect().map(r => (r.getAs[Long]("win_start"), r.getAs[Long]("win_len")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 256L), (256L, 256L), (512L, 256L), (768L, 232L)))
+  }
+
   test("total chunk count matches ceil(shard tokens / seqLen)") {
     val d = docs((1L to 40L).map(i => (i, s"s${i % 3}", 37L)))
     val out = Packing.packChunks(d, col("n_tok"), seqLen = 64)
