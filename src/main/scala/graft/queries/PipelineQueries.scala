@@ -137,8 +137,15 @@ object PipelineQueries {
     // (distinct chunks == ceil(total_tokens/seqLen))
     "q_curate_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // contamination threshold 70%: the fixture corpus is
+      // template-generated, so the BASE overlap with an eval set
+      // drawn from it grows with eval size (~9% at sf0.01, ~61% at
+      // sf0.1) — a low threshold saturates and empties the corpus at
+      // scale, while 70% isolates genuine near-copies of eval docs
+      // at every sf
       Curation.curate(docs,
-          evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+          evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          contamThresholdE6 = 700000L)
         .orderBy(col("source"))
     }),
 
@@ -500,7 +507,7 @@ object PipelineQueries {
         s"trsh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM ded), " +
         "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov " +
         "FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
-        "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 100000 * n_sh), " +
+        "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 700000 * n_sh), " +
         "clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
         "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
         "rates AS (SELECT source, least(1000, 15000 // n) AS rate FROM cnt), " +

@@ -144,6 +144,43 @@ class PackingSpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 256L), (256L, 256L), (512L, 256L), (768L, 232L)))
   }
 
+  test("slidingWindows invariants hold across random (window, stride) configs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cfg = for {
+      w <- Gen.chooseNum(1, 300)
+      s <- Gen.chooseNum(1, w)
+    } yield (w, s)
+    val lens = new scala.util.Random(11).shuffle(
+      (0L to 40L) ++ Seq(1L, 299L, 300L, 301L, 600L, 601L, 1000L)).zipWithIndex
+      .map { case (n, i) => (i.toLong, "a", n) }
+    val d = docs(lens)
+    (0 until 6).foreach { i =>
+      cfg(Gen.Parameters.default, Seed(i.toLong)).foreach { case (w, s) =>
+        val byDoc = Packing.slidingWindows(d, col("n_tok"), w, s)
+          .collect()
+          .groupBy(_.getAs[Long]("doc_id"))
+          .view.mapValues(_.map(r => (r.getAs[Long]("win_id"),
+            r.getAs[Long]("win_start"), r.getAs[Long]("win_len")))
+            .sortBy(_._1).toSeq).toMap
+        for ((id, _, n) <- lens) {
+          val wins = byDoc.getOrElse(id, Seq.empty)
+          if (n == 0L) assert(wins.isEmpty, s"w=$w s=$s empty doc")
+          else {
+            val expected = if (n <= w) 1L else (n - w + s - 1) / s + 1
+            assert(wins.size.toLong == expected, s"w=$w s=$s n=$n count")
+            assert(wins.head._2 == 0L)
+            assert(wins.last._2 + wins.last._3 == n, s"w=$w s=$s n=$n end")
+            wins.foreach { case (k, st, ln) =>
+              assert(st == k * s); assert(ln == math.min(w.toLong, n - st))
+              assert(ln >= 1L, s"w=$w s=$s n=$n empty window")
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("total chunk count matches ceil(shard tokens / seqLen)") {
     val d = docs((1L to 40L).map(i => (i, s"s${i % 3}", 37L)))
     val out = Packing.packChunks(d, col("n_tok"), seqLen = 64)
