@@ -22,6 +22,42 @@ object Bench {
     math.round(ops / ((System.nanoTime() - t0) / 1e3) * 10.0) / 10.0
   }
 
+  /** Parallel CPU canary: aggregate mops over `threads` concurrent
+    * spinners. The single-thread canary has a blind spot — the host
+    * also opens windows that cut the number of EFFECTIVE cores while
+    * each remaining core runs at full speed (observed r5: single
+    * canary 1,767 mops "healthy" while a 32-thread run crawled at
+    * ~2 cores' throughput and every query read 2-4× slow). Aggregate
+    * throughput catches both modes: slow cores divide it, missing
+    * cores divide it. Healthy: ~threads × single (~12k mops at 8
+    * threads); reduced-core windows: ~1-3k. */
+  private[graft] def parallelCanaryMops(threads: Int = 8,
+                                        spinNanos: Long = 150000000L): Double = {
+    val ops = new java.util.concurrent.atomic.AtomicLong(0L)
+    val deadline = System.nanoTime() + spinNanos
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + i
+        var local = 0L
+        while (System.nanoTime() < deadline) {
+          var j = 0
+          while (j < 1000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
+          local += 3000000
+        }
+        if (x == 42) System.err.println("")
+        ops.addAndGet(local)
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    math.round(ops.get() / ((System.nanoTime() - t0) / 1e3) * 10.0) / 10.0
+  }
+
+  /** Calibration accessors for [[graft.tools.CanaryProbe]]. */
+  def probeSingle(): Double = canaryMops()
+  def probeParallel(): Double = parallelCanaryMops()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -30,6 +66,16 @@ object Bench {
     // measurement is retried (healthy floor ~1,500 mops with generous
     // margin for scheduler jitter; starved windows are ~10-100× lower).
     val canaryFloor = sys.env.getOrElse("SPARK_GRAFT_CANARY_FLOOR", "600").toDouble
+    // Parallel canary runs at the SAME width as the Spark session:
+    // a local[32] timing is only comparable to the pin if ~32 cores
+    // were genuinely schedulable around it. Floor = width × 750
+    // aggregate mops — half the healthy ~1,500 per-thread rate
+    // (BASELINE.md; r5 observed a window where the single canary
+    // read 1,767 "healthy" while 32-thread throughput was ~2 cores'
+    // worth and every query measured 2-4× slow).
+    val parWidth = math.max(2, cpus.toInt)
+    val parFloor = sys.env.getOrElse("SPARK_GRAFT_PAR_FLOOR",
+      (parWidth * 750).toString).toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,17 +107,22 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     val mopsPre = canaryMops(500000000L)
+    val parPre = parallelCanaryMops(parWidth)
     // Self-healing measurement protocol (BASELINE.md, mechanized):
     // each query is timed up to `maxAttempts` times; an attempt is
-    // "healthy" when the canaries on BOTH sides of it cleared the
-    // floor (the canary after attempt N doubles as the canary before
-    // attempt N+1 / the next query). Stop once 2 healthy attempts
-    // exist; report the per-query MIN over healthy attempts (all
-    // attempts if none were healthy — min still favors unstarved
-    // runs). Queries that never got 2 healthy windows are listed in
-    // "starved" so a reader knows which numbers to distrust.
+    // "healthy" when the canaries on BOTH sides of it cleared BOTH
+    // floors — single-thread mops (slow-core starvation) AND
+    // session-width aggregate mops (reduced-core starvation, which
+    // the single canary provably misses) — the canary pair after attempt N
+    // doubles as the pair before attempt N+1 / the next query. Stop
+    // once 2 healthy attempts exist; report the per-query MIN over
+    // healthy attempts (all attempts if none were healthy — min still
+    // favors unstarved runs). Queries that never got 2 healthy
+    // windows are listed in "starved" so a reader knows which numbers
+    // to distrust.
     val maxAttempts = 4
     var lastCanary = mopsPre
+    var lastPar = parPre
     val starved = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
@@ -79,12 +130,15 @@ object Bench {
       var attempts = 0
       while (healthy < 2 && attempts < maxAttempts) {
         val pre = lastCanary
+        val preP = lastPar
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
         val sec = (System.nanoTime() - t0) / 1e9
         cleanup()
         lastCanary = canaryMops()
-        val ok = math.min(pre, lastCanary) >= canaryFloor
+        lastPar = parallelCanaryMops(parWidth)
+        val ok = math.min(pre, lastCanary) >= canaryFloor &&
+          math.min(preP, lastPar) >= parFloor
         if (ok) healthy += 1
         samples += ((sec, ok))
         attempts += 1
@@ -98,11 +152,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = math.round(results.map(_._2).sum * 1000.0) / 1000.0
     val mopsPost = canaryMops(500000000L)
+    val parPost = parallelCanaryMops(parWidth)
     val starvedJson = starved.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""canary_mops_pre":$mopsPre,"canary_mops_post":$mopsPost,""" +
+        s""""par_mops_pre":$parPre,"par_mops_post":$parPost,""" +
         s""""protocol":"min_of_2_healthy_attempts","canary_floor":$canaryFloor,""" +
+        s""""par_floor":$parFloor,""" +
         s""""starved":$starvedJson,"sf":"$sfDir"}"""
     // Robust emission: the JSON goes to a file AND to stdout on its
     // own line (BENCH_r04 recorded "parsed": null because sbt's
