@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,34 @@ object Sessions {
     * in-partition sort, evaluated in a single forward pass with a
     * sliding lower bound. Value sums ride DECIMAL(18,2) so the
     * rolling totals are order-stable cross-engine. */
+  /** Forward-fill imputation (the standard telemetry repair): rows
+    * matching `missing` have their `valueCol` replaced by the most
+    * recent valid value of the SAME user, in (ts, event_id) order;
+    * leading missing rows (no prior valid value) stay null. Output
+    * carries `was_filled` so downstream consumers can weigh imputed
+    * points.
+    *
+    * Scale shape: one analytic window — a single hash exchange on
+    * user_id + in-partition sort; `last(_, ignoreNulls)` over a
+    * running ROWS frame is evaluated streaming (no per-row rescan of
+    * the frame), so cost is O(events) after the one shuffle any
+    * per-user ordering needs.
+    */
+  def fillForward(events: DataFrame, missing: Column,
+                  valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(missing, lit(null).cast("double")).otherwise(col(valueCol))
+          .as("valid_v"))
+      .withColumn("filled_value", last(col("valid_v"), ignoreNulls = true).over(w))
+      .withColumn("was_filled", col("valid_v").isNull)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("filled_value"), col("was_filled"))
+  }
+
   def rollingCounts(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
       .rangeBetween(-windowMinutes * 60L * 1000000L, Window.currentRow)

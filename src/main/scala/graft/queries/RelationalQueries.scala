@@ -276,6 +276,16 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // forward-fill imputation: error events' values are treated as
+    // sensor glitches and repaired from the same user's most recent
+    // valid reading — one analytic window, values ride through
+    // unchanged (no arithmetic) so parity is exact
+    "q_fill_forward" -> ((s, d) => {
+      Sessions.fillForward(Tables.events(s, d),
+          missing = col("event_type") === "error")
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    }),
+
     // robust per-group outlier counts: the median/MAD rule over event
     // values — exact interpolated percentiles, integer verdicts
     "q_outliers" -> ((s, d) => {
@@ -418,6 +428,13 @@ object RelationalQueries {
         "max(gap_us) AS max_gap_us, " +
         "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_fill_forward" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS us, " +
+        "last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
+        "event_type = 'error' AS was_filled " +
+        "FROM events ORDER BY user_id, us, event_id"),
     "q_outliers" ->
       ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
         "FROM events GROUP BY 1), " +

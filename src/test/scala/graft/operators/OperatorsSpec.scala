@@ -117,6 +117,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("fillForward repairs missing values from the user's last valid reading") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "error", 99.0, "{}"),  // leading missing → stays null
+      (2L, ts(1), 7L, "view", 10.0, "{}"),
+      (3L, ts(2), 7L, "error", 99.0, "{}"),  // ← 10.0
+      (4L, ts(3), 7L, "error", 99.0, "{}"),  // ← still 10.0 (not the glitch)
+      (5L, ts(4), 7L, "click", 20.0, "{}"),
+      (6L, ts(5), 7L, "error", 99.0, "{}"),  // ← 20.0
+      (7L, ts(0), 8L, "view", 5.0, "{}"))    // other user untouched
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessions.fillForward(events, col("event_type") === "error")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble),
+          r.getAs[Boolean]("was_filled"))).toMap
+    assert(out(1L) == ((None, true)))
+    assert(out(2L) == ((Some(10.0), false)))
+    assert(out(3L) == ((Some(10.0), true)))
+    assert(out(4L) == ((Some(10.0), true)))
+    assert(out(5L) == ((Some(20.0), false)))
+    assert(out(6L) == ((Some(20.0), true)))
+    assert(out(7L) == ((Some(5.0), false)))
+  }
+
   test("embedding centroids: per-group per-position means, ordered") {
     import spark.implicits._
     val emb = Seq(
