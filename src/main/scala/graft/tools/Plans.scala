@@ -150,6 +150,12 @@ object Plans {
         "bounds from codegen'd 64-bit `div` arithmetic — each " +
         "partition chunks independently, so the RAG index layout " +
         "scales with no exchange at any corpus size."),
+    "q_fill_forward" ->
+      ("Forward-fill repair is ONE analytic window: a single hash " +
+        "exchange on user_id + in-partition sort, then " +
+        "`last(_, ignoreNulls)` over a running ROWS frame evaluated " +
+        "streaming — O(events) after the one shuffle any per-user " +
+        "ordering needs; values ride through with no arithmetic."),
     "q_outliers" ->
       ("Three grouped aggregates (median, MAD, verdict counts), each " +
         "a hash partial+final on event_type; the tiny per-group " +
