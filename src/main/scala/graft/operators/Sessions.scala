@@ -81,6 +81,40 @@ object Sessions {
         col("filled_value"), col("was_filled"))
   }
 
+  /** Ordered conversion funnel: for each prefix of `stages`, how many
+    * users performed those event types IN ORDER (each stage strictly
+    * after the user's earliest completion of the previous one — the
+    * standard first-touch funnel). Emits one row per stage:
+    * (stage, event_type, n_users), n_users non-increasing.
+    *
+    * Scale shape: per stage, one filtered scan → hash aggregate keyed
+    * user_id joined to the previous stage's (user_id, t) frontier —
+    * every shuffle carries at most one row per user, never event-level
+    * cross products; stage frontiers are the smallest state a funnel
+    * fundamentally needs. Strict `>` on integer micros keeps the
+    * frontier deterministic and engine-portable.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    var frontier: DataFrame = null
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      val cand = ev.filter(col("event_type") === st)
+      frontier =
+        if (frontier == null)
+          cand.groupBy(col("user_id")).agg(min(col("us")).as("t"))
+        else
+          cand.join(frontier.withColumnRenamed("t", "prev_t"), Seq("user_id"))
+            .filter(col("us") > col("prev_t"))
+            .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+      frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    perStage.reduce(_.unionAll(_))
+  }
+
   def rollingCounts(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
       .rangeBetween(-windowMinutes * 60L * 1000000L, Window.currentRow)

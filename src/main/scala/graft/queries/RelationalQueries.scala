@@ -276,6 +276,15 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ordered conversion funnel: users completing view → click →
+    // purchase in order, each stage strictly after the user's
+    // earliest completion of the previous one
+    "q_funnel" -> ((s, d) => {
+      Sessions.funnel(Tables.events(s, d),
+          stages = Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
     // forward-fill imputation: error events' values are treated as
     // sensor glitches and repaired from the same user's most recent
     // valid reading — one analytic window, values ride through
@@ -428,6 +437,16 @@ object RelationalQueries {
         "max(gap_us) AS max_gap_us, " +
         "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 ON e.user_id = s1.user_id " +
+        "AND e.us > s1.t WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 ON e.user_id = s2.user_id " +
+        "AND e.us > s2.t WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM s3 ORDER BY stage"),
     "q_fill_forward" ->
       ("SELECT event_id, user_id, epoch_us(ts) AS us, " +
         "last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) " +

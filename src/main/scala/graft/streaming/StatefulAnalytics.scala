@@ -145,4 +145,50 @@ object StatefulAnalytics {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         updateGaps)(Encoders.product[GapState], Encoders.product[GapRow])
+
+  // ---------------------------------------------------------------
+  // forward-fill imputation
+  // ---------------------------------------------------------------
+
+  /** Per-user carry: the most recent valid reading (and its time, for
+    * the in-order contract). One double + one long + one flag per
+    * user — the minimal state forward-fill fundamentally needs. */
+  case class FillState(lastUs: Long, lastValid: Double, hasValid: Boolean)
+
+  case class FillRow(user_id: Long, event_id: Long, us: Long,
+                     filled_value: Option[Double], was_filled: Boolean)
+
+  /** Repair a user's new events against the carried last-valid value
+    * (↔ `Sessions.fillForward`): rows matching `isMissing` emit the
+    * carry (null while no valid reading has ever arrived), valid rows
+    * refresh it. Append-mode — emitted rows are final, exactly like
+    * the batch window's running `last(_, ignoreNulls)` frame. */
+  def updateFill(isMissing: Event => Boolean)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[FillState]): Iterator[FillRow] = {
+    val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(FillState(Long.MinValue, 0.0, false))
+    val out = sorted.map { e =>
+      val us = micros(e.ts)
+      if (isMissing(e))
+        FillRow(userId, e.event_id, us,
+          if (st.hasValid) Some(st.lastValid) else None, was_filled = true)
+      else {
+        st = FillState(us, e.value, hasValid = true)
+        FillRow(userId, e.event_id, us, Some(e.value), was_filled = false)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming (or batch) forward-fill imputation. State never times
+    * out — the carry must survive arbitrarily long silences (a user's
+    * next glitch may come days after their last valid reading). */
+  def fillForward(events: Dataset[Event],
+                  isMissing: Event => Boolean): Dataset[FillRow] =
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateFill(isMissing))(Encoders.product[FillState], Encoders.product[FillRow])
 }

@@ -150,6 +150,13 @@ object Plans {
         "bounds from codegen'd 64-bit `div` arithmetic — each " +
         "partition chunks independently, so the RAG index layout " +
         "scales with no exchange at any corpus size."),
+    "q_funnel" ->
+      ("Each funnel stage is one filtered scan → user-keyed hash " +
+        "aggregate joined to the previous stage's (user_id, t) " +
+        "frontier — every exchange carries at most ONE row per user " +
+        "(the frontier), never event-level cross products; " +
+        "first-touch semantics via min() keep the frontier the " +
+        "smallest state a funnel fundamentally needs."),
     "q_fill_forward" ->
       ("Forward-fill repair is ONE analytic window: a single hash " +
         "exchange on user_id + in-partition sort, then " +

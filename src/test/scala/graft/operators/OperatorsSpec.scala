@@ -117,6 +117,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map((7L, 1L) -> 2L, (7L, 2L) -> 1L, (8L, 1L) -> 1L))
   }
 
+  test("funnel counts users completing stages strictly in order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      // u1: full ordered funnel
+      (1L, ts(0), 1L, "view", 0.0, "{}"), (2L, ts(5), 1L, "click", 0.0, "{}"),
+      (3L, ts(10), 1L, "purchase", 0.0, "{}"),
+      // u2: purchase BEFORE click — only reaches click
+      (4L, ts(0), 2L, "view", 0.0, "{}"), (5L, ts(1), 2L, "purchase", 0.0, "{}"),
+      (6L, ts(2), 2L, "click", 0.0, "{}"),
+      // u3: click with no prior view — reaches nothing
+      (7L, ts(0), 3L, "click", 0.0, "{}"),
+      // u4: purchase at the SAME instant as click — strict > excludes
+      (8L, ts(0), 4L, "view", 0.0, "{}"), (9L, ts(1), 4L, "click", 0.0, "{}"),
+      (10L, ts(1), 4L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessions.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(1 -> 3L, 2 -> 3L, 3 -> 1L))
+  }
+
   test("fillForward repairs missing values from the user's last valid reading") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -137,4 +137,55 @@ class StatefulAnalyticsSpec extends SparkTestBase {
       assert(last == batch)
     } finally q.stop()
   }
+
+  // fill-forward fixture: glitches ("error") interleaved with valid
+  // readings, a leading glitch (no carry yet), and a second user
+  private def fv(id: Long, min: Int, user: Long, typ: String, v: Double) =
+    Event(id, ts(min), user, typ, v, "{}")
+  private val fillFixture = Seq(
+    fv(1, 0, 7, "error", 99.0), fv(2, 1, 7, "view", 10.0),
+    fv(3, 2, 7, "error", 99.0), fv(4, 3, 7, "error", 99.0),
+    fv(5, 4, 7, "click", 20.0), fv(6, 5, 7, "error", 99.0),
+    fv(7, 0, 8, "view", 5.0), fv(8, 90, 8, "error", 99.0))
+
+  private def batchFill = {
+    import spark.implicits._
+    Sessions.fillForward(fillFixture.toDF(), col("event_type") === "error")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble),
+        r.getAs[Boolean]("was_filled"))).toSet
+  }
+
+  test("batch-mode fillForward equals the window operator") {
+    import spark.implicits._
+    val out = StatefulAnalytics.fillForward(fillFixture.toDS(),
+        e => e.event_type == "error")
+      .collect().map(r => (r.event_id, r.filled_value, r.was_filled)).toSet
+    assert(out == batchFill)
+  }
+
+  test("incremental fillForward carries the last valid value across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StatefulAnalytics.fillForward(stream.toDS(),
+        e => e.event_type == "error")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fill_out").start()
+    try {
+      // user 8's glitch arrives a batch (and 90 minutes) after their
+      // only valid reading — the carry must survive the silence
+      stream.addData(fillFixture.filter(_.event_id != 8))
+      q.processAllAvailable()
+      stream.addData(fillFixture.filter(_.event_id == 8))
+      q.processAllAvailable()
+      val streamed = spark.table("fill_out").collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4))).toSet
+      assert(streamed == batchFill)
+      assert(streamed.contains((8L, Some(5.0), true)))
+    } finally q.stop()
+  }
 }
