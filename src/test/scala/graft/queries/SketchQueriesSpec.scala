@@ -30,6 +30,13 @@ class SketchQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("hll inclusion-exclusion intersection within 10% of exact") {
+    val r = SketchQueries.queries("q_sketch_intersect")(spark, sf).head()
+    val (nA, nB, nInter) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nInter > 0 && nInter <= math.min(nA, nB))
+    assert(r.getBoolean(3), "intersection estimate outside 10% bound")
+  }
+
   test("bloom filter: no false negatives, fpr under bound") {
     val r = SketchQueries.queries("q_sketch_bloom")(spark, sf).head()
     assert(r.getLong(0) > 0)
