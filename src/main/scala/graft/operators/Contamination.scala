@@ -55,4 +55,54 @@ object Contamination {
         (col("n_overlap") * lit(1000000L) >=
           lit(thresholdE6) * col("n_shingles")).as("contaminated"))
   }
+
+  /** Fuzzy (pairwise) decontamination: flag a training doc when its
+    * word-3-gram Jaccard similarity to SOME single eval doc reaches
+    * `minJaccardE6` — catches paraphrased/near-copy benchmark leaks
+    * that [[overlapReport]]'s pooled-shingle fraction dilutes away
+    * when the eval SET is large (a doc can overlap 5% with each of
+    * twenty eval docs yet be a 90% copy of one of them, and vice
+    * versa). Report: (doc_id, n_sh, best_jaccard_e6, best_eval_id,
+    * contaminated); ties on the best score break to the smallest
+    * eval id, fractions are integer `div` — bit-reproducible.
+    *
+    * Scale shape: the bipartite inverted index materializes ONLY
+    * co-shingled (train, eval) pairs — never a cross product; any
+    * pair with Jaccard ≥ ε shares a shingle, so candidate generation
+    * is EXACT (no LSH recall caveat). Joins shuffle on shingle then
+    * doc ids; per-doc shingle counts ride the same aggregates. Train
+    * docs sharing nothing with eval appear with best = 0 via the
+    * final left join.
+    */
+  def fuzzyReport(train: DataFrame, eval: DataFrame,
+                  minJaccardE6: Long = 500000L): DataFrame = {
+    require(minJaccardE6 >= 0 && minJaccardE6 <= 1000000L,
+      s"minJaccardE6 must be in [0, 1e6], got $minJaccardE6")
+    val trainSh = Dedup.shingleRows(train)
+    val evalSh = Dedup.shingleRows(eval)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val trainN = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val evalN = evalSh.groupBy(col("eval_id")).agg(count(lit(1)).as("n_ev"))
+    val pairJac = trainSh.join(evalSh, Seq("s"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(trainN, Seq("doc_id"))
+      .join(evalN, Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"),
+        expr("inter * 1000000 div (n_sh + n_ev - inter)").as("jac_e6"))
+    // best match per train doc: max score, ties to the smallest eval
+    // id — max(struct) orders lexicographically, so negate the id
+    val best = pairJac
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jac_e6"), (-col("eval_id")).as("neg_eval")))
+        .as("top"))
+      .select(col("doc_id"), col("top.jac_e6").as("best_jaccard_e6"),
+        (-col("top.neg_eval")).as("best_eval_id"))
+    trainN.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("best_jaccard_e6"), lit(0L)).as("best_jaccard_e6"),
+        col("best_eval_id"),
+        (coalesce(col("best_jaccard_e6"), lit(0L)) >= minJaccardE6)
+          .as("contaminated"))
+  }
 }

@@ -104,6 +104,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // fuzzy pairwise decontamination: flag a train doc when its
+    // 3-gram Jaccard vs SOME single eval doc reaches 50% — catches
+    // the near-copy leaks the pooled-shingle fraction dilutes (the
+    // fixture plants template twins at ≥96% vs a ~2% background)
+    "q_decontam_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.fuzzyReport(
+          train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          eval = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          minJaccardE6 = 500000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition quality signals: per doc, the char
     // fraction covered by the most frequent word-bigram and the
     // repeated-bigram fraction — the "drop templated/looping text"
@@ -531,6 +544,26 @@ object PipelineQueries {
         "n_overlap * 1000000 // n_shingles AS contam_e6, " +
         "n_overlap * 1000000 >= 100000 * n_shingles AS contaminated " +
         "FROM c ORDER BY doc_id"),
+    "q_decontam_fuzzy" ->
+      (s"WITH tr AS (SELECT doc_id, unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 <> 0), " +
+        s"ev AS (SELECT doc_id AS eval_id, unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        "tn AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1), " +
+        "en AS (SELECT eval_id, count(*) AS n_ev FROM ev GROUP BY 1), " +
+        "pj AS (SELECT tr.doc_id, ev.eval_id, count(*) AS inter " +
+        "FROM tr JOIN ev USING (s) GROUP BY 1, 2), " +
+        "j AS (SELECT pj.doc_id, pj.eval_id, " +
+        "(inter * 1000000) // (n_sh + n_ev - inter) AS jac " +
+        "FROM pj JOIN tn USING (doc_id) JOIN en USING (eval_id)), " +
+        "b AS (SELECT doc_id, jac, eval_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY jac DESC, eval_id ASC) AS rn FROM j) " +
+        "WHERE rn = 1) " +
+        "SELECT tn.doc_id, CAST(tn.n_sh AS BIGINT) AS n_sh, " +
+        "CAST(coalesce(b.jac, 0) AS BIGINT) AS best_jaccard_e6, " +
+        "b.eval_id AS best_eval_id, " +
+        "coalesce(b.jac, 0) >= 500000 AS contaminated " +
+        "FROM tn LEFT JOIN b USING (doc_id) ORDER BY doc_id"),
     "q_quality_repetition" ->
       ("WITH w AS (SELECT doc_id, n_chars, string_split(text,' ') AS t FROM documents), " +
         "g AS (SELECT doc_id, n_chars, " +

@@ -185,6 +185,13 @@ object Plans {
         "on shingle text; `broadcastEval=false` degrades the same " +
         "plan to a shuffled hash join when the eval side is genuinely " +
         "large."),
+    "q_decontam_fuzzy" ->
+      ("The bipartite inverted index materializes ONLY co-shingled " +
+        "(train, eval) pairs — any pair with Jaccard ≥ ε shares a " +
+        "shingle, so candidate generation is EXACT with no LSH " +
+        "recall caveat and no cross product; joins shuffle on " +
+        "shingle then doc ids, and the best-match argmax is one " +
+        "struct-max aggregate."),
     "q_quality_repetition" ->
       ("Bigram explode feeds a partial+final HashAggregate on " +
         "(doc_id, gram) — map-side combine absorbs the repetition the " +
