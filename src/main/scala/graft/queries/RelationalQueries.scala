@@ -276,6 +276,28 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // full outer join + conditional distinct aggregation: per-segment
+    // customer/order coverage incl. order-less customers (the side
+    // only an outer join keeps). Both sides shuffle once on the key —
+    // outer joins can't broadcast-prune, so this IS the 100 TB plan
+    "q_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      // restrict to big orders so order-less customers genuinely
+      // exist and the outer side's row-preservation is exercised
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(when(col("o_orderkey").isNotNull, col("c_custkey")))
+            .as("n_with_orders"),
+          count(col("o_orderkey")).as("n_orders"))
+        .select(col("segment"), col("n_customers"), col("n_with_orders"),
+          (col("n_customers") - col("n_with_orders")).as("n_without_orders"),
+          col("n_orders"))
+        .orderBy(col("segment"))
+    }),
+
     // ordered conversion funnel: users completing view → click →
     // purchase in order, each stage strictly after the user's
     // earliest completion of the previous one
@@ -437,6 +459,16 @@ object RelationalQueries {
         "max(gap_us) AS max_gap_us, " +
         "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us " +
         "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q_outer_join" ->
+      ("SELECT coalesce(c_mktsegment, 'NONE') AS segment, " +
+        "count(DISTINCT c_custkey) AS n_customers, " +
+        "count(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN c_custkey END) AS n_with_orders, " +
+        "count(DISTINCT c_custkey) - " +
+        "count(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN c_custkey END) AS n_without_orders, " +
+        "count(o_orderkey) AS n_orders " +
+        "FROM customer FULL OUTER JOIN " +
+        "(SELECT * FROM orders WHERE o_totalprice > 300000) o " +
+        "ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1"),
     "q_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
         "s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1), " +
