@@ -270,4 +270,42 @@ object TextOps {
         sum(ceil(col("n_chars").cast("double") / 4.0).cast("long"))
           .cast("long").as("n_tokens_est"))
   }
+
+  /** Term co-occurrence with integer LIFT scores over the top-`vocab`
+    * most-frequent informative terms: lift(a,b) = P(a,b)/(P(a)·P(b))
+    * = n_ab·n_docs/(df_a·df_b), reported ×1e6 as pure integer
+    * arithmetic — the association signal PMI takes the log of,
+    * WITHOUT the cross-engine libm-ulp hazard a float log carries.
+    * Emits the `topPairs` strongest pairs (lift desc, then (a, b) —
+    * a deterministic total order).
+    *
+    * Scale shape: the vocab cap bounds the self-join fan-out at
+    * C(vocab, 2) pairs per doc worst-case; vocab and n_docs
+    * broadcast, so the corpus shuffles once on doc_id for the pair
+    * join and once as (a, b) aggregate partials. The lift product
+    * n_ab·n_docs·1e6 is exact in 64-bit up to ~3e6-doc analysis
+    * frames — co-occurrence at 100 TB runs per shard/source (as any
+    * corpus-level statistic must), not over one global frame.
+    */
+  def cooccurLift(docs: DataFrame, vocab: Int = 50,
+                  topPairs: Int = 100): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+        explode(array_distinct(regexTokens(col("text")))).as("term"))
+      .filter(!col("term").isin(StopWords: _*))
+    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = df.orderBy(col("df").desc, col("term")).limit(vocab)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val vt = dt.join(broadcast(top), Seq("term"))
+    val pairs = vt.select(col("doc_id"), col("term").as("a"), col("df").as("df_a"))
+      .join(vt.select(col("doc_id"), col("term").as("b"), col("df").as("df_b")),
+        Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("a"), col("b"), col("df_a"), col("df_b"), col("n_ab"),
+        expr("n_ab * n_docs * 1000000 div (df_a * df_b)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("a"), col("b"))
+      .limit(topPairs)
+  }
 }

@@ -104,6 +104,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // term co-occurrence with integer lift scores (the PMI signal
+    // without the float log): strongest 100 pairs among the top-50
+    // informative terms
+    "q_cooccur" -> ((s, d) =>
+      TextOps.cooccurLift(Tables.documents(s, d), vocab = 50, topPairs = 100)),
+
     // fuzzy pairwise decontamination: flag a train doc when its
     // 3-gram Jaccard vs SOME single eval doc reaches 50% — catches
     // the near-copy leaks the pooled-shingle fraction dilutes (the
@@ -544,6 +550,20 @@ object PipelineQueries {
         "n_overlap * 1000000 // n_shingles AS contam_e6, " +
         "n_overlap * 1000000 >= 100000 * n_shingles AS contaminated " +
         "FROM c ORDER BY doc_id"),
+    "q_cooccur" ->
+      ("WITH dt AS (SELECT DISTINCT doc_id, " +
+        "unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term FROM documents), " +
+        "ft AS (SELECT * FROM dt WHERE term NOT IN ('the','a','of','and','in')), " +
+        "df AS (SELECT term, count(*) AS df FROM ft GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "vt AS (SELECT ft.doc_id, ft.term, v.df FROM ft JOIN v USING (term)), " +
+        "p AS (SELECT x.term AS a, y.term AS b, x.df AS df_a, y.df AS df_b, " +
+        "count(*) AS n_ab FROM vt x JOIN vt y ON x.doc_id = y.doc_id " +
+        "AND x.term < y.term GROUP BY 1, 2, 3, 4) " +
+        "SELECT a, b, df_a, df_b, n_ab, " +
+        "n_ab * n_docs * 1000000 // (df_a * df_b) AS lift_e6 " +
+        "FROM p, n ORDER BY lift_e6 DESC, a, b LIMIT 100"),
     "q_decontam_fuzzy" ->
       (s"WITH tr AS (SELECT doc_id, unnest($shinglesSql) AS s " +
         "FROM documents WHERE doc_id % 10 <> 0), " +
