@@ -185,6 +185,20 @@ object Plans {
         "on shingle text; `broadcastEval=false` degrades the same " +
         "plan to a shuffled hash join when the eval side is genuinely " +
         "large."),
+    "q_outer_join" ->
+      ("FULL OUTER joins cannot broadcast-prune (both sides must " +
+        "preserve unmatched rows), so the plan is ONE hash exchange " +
+        "per side on the join key into a single SortMergeJoin/" +
+        "ShuffledHashJoin — exactly the shape this query would keep " +
+        "at 100 TB; the conditional distinct aggregation rides the " +
+        "same keyed partitioning."),
+    "q_cooccur" ->
+      ("The vocab cap bounds the pair fan-out at C(50,2) per doc; " +
+        "vocab (50 rows) and n_docs (1 row) broadcast, so the corpus " +
+        "shuffles once on doc_id for the self-join and once as " +
+        "(a, b) aggregate partials — co-occurrence volume is governed " +
+        "by the cap, not corpus size; lift is codegen'd integer " +
+        "arithmetic."),
     "q_decontam_fuzzy" ->
       ("The bipartite inverted index materializes ONLY co-shingled " +
         "(train, eval) pairs — any pair with Jaccard ≥ ε shares a " +
