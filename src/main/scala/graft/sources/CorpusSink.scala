@@ -34,4 +34,25 @@ object CorpusSink {
       .partitionBy(shardCol)
       .parquet(path)
   }
+
+  /** Incremental refresh: overwrite ONLY the shard partitions present
+    * in `docs` (dynamic partition overwrite), leaving every other
+    * shard's directory and files byte-for-byte untouched. This is the
+    * re-curation path at 100 TB — refreshing one source must not
+    * rewrite (or even list) the other 99; same bounded fan-out and
+    * in-file sort as [[writeParquet]], so the refreshed partitions
+    * keep the full layout contract. */
+  def refreshShards(docs: DataFrame, path: String,
+                    shardCol: String = "source", sortCol: String = "doc_id",
+                    filesPerShard: Int = 4): Unit = {
+    require(filesPerShard > 0, s"filesPerShard must be positive, got $filesPerShard")
+    docs
+      .repartition(col(shardCol), pmod(hash(col(sortCol)), lit(filesPerShard)))
+      .sortWithinPartitions(col(shardCol), col(sortCol))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(shardCol)
+      .parquet(path)
+  }
 }

@@ -55,4 +55,40 @@ class CorpusSinkSpec extends SparkTestBase {
       rm(Paths.get(dir).toFile)
     }
   }
+
+  test("refreshShards rewrites only the refreshed shard's partition") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"src${i % 2}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("corpus_refresh").toString
+    try {
+      CorpusSink.writeParquet(docs, dir, filesPerShard = 2)
+      def snapshot(shard: String) =
+        new java.io.File(s"$dir/source=$shard").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet
+      val src0Before = snapshot("src0")
+
+      // re-curate src1 only: fewer docs, new text
+      val fresh = (1L to 40L).map(i => (1000L + i, "src1", s"fresh $i"))
+        .toDF("doc_id", "source", "text")
+      CorpusSink.refreshShards(fresh, dir, filesPerShard = 2)
+
+      // src0's files are byte-for-byte untouched (same names, sizes,
+      // mtimes); src1 now holds ONLY the fresh rows
+      assert(snapshot("src0") == src0Before, "untouched shard was rewritten")
+      val back = spark.read.parquet(dir)
+      val src1Ids = back.filter(col("source") === "src1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(src1Ids == (1L to 40L).map(1000L + _).toSet)
+      // src0 rows still read back in full
+      assert(back.filter(col("source") === "src0").count() == 100L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(Paths.get(dir).toFile)
+    }
+  }
 }
