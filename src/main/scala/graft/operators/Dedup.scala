@@ -31,6 +31,36 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: classify a NEW batch of documents
+    * against an existing corpus fingerprint INDEX, without re-reading
+    * the corpus text — the re-crawl path at 100 TB (the index carries
+    * fingerprints only; the already-curated corpus is never
+    * re-scanned, only its fp column). Each batch doc becomes
+    *  - `dup_of_index`  its fingerprint already exists in the index,
+    *  - `dup_in_batch`  fingerprint is new but another batch doc with
+    *                    a lower doc_id claims it,
+    *  - `novel`         the batch's keeper for a new fingerprint
+    * and `keep = (status = 'novel')` is the admission verdict.
+    *
+    * Scale shape: one left join keyed by fp (hash-shuffled on the
+    * fingerprint; Catalyst broadcasts automatically when the index
+    * side is small) plus a min-per-fp window over the BATCH only —
+    * never a self-join of the corpus. The index should be the stored
+    * `fp` output of [[exact]] from the previous curation run, so
+    * repeated ingests are O(batch + index-join), not O(corpus). */
+  def incremental(batch: DataFrame, index: DataFrame, fp: Column): DataFrame = {
+    val b = batch.select(col("doc_id"), fp.as("fp"))
+    val idx = index.select(col("fp")).distinct().withColumn("in_index", lit(true))
+    val w = Window.partitionBy(col("fp"))
+    b.join(idx, Seq("fp"), "left")
+      .withColumn("status",
+        when(col("in_index"), lit("dup_of_index"))
+          .when(col("doc_id") === min(col("doc_id")).over(w), lit("novel"))
+          .otherwise(lit("dup_in_batch")))
+      .select(col("doc_id"), col("fp"), col("status"),
+        (col("status") === "novel").as("keep"))
+  }
+
   /** Distinct word-3-shingles, one row per (doc_id, shingle).
     * posexplode + lead window: one shuffle by doc_id, all shingle
     * construction codegen'd. */
@@ -253,6 +283,32 @@ object Dedup {
       .join(cc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("component"))
       .withColumn("keep", col(idCol) === col("component"))
+  }
+
+  /** [[resolveDuplicates]] with a QUALITY policy: within each
+    * duplicate component the canonical copy is the doc with the
+    * highest `score` (min doc_id on ties), not the smallest id —
+    * the keep rule real curation uses ("of these 40 mirrors, keep
+    * the cleanest"). `component` stays the component-min doc_id so
+    * group identity is policy-independent.
+    *
+    * Scale shape: CC labels join (keyed by id), then ONE max_by hash
+    * aggregation on component — a single candidate struct per key
+    * per partition with map-side combine, never a per-component sort
+    * — and a component-keyed hash join back. A 10M-copy component
+    * costs its row count, not a sort of it. */
+  def resolveDuplicatesBy(docs: DataFrame, pairs: DataFrame, score: Column,
+                          idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val withComp = docs.select(col(idCol), score.as("score"))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("component"), col("score"))
+    val keepers = withComp.groupBy(col("component"))
+      .agg(max_by(col(idCol), struct(col("score"), -col(idCol))).as("keep_id"))
+    withComp.join(keepers, Seq("component"))
+      .select(col(idCol), col("component"),
+        (col(idCol) === col("keep_id")).as("keep"))
   }
 
   /** EXACT embedding-cosine near-dup stats per probe vector: neighbor

@@ -127,6 +127,34 @@ object Sessions {
           .cast("double").as("sum_trailing"))
   }
 
+  /** Latest-state compaction (the CDC / upsert read path): collapse
+    * each user's event history to its most recent event — max
+    * (us, event_id) — plus lifetime counters. Implemented as a single
+    * `max_by` aggregation, NOT a row_number window: the window form
+    * fully sorts every user's events inside one partition, while
+    * max_by keeps ONE candidate struct per key per partition with
+    * map-side partial aggregation — the shape that compacts a 100 TB
+    * append-only event log in one hash exchange on user_id. The
+    * event_id tie-break makes the result deterministic even under
+    * equal timestamps; the lifetime sum rides DECIMAL(18,2) so it is
+    * accumulation-order-stable cross-engine. */
+  def latestState(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("us"), col("event_id"), col("event_type"), col("value")),
+          struct(col("us"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("lifetime_value"))
+      .select(col("user_id"), col("last.us").as("last_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        round(col("last.value"), 6).as("last_value"),
+        col("n_events"), col("lifetime_value"))
+
   /** Gap-based sessionization (batch): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * lag → flag → running sum = session id; then per-session agg.

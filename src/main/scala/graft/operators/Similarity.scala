@@ -40,6 +40,45 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** Constrained (filtered) vector search: exact cosine top-k where a
+    * neighbor must MATCH THE QUERY on every column in
+    * `constraintCols` — label-scoped / tenant-scoped / lang-scoped
+    * ANN, the metadata-filtered search every vector store pairs with
+    * similarity. The constraint is part of the JOIN KEY, not a
+    * post-filter on scored pairs: post-filtering an oversampled top-k'
+    * silently degrades recall when the filter is selective (the true
+    * k may not survive the oversample), while pre-constraining both
+    * prunes the scored pair count by the constraint's selectivity and
+    * keeps top-k exact within the slice. At scale the equality keys
+    * make this a plain hash join — Catalyst extracts them into a
+    * BroadcastHashJoin here (probe side broadcast), and with a big
+    * probe set the same plan shuffle-colocates both sides on the
+    * constraint columns, which unconstrained cosine search cannot. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   constraintCols: Seq[String]): DataFrame = {
+    require(constraintCols.nonEmpty, "use bruteForceTopK when unconstrained")
+    val qcols = col("vec_id").as("qid") +:
+      VectorOps.asDoubleArray(col("embedding")).as("qv") +:
+      constraintCols.map(c => col(c).as(s"q_$c"))
+    val q = broadcast(queries.select(qcols: _*)
+      .withColumn("qn", VectorOps.l2Norm(col("qv"))))
+    val c = corpus.select(col("vec_id") +:
+        VectorOps.asDoubleArray(col("embedding")).as("cv") +:
+        constraintCols.map(col): _*)
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    val cond = constraintCols.map(cc => col(s"q_$cc") === col(cc))
+      .reduce(_ && _) && col("qid") =!= col("vec_id")
+    c.join(q, cond)
+      .withColumn("score",
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes × `dim`, seeded. */
   def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

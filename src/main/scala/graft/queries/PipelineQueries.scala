@@ -265,6 +265,35 @@ object PipelineQueries {
       Dedup.resolveDuplicates(docs, pairs).orderBy(col("doc_id"))
     }),
 
+    // quality-aware dedup resolution: same component graph as
+    // q_dedup_groups, but the keeper is the LONGEST doc of each
+    // component (doc_id tie-break) — the "keep the cleanest copy"
+    // policy, while component identity stays the min doc_id
+    "q_dedup_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val pairs = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("doc_id").as("b"))
+      Dedup.resolveDuplicatesBy(docs, pairs, length(col("text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental dedup: docs with doc_id % 3 == 0 arrive as a NEW
+    // batch and are admitted against the fingerprint index of the
+    // already-curated rest — the re-crawl path (corpus text is never
+    // re-read; only its fp column joins). Prefix-40 fingerprints
+    // (same as q_dedup_groups) exercise all three verdicts.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp40 = substring(col("text"), 1, 40)
+      val index = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(fp40.as("fp"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.incremental(batch, index, fp40).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup bands — rows-only check
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(Tables.documents(s, d))
@@ -306,6 +335,16 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
       Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // metadata-constrained vector search: top-5 within the query's
+    // own label slice — the filter rides the JOIN KEY (hash join on
+    // label), never a post-filter of oversampled neighbors
+    "q_similarity_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.filteredTopK(emb, queries, k = 5, constraintCols = Seq("label"))
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -425,6 +464,19 @@ object PipelineQueries {
       ("SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS component, " +
         "doc_id = min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS keep " +
         "FROM documents ORDER BY doc_id"),
+    "q_dedup_quality" ->
+      ("SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text,1,40)) AS component, " +
+        "row_number() OVER (PARTITION BY substr(text,1,40) " +
+        "ORDER BY length(text) DESC, doc_id) = 1 AS keep " +
+        "FROM documents ORDER BY doc_id"),
+    "q_dedup_incremental" ->
+      ("WITH b AS (SELECT doc_id, substr(text,1,40) AS fp FROM documents WHERE doc_id % 3 = 0), " +
+        "idx AS (SELECT DISTINCT substr(text,1,40) AS fp FROM documents WHERE doc_id % 3 <> 0), " +
+        "cls AS (SELECT doc_id, fp, " +
+        "CASE WHEN fp IN (SELECT fp FROM idx) THEN 'dup_of_index' " +
+        "WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 'novel' " +
+        "ELSE 'dup_in_batch' END AS status FROM b) " +
+        "SELECT doc_id, fp, status, status = 'novel' AS keep FROM cls ORDER BY doc_id"),
     "q_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp_md5, substr(md5(text),1,16) AS fp64 " +
         "FROM documents ORDER BY doc_id"),
@@ -635,6 +687,15 @@ object PipelineQueries {
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
         s"${cosSql("a", "b")} AS score " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id), " +
+        "ranked AS (SELECT qid, neighbor_id, score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
+    "q_similarity_filtered" ->
+      (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
+        s"${cosSql("a", "b")} AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 " +
+        "AND a.label = b.label AND a.vec_id <> b.vec_id), " +
         "ranked AS (SELECT qid, neighbor_id, score, " +
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
         "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +

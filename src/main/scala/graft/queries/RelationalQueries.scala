@@ -317,6 +317,13 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
+    // latest-state compaction: each user's event log collapsed to its
+    // most recent event (max_by on (us, event_id) — one partial-agg
+    // hash exchange, no per-user sort) plus lifetime counters
+    "q_latest_state" -> ((s, d) => {
+      Sessions.latestState(Tables.events(s, d)).orderBy(col("user_id"))
+    }),
+
     // robust per-group outlier counts: the median/MAD rule over event
     // values — exact interpolated percentiles, integer verdicts
     "q_outliers" -> ((s, d) => {
@@ -486,6 +493,17 @@ object RelationalQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
         "event_type = 'error' AS was_filled " +
         "FROM events ORDER BY user_id, us, event_id"),
+    "q_latest_state" ->
+      ("WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn " +
+        "FROM events), " +
+        "t AS (SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT r.user_id, us AS last_us, event_id AS last_event_id, " +
+        "event_type AS last_event_type, round(value, 6) AS last_value, " +
+        "n_events, lifetime_value " +
+        "FROM r JOIN t ON r.user_id = t.user_id WHERE rn = 1 ORDER BY r.user_id"),
     "q_outliers" ->
       ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
         "FROM events GROUP BY 1), " +

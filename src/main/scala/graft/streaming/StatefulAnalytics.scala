@@ -191,4 +191,63 @@ object StatefulAnalytics {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateFill(isMissing))(Encoders.product[FillState], Encoders.product[FillRow])
+
+  // ---------------------------------------------------------------
+  // latest-state compaction (↔ Sessions.latestState)
+  // ---------------------------------------------------------------
+
+  /** Per-user running champion + counters: the (us, event_id)-max
+    * event's fields, the event count, and the lifetime sum held in
+    * exact CENTS (the streaming image of the batch operator's
+    * DECIMAL(18,2) accumulation — long addition is associative, so
+    * the sum is arrival-order-stable where double addition is not). */
+  case class LatestState(us: Long, eventId: Long, eventType: String,
+                         value: Double, nEvents: Long, lifetimeCents: Long)
+
+  case class LatestRow(user_id: Long, last_us: Long, last_event_id: Long,
+                       last_event_type: String, last_value: Double,
+                       n_events: Long, lifetime_value: Double)
+
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Fold new events into the champion/counters and emit the updated
+    * row (update-stream semantics, like [[updateGaps]]: the latest
+    * row per user is the current compacted state). The (us, event_id)
+    * comparison makes the champion arrival-order-independent, so
+    * late-but-in-watermark events fold in correctly. */
+  def updateLatest(userId: Long, events: Iterator[Event],
+                   state: GroupState[LatestState]): Iterator[LatestRow] = {
+    val evs = events.toArray
+    if (evs.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(
+      LatestState(Long.MinValue, Long.MinValue, "", 0.0, 0L, 0L))
+    evs.foreach { e =>
+      val us = micros(e.ts)
+      val newer = us > st.us || (us == st.us && e.event_id > st.eventId)
+      st = LatestState(
+        if (newer) us else st.us,
+        if (newer) e.event_id else st.eventId,
+        if (newer) e.event_type else st.eventType,
+        if (newer) e.value else st.value,
+        st.nEvents + 1L,
+        st.lifetimeCents + cents(e.value))
+    }
+    state.update(st)
+    Iterator.single(LatestRow(userId, st.us, st.eventId, st.eventType,
+      round6(st.value), st.nEvents, st.lifetimeCents / 100.0))
+  }
+
+  /** Streaming (or batch) latest-state compaction. State never times
+    * out — it IS the compacted row (one champion struct + two longs
+    * per user), the same footprint any keyed upsert view carries. */
+  def latest(events: Dataset[Event]): Dataset[LatestRow] =
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateLatest)(Encoders.product[LatestState], Encoders.product[LatestRow])
 }

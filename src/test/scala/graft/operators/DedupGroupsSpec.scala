@@ -61,6 +61,21 @@ class DedupGroupsSpec extends SparkTestBase {
       99L -> ((99L, true))))
   }
 
+  test("resolveDuplicatesBy keeps the best-scoring doc, not the min id") {
+    import org.apache.spark.sql.functions.col
+    // component {1,2,3}: doc 2 has the top score; {7,8}: tie → min id 7;
+    // isolated 99 keeps itself
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 20L), (7L, 5L), (8L, 5L), (99L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Dedup.resolveDuplicatesBy(docs, pairs, col("quality"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      7L -> ((7L, true)), 8L -> ((7L, false)),
+      99L -> ((99L, true))))
+  }
+
   test("planted near-duplicates resolve into their groups via MinHash LSH") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val perturbed = base.replace("tok30", "changed")

@@ -188,4 +188,57 @@ class StatefulAnalyticsSpec extends SparkTestBase {
       assert(streamed.contains((8L, Some(5.0), true)))
     } finally q.stop()
   }
+
+  // latest-state fixture: out-of-order arrival within a user, an
+  // equal-timestamp tie (event_id decides), and cent-exact values
+  private val latestFixture = Seq(
+    fv(1, 50, 7, "view", 0.10), fv(2, 10, 7, "click", 0.20),
+    fv(3, 50, 7, "purchase", 0.30), // ties ev1 on ts; higher id wins
+    fv(4, 0, 8, "view", 1.11), fv(5, 99, 8, "click", 2.22))
+
+  private def batchLatest = {
+    import spark.implicits._
+    Sessions.latestState(latestFixture.toDF()).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("last_us"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("last_event_type"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("lifetime_value")))).toMap
+  }
+
+  test("batch-mode latest equals the max_by operator (ties, cents exact)") {
+    import spark.implicits._
+    val out = StatefulAnalytics.latest(latestFixture.toDS()).collect()
+      .map(r => r.user_id -> ((r.last_us, r.last_event_id, r.last_event_type,
+        r.last_value, r.n_events, r.lifetime_value))).toMap
+    assert(out == batchLatest)
+    assert(out(7L)._2 == 3L) // tie on ts(50) broken by event_id
+    assert(out(7L)._6 == 0.60) // 0.1+0.2+0.3 exact in cents, not 0.6000000000000001
+  }
+
+  test("incremental latest: an older event in a later batch cannot usurp the champion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StatefulAnalytics.latest(stream.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("latest_out").start()
+    try {
+      // user 7's newest event (min 50) arrives FIRST; the min-10
+      // event follows in a later batch and must only bump counters
+      stream.addData(latestFixture.filter(e => e.event_id != 2))
+      q.processAllAvailable()
+      stream.addData(latestFixture.filter(e => e.event_id == 2))
+      q.processAllAvailable()
+      val last = spark.table("latest_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(desc("n_events"))))
+        .filter(col("rk") === 1).drop("rk")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4), r.getLong(5), r.getDouble(6))))
+        .toMap
+      assert(last == batchLatest)
+    } finally q.stop()
+  }
 }
