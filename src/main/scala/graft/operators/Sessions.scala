@@ -131,10 +131,11 @@ object Sessions {
     * each user's event history to its most recent event — max
     * (us, event_id) — plus lifetime counters. Implemented as a single
     * `max_by` aggregation, NOT a row_number window: the window form
-    * fully sorts every user's events inside one partition, while
-    * max_by keeps ONE candidate struct per key per partition with
-    * map-side partial aggregation — the shape that compacts a 100 TB
-    * append-only event log in one hash exchange on user_id. The
+    * shuffles every event and sorts it inside user partitions, while
+    * max_by combines to ONE candidate struct per key per partition
+    * BEFORE the exchange (partial+final SortAggregate — the struct
+    * buffer isn't hash-mutable), so the shuffle carries compacted
+    * rows, not the 100 TB event log. The
     * event_id tie-break makes the result deterministic even under
     * equal timestamps; the lifetime sum rides DECIMAL(18,2) so it is
     * accumulation-order-stable cross-engine. */

@@ -74,6 +74,26 @@ object Plans {
         "never its square — and rounds grow as O(log diameter). Each " +
         "round re-enters SQL through a cached LogicalRDD so the plan " +
         "stays flat instead of nesting exponentially."),
+    "q_dedup_quality" ->
+      ("Same component graph as q_dedup_groups, but the keeper is " +
+        "chosen by ONE max_by hash aggregation on component (a single " +
+        "candidate struct per key per partition, map-side combined) " +
+        "plus a component-keyed hash join back — a 10M-copy component " +
+        "costs its row count, never a per-component sort."),
+    "q_dedup_incremental" ->
+      ("The re-crawl admission path: the batch LEFT-joins the stored " +
+        "fingerprint index keyed by fp (the index side is fp-only — " +
+        "the curated corpus text is never re-read) and the novel-vs-" +
+        "dup_in_batch verdict is a min window over the BATCH alone, " +
+        "so repeated ingests cost O(batch + index join), not " +
+        "O(corpus)."),
+    "q_similarity_filtered" ->
+      ("The metadata constraint rides the JOIN KEY: Catalyst extracts " +
+        "the label equality into a BroadcastHashJoin (probe side " +
+        "broadcast) with the qid≠vec_id residual, so the scored pair " +
+        "count shrinks by the filter's selectivity and top-k stays " +
+        "exact within the slice — no recall-losing post-filter, no " +
+        "nested-loop cross product."),
     "q_similarity_topk" ->
       ("Exact baseline, so the BroadcastNestedLoopJoin is deliberate: " +
         "the (small) query side is broadcast and the corpus streams " +
@@ -170,6 +190,14 @@ object Plans {
         "`last(_, ignoreNulls)` over a running ROWS frame evaluated " +
         "streaming — O(events) after the one shuffle any per-user " +
         "ordering needs; values ride through with no arithmetic."),
+    "q_latest_state" ->
+      ("Event-log compaction as ONE max_by/count/sum aggregation on " +
+        "user_id (partial+final SortAggregate — max_by's struct " +
+        "buffer isn't hash-mutable): the map side combines to a " +
+        "single champion struct per user BEFORE the exchange, so the " +
+        "shuffle carries one compacted row per user per partition — " +
+        "compare a row_number window, which shuffles EVERY event of " +
+        "a 100 TB log and then sorts it inside user partitions."),
     "q_outliers" ->
       ("Three grouped aggregates (median, MAD, verdict counts), each " +
         "a hash partial+final on event_type; the tiny per-group " +
