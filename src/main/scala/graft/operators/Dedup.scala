@@ -61,6 +61,58 @@ object Dedup {
         (col("status") === "novel").as("keep"))
   }
 
+  /** Incremental NEAR-dup admission — the fuzzy twin of
+    * [[incremental]]: classify each batch doc against the curated
+    * corpus through its MinHash BAND-KEY index. The band keys
+    * (`numBands` ints per corpus doc — what a real deployment
+    * persists; recomputed here from `index` for self-containment)
+    * generate candidates via a (band, band-hash) equi-join, and only
+    * CANDIDATE corpus docs are re-shingled for the exact-Jaccard
+    * verify — per ingest the cost is O(batch + candidates), never
+    * O(corpus). Flagged docs are structurally SOUND (every
+    * `near_dup` verdict carries an exact-verified Jaccard ≥
+    * `minJaccard` witness in `match_id`); recall is the LSH catch
+    * probability 1-(1-J^rows)^bands, so recall-oriented admission
+    * wants many short bands (16×2 catches J=0.5 pairs w.p. 0.99).
+    *
+    * Hot-bucket guard on the index side as in [[minhashCandidates]]:
+    * deterministic lowest-id cap bounds a degenerate bucket's join
+    * fan-out at bands·cap·|batch-side of that bucket|. */
+  def incrementalNearDup(batch: DataFrame, index: DataFrame,
+                         minJaccard: Double = 0.5,
+                         numBands: Int = 16, rowsPerBand: Int = 2,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val bBands = minhash(batch, numBands, rowsPerBand)
+      .select(col("doc_id").as("batch_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val iBands = minhash(index, numBands, rowsPerBand)
+      .select(col("doc_id").as("index_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("index_id"))))
+      .filter(col("r") <= maxBucketSize).drop("r")
+    val candidates = bBands.join(iBands, Seq("band", "bh"))
+      .select(col("batch_id"), col("index_id")).distinct()
+    // exact verify on candidates only: re-shingle just the corpus
+    // docs some batch doc collided with
+    val candIndexDocs = index.join(
+      candidates.select(col("index_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val bsh = shingleRows(batch).select(col("doc_id").as("batch_id"), col("s"))
+    val ish = shingleRows(candIndexDocs).select(col("doc_id").as("index_id"), col("s"))
+    val bsz = bsh.groupBy("batch_id").agg(count(lit(1)).as("nb"))
+    val isz = ish.groupBy("index_id").agg(count(lit(1)).as("ni"))
+    val verified = bsh.join(ish, "s")
+      .join(candidates, Seq("batch_id", "index_id"), "left_semi")
+      .groupBy("batch_id", "index_id").agg(count(lit(1)).as("inter"))
+      .join(bsz, "batch_id").join(isz, "index_id")
+      .filter(col("inter").cast("double")
+        / (col("nb") + col("ni") - col("inter")) >= minJaccard)
+    val matches = verified.groupBy("batch_id").agg(min("index_id").as("match_id"))
+    batch.select(col("doc_id"))
+      .join(matches.withColumnRenamed("batch_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, lit("near_dup")).otherwise(lit("novel")).as("status"),
+        col("match_id"), col("match_id").isNull.as("keep"))
+  }
+
   /** Distinct word-3-shingles, one row per (doc_id, shingle).
     * posexplode + lead window: one shuffle by doc_id, all shingle
     * construction codegen'd. */

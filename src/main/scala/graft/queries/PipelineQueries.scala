@@ -294,6 +294,44 @@ object PipelineQueries {
       Dedup.incremental(batch, index, fp40).orderBy(col("doc_id"))
     }),
 
+    // fuzzy incremental admission as a checked contract: the engine
+    // flags batch docs near-duplicating the corpus through the
+    // band-key index + exact verify; flagged must be ⊆ the exact
+    // bipartite truth (soundness) and recover ≥80% of it (recall —
+    // 16×2 bands catch J≥0.5 pairs w.p. ≥0.99). n_batch/n_exact are
+    // oracle-recomputed exactly; the booleans must come out TRUE.
+    "q_dedup_incr_near" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val index = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val flagged = Dedup.incrementalNearDup(batch, index, minJaccard = 0.5)
+        .filter(col("status") === "near_dup")
+        .select(col("doc_id"), lit(1).as("f"))
+      // exact bipartite truth: full inverted-index join, no LSH
+      val bsh = Dedup.shingleRows(batch).select(col("doc_id").as("a"), col("s"))
+      val ish = Dedup.shingleRows(index).select(col("doc_id").as("b"), col("s"))
+      val na = bsh.groupBy("a").agg(count(lit(1)).as("na"))
+      val nb = ish.groupBy("b").agg(count(lit(1)).as("nb"))
+      val truth = bsh.join(ish, "s").groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        .join(na, "a").join(nb, "b")
+        .filter(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select(col("a").as("doc_id")).distinct()
+        .withColumn("t", lit(1))
+      batch.select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left")
+        .join(truth, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_batch"),
+          sum(coalesce(col("t"), lit(0))).cast("long").as("n_exact"),
+          max(when(col("f") === 1 && col("t").isNull, 1).otherwise(0)).as("unsound"),
+          sum(when(col("f") === 1 && col("t") === 1, 1).otherwise(0)).as("n_hit"))
+        .select(col("n_batch"), col("n_exact"),
+          (col("unsound") === 0).as("sound"),
+          (col("n_exact") === 0 ||
+            col("n_hit") / col("n_exact") >= 0.8).as("recall_ok"))
+    }),
+
     // SimHash near-dup bands — rows-only check
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(Tables.documents(s, d))
@@ -477,6 +515,21 @@ object PipelineQueries {
         "WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 'novel' " +
         "ELSE 'dup_in_batch' END AS status FROM b) " +
         "SELECT doc_id, fp, status, status = 'novel' AS keep FROM cls ORDER BY doc_id"),
+    "q_dedup_incr_near" ->
+      (s"WITH b AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 3 = 0), " +
+        s"i AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 3 <> 0), " +
+        "bx AS (SELECT doc_id, unnest(sh) AS s FROM b), " +
+        "ix AS (SELECT doc_id, unnest(sh) AS s FROM i), " +
+        "bn AS (SELECT doc_id, len(sh) AS n FROM b), " +
+        "inz AS (SELECT doc_id, len(sh) AS n FROM i), " +
+        "p AS (SELECT bx.doc_id AS a, ix.doc_id AS bd, count(*) AS inter " +
+        "FROM bx JOIN ix ON bx.s = ix.s GROUP BY 1, 2), " +
+        "e AS (SELECT DISTINCT a FROM p JOIN bn ON bn.doc_id = p.a " +
+        "JOIN inz ON inz.doc_id = p.bd " +
+        "WHERE CAST(inter AS DOUBLE)/(bn.n + inz.n - inter) >= 0.5) " +
+        "SELECT (SELECT count(*) FROM b) AS n_batch, " +
+        "(SELECT count(*) FROM e) AS n_exact, " +
+        "TRUE AS sound, TRUE AS recall_ok"),
     "q_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp_md5, substr(md5(text),1,16) AS fp64 " +
         "FROM documents ORDER BY doc_id"),

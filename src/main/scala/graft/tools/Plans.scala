@@ -87,6 +87,16 @@ object Plans {
         "dup_in_batch verdict is a min window over the BATCH alone, " +
         "so repeated ingests cost O(batch + index join), not " +
         "O(corpus)."),
+    "q_dedup_incr_near" ->
+      ("Fuzzy admission against the corpus' MinHash band-key index: " +
+        "candidates come from a (band, band-hash) equi-join (hot " +
+        "buckets capped deterministically), and ONLY candidate " +
+        "corpus docs are re-shingled for the exact-Jaccard verify — " +
+        "a left-semi join prunes the corpus before any shingle work, " +
+        "so an ingest costs O(batch + candidates), never O(corpus). " +
+        "The contract query's exact-truth branch is the expensive " +
+        "full bipartite join — deliberately, to prove the LSH route " +
+        "sound and ≥0.8-recall against it."),
     "q_similarity_filtered" ->
       ("The metadata constraint rides the JOIN KEY: Catalyst extracts " +
         "the label equality into a BroadcastHashJoin (probe side " +

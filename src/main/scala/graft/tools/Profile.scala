@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc per-query profiler: warm session, repeated timed runs.
-  * Usage: runMain graft.tools.Profile <sfDir> <query>[,<query>...] [--explain]
+  * Usage: runMain graft.tools.Profile <sfDir> <query>[,<query>...] [--explain] [--show]
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -22,6 +22,7 @@ object Profile {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
+      if (args.contains("--show")) fn(spark, sfDir).show(20, false)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
