@@ -294,6 +294,27 @@ object PipelineQueries {
       Dedup.incremental(batch, index, fp40).orderBy(col("doc_id"))
     }),
 
+    // cross-source duplication matrix (corpus governance): for every
+    // unordered source pair, how many duplicate fingerprints they
+    // share — diagonal entries count intra-source dup groups (≥2
+    // copies within the source). One (fp, source) partial agg, an
+    // fp-keyed self-join bounded by sources-per-fp (≤ #sources), and
+    // a tiny source-pair agg — the mirror-detection report that
+    // tells a 100 TB curation which feeds re-crawl each other.
+    "q_dup_sources" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(substring(col("text"), 1, 40).as("fp"), col("source"))
+        .groupBy("fp", "source").agg(count(lit(1)).as("n"))
+      val a = f.select(col("fp"), col("source").as("source_a"), col("n").as("na"))
+      val b = f.select(col("fp"), col("source").as("source_b"), col("n").as("nb"))
+      a.join(b, Seq("fp"))
+        .filter(col("source_a") < col("source_b") ||
+          (col("source_a") === col("source_b") && col("na") >= 2))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // fuzzy incremental admission as a checked contract: the engine
     // flags batch docs near-duplicating the corpus through the
     // band-key index + exact verify; flagged must be ⊆ the exact
@@ -515,6 +536,13 @@ object PipelineQueries {
         "WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 'novel' " +
         "ELSE 'dup_in_batch' END AS status FROM b) " +
         "SELECT doc_id, fp, status, status = 'novel' AS keep FROM cls ORDER BY doc_id"),
+    "q_dup_sources" ->
+      ("WITH f AS (SELECT substr(text,1,40) AS fp, source, count(*) AS n " +
+        "FROM documents GROUP BY 1, 2) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_fps " +
+        "FROM f a JOIN f b ON a.fp = b.fp " +
+        "WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_dedup_incr_near" ->
       (s"WITH b AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 3 = 0), " +
         s"i AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id % 3 <> 0), " +

@@ -317,6 +317,28 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
+    // TPC-H Q3-shape shipping priority: segment-filtered 3-way join →
+    // per-order revenue → deterministic top-10. Both date predicates
+    // push to the parquet scans, the segment-filtered customer side
+    // broadcasts, and revenue rides DECIMAL(18,2) so the ranking is
+    // bit-stable cross-engine
+    "q_ship_priority" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,2)")).cast("double").as("rev"))
+        .orderBy(desc("rev"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), round(col("rev"), 2).as("revenue"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_orderpriority"))
+    }),
+
     // latest-state compaction: each user's event log collapsed to its
     // most recent event (max_by on (us, event_id) — one partial-agg
     // hash exchange, no per-user sort) plus lifetime counters
@@ -493,6 +515,16 @@ object RelationalQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
         "event_type = 'error' AS was_filled " +
         "FROM events ORDER BY user_id, us, event_id"),
+    "q_ship_priority" ->
+      ("SELECT l_orderkey, " +
+        "round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue, " +
+        "epoch_us(o_orderdate) AS o_date_us, o_orderpriority " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
+        "AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q_latest_state" ->
       ("WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn " +

@@ -87,6 +87,21 @@ object Plans {
         "dup_in_batch verdict is a min window over the BATCH alone, " +
         "so repeated ingests cost O(batch + index join), not " +
         "O(corpus)."),
+    "q_ship_priority" ->
+      ("The TPC-H Q3 composite: both date predicates live in " +
+        "PushedFilters (row groups outside the cutoff are never " +
+        "read), the segment-filtered customer side broadcasts, " +
+        "revenue aggregates partial+final in HashAggregate, and the " +
+        "top-10 is TakeOrderedAndProject — per-partition heaps, no " +
+        "global sort of the aggregate output. Revenue rides " +
+        "DECIMAL(18,2) so the ranking is bit-stable cross-engine."),
+    "q_dup_sources" ->
+      ("Corpus-governance mirror detection: one (fp, source) " +
+        "partial+final aggregate, then an fp-keyed self-join whose " +
+        "fan-out is bounded by sources-per-fingerprint (≤ #sources, " +
+        "not #copies), then a tiny source-pair aggregate — the " +
+        "matrix costs one corpus scan regardless of how hot any " +
+        "duplicate group is."),
     "q_dedup_incr_near" ->
       ("Fuzzy admission against the corpus' MinHash band-key index: " +
         "candidates come from a (band, band-hash) equi-join (hot " +
