@@ -294,6 +294,29 @@ object PipelineQueries {
       Dedup.incremental(batch, index, fp40).orderBy(col("doc_id"))
     }),
 
+    // tokenizer-prep vocabulary coverage: top-20 term vocab from the
+    // train split (tf desc, term tie-break — deterministic at the
+    // cutoff), OOV rate of the held-out split as integer ppm. The
+    // vocab is TakeOrdered'd then broadcast — the held-out scan never
+    // shuffles
+    "q_vocab_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+      val vocab = toks(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("term")).limit(20)
+        .select(col("term"), lit(1).as("in_vocab"))
+      val cov = toks(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .agg(count(lit(1)).as("n_held_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      cov.crossJoin(vocab.agg(count(lit(1)).cast("long").as("n_vocab")))
+        .select(col("n_vocab"), col("n_held_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_held_tokens").as("oov_e6"))
+    }),
+
     // cross-source duplication matrix (corpus governance): for every
     // unordered source pair, how many duplicate fingerprints they
     // share — diagonal entries count intra-source dup groups (≥2
@@ -536,6 +559,19 @@ object PipelineQueries {
         "WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 'novel' " +
         "ELSE 'dup_in_batch' END AS status FROM b) " +
         "SELECT doc_id, fp, status, status = 'novel' AS keep FROM cls ORDER BY doc_id"),
+    "q_vocab_coverage" ->
+      ("WITH tr AS (SELECT unnest(string_split(text, ' ')) AS term " +
+        "FROM documents WHERE doc_id % 4 <> 0), " +
+        "v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM tr " +
+        "WHERE term <> '' GROUP BY 1) ORDER BY tf DESC, term LIMIT 20), " +
+        "h AS (SELECT unnest(string_split(text, ' ')) AS term " +
+        "FROM documents WHERE doc_id % 4 = 0), " +
+        "hh AS (SELECT term FROM h WHERE term <> ''), " +
+        "st AS (SELECT (SELECT count(*) FROM v) AS n_vocab, " +
+        "(SELECT count(*) FROM hh) AS n_held_tokens, " +
+        "(SELECT count(*) FROM hh WHERE term NOT IN (SELECT term FROM v)) AS n_oov) " +
+        "SELECT n_vocab, n_held_tokens, n_oov, " +
+        "n_oov * 1000000 // n_held_tokens AS oov_e6 FROM st"),
     "q_dup_sources" ->
       ("WITH f AS (SELECT substr(text,1,40) AS fp, source, count(*) AS n " +
         "FROM documents GROUP BY 1, 2) " +

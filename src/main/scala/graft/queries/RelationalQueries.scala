@@ -317,6 +317,34 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
+    // equal-width histogram of order totals: 20 codegen'd arithmetic
+    // buckets folded map-side — the profiling histogram is one scan
+    // and a 20-group exchange no matter how large orders gets
+    "q_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(least(greatest(floor(col("o_totalprice") / 25000).cast("long"),
+          lit(0L)), lit(19L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // explicit GROUPING SETS (beyond rollup/cube): three chosen
+    // aggregation levels + grouping_id in ONE Expand pass over a
+    // single scan — runs as SQL text, the form a BI layer emits
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      Tables.customer(s, d).createOrReplaceTempView("customer_gs")
+      s.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+          |       count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gs JOIN customer_gs ON o_custkey = c_custkey
+          |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+          |ORDER BY gid, segment, priority""".stripMargin)
+    }),
+
     // TPC-H Q3-shape shipping priority: segment-filtered 3-way join →
     // per-order revenue → deterministic top-10. Both date predicates
     // push to the parquet scans, the segment-filtered customer side
@@ -515,6 +543,18 @@ object RelationalQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
         "event_type = 'error' AS was_filled " +
         "FROM events ORDER BY user_id, us, event_id"),
+    "q_histogram" ->
+      ("SELECT least(greatest(CAST(floor(o_totalprice / 25000) AS BIGINT), 0), 19) AS bucket, " +
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"),
+    "q_grouping_sets" ->
+      ("SELECT coalesce(c_mktsegment, 'ALL') AS segment, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid, " +
+        "count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ()) " +
+        "ORDER BY gid, segment, priority"),
     "q_ship_priority" ->
       ("SELECT l_orderkey, " +
         "round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue, " +

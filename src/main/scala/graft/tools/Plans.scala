@@ -87,6 +87,19 @@ object Plans {
         "dup_in_batch verdict is a min window over the BATCH alone, " +
         "so repeated ingests cost O(batch + index join), not " +
         "O(corpus)."),
+    "q_vocab_coverage" ->
+      ("Vocabulary fit + held-out coverage in two scans: the train " +
+        "scan aggregates term frequencies partial+final and the " +
+        "top-20 cutoff is TakeOrderedAndProject (per-partition " +
+        "heaps); the tiny vocab then BROADCASTS into the held-out " +
+        "scan, so coverage is a map-side join + one global agg — " +
+        "the held-out tokens never shuffle."),
+    "q_grouping_sets" ->
+      ("Three chosen aggregation levels compile to ONE Expand node " +
+        "feeding partial+final HashAggregate over a single scan — " +
+        "the same single-pass shape as q_rollup/q_cube but with an " +
+        "arbitrary (non-lattice) set list, entered through SQL text " +
+        "as a BI layer would emit it."),
     "q_ship_priority" ->
       ("The TPC-H Q3 composite: both date predicates live in " +
         "PushedFilters (row groups outside the cutoff are never " +
