@@ -19,7 +19,8 @@ import graft.sketch.GradientCodec
   * partial sums (`SketchGradientDescent.scala:274`): lossy error
   * compounds along the aggregation tree, as in the reference.
   */
-final class GradientAccumulator(val dim: Int, val codec: GradientCodec)
+final class GradientAccumulator(val dim: Int, val codec: GradientCodec,
+                                val loss: PointLoss = SquaredPointLoss)
     extends Serializable {
 
   @transient var grad: Array[Double] = new Array[Double](dim)
@@ -27,12 +28,16 @@ final class GradientAccumulator(val dim: Int, val codec: GradientCodec)
   var count: Long = 0L
   var lossSum: Double = 0.0
 
-  /** Add one data point's gradient at weights (w, b). */
+  /** Add one data point's gradient at weights (w, b): margin →
+    * pointwise (scale, loss) → axpy. For [[SquaredPointLoss]] this is
+    * arithmetically identical to the fused residual form. */
   def add(w: Array[Double], b: Double,
           x: org.apache.spark.ml.linalg.Vector, y: Double): GradientAccumulator = {
-    val r = LinearLoss.addGradient(w, b, x, y, grad)
-    interceptGrad += r
-    lossSum += 0.5 * r * r
+    val z = LinearLoss.predict(w, b, x)
+    val (g, l) = loss.scaleAndLoss(z, y)
+    LinearLoss.addScaled(x, g, grad)
+    interceptGrad += g
+    lossSum += l
     count += 1
     this
   }

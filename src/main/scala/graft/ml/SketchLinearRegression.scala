@@ -63,6 +63,11 @@ class SketchLinearRegression extends Serializable {
     * (`SketchConfig.scala:17`, `SketchGradientDescent.scala:235-282`). */
   def setTreeDepth(d: Int): this.type = { treeDepth = d; this }
 
+  /** Pointwise loss over the linear margin — squared here; overridden
+    * by [[SketchLogisticRegression]]. Everything else (driver loop,
+    * codec-compressed treeAggregate, schedules, penalties) is shared. */
+  protected def pointLoss: PointLoss = SquaredPointLoss
+
   def fit(data: Dataset[graft.sources.LibSvm.LabeledVec]): LinearModel =
     fitRDD(data.rdd.map(lv => (lv.label, lv.features)))
 
@@ -85,7 +90,7 @@ class SketchLinearRegression extends Serializable {
     while (t <= iterations && !converged) {
       val bcW = sc.broadcast(weights)
       val bcB = intercept
-      val agg = cached.treeAggregate(new GradientAccumulator(dim, codec))(
+      val agg = cached.treeAggregate(new GradientAccumulator(dim, codec, pointLoss))(
         seqOp = (acc, row) => acc.add(bcW.value, bcB, row._2, row._1),
         combOp = (a, b) => a.merge(b),
         depth = treeDepth)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{GraftFunctions, SketchGradientSum, VectorOps}
-import graft.ml.SketchLinearRegression
+import graft.ml.{SketchLinearRegression, SketchLogisticRegression}
 import graft.sketch.{IdentityCodec, SketchCodec}
 import graft.sources.LibSvm
 
@@ -172,6 +172,24 @@ object RefQueries {
         r(m.intercept, 4))).toDF("w1", "w2", "w3", "b")
     }),
 
+    // Binary logistic regression on the SAME sketch-SGD machinery
+    // (engine extension — the reference is squared-loss only).
+    // Labels are a deterministic margin rule on x1 (quantity > 25);
+    // the fitted separator must reach ≥90% training accuracy, checked
+    // as a boolean contract with n oracle-recomputed.
+    "q_logistic_train" -> ((s, d) => {
+      val rdd = featsRdd(s, d).map { case (_, v) =>
+        (if (v(0) > 0.5) 1.0 else 0.0, v) }
+      val m = new SketchLogisticRegression()
+        .setIterations(30).setStepsize(6.0).setCompressionType("None")
+        .fitRDD(rdd)
+      val df = feats(Tables.lineitem(s, d))
+        .select((col("x1") > 0.5).cast("double").as("label"),
+          array(col("x1"), col("x2"), col("x3")).as("features"))
+      SketchLogisticRegression.binaryAccuracy(m, df)
+        .select(col("n"), (col("acc_e6") >= 900000L).as("acc_ok"))
+    }),
+
     // Same run with SketchML compression on the aggregation tree —
     // lossy by design (SURVEY §7 risk 3): rows-only check.
     "q_sgd_train_sketch" -> ((s, d) => {
@@ -279,6 +297,8 @@ object RefQueries {
         s"round(avg(abs((0.1 + 0.5*x1 + 1.0*x2 + 2.0*x3) - y)),6) AS mae, " +
         s"count(*) AS n FROM ($featsSql) f"),
     "q_sgd_train" -> sgdOracleSql(5, 0.5),
+    "q_logistic_train" ->
+      "SELECT count(*) AS n, TRUE AS acc_ok FROM lineitem",
     "q_sketch_agg_sql" ->
       (s"SELECT round(sum(x1),4) AS g1, round(sum(x2),4) AS g2, " +
         s"round(sum(x3),4) AS g3, count(*) AS n FROM ($featsSql) f")

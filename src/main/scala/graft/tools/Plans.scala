@@ -87,6 +87,13 @@ object Plans {
         "dup_in_batch verdict is a min window over the BATCH alone, " +
         "so repeated ingests cost O(batch + index join), not " +
         "O(corpus)."),
+    "q_logistic_train" ->
+      ("Classification on the shared sketch-SGD loop: one persisted " +
+        "pass + 30 treeAggregate jobs whose partial buffers cross " +
+        "the exchange through the gradient codec (identical wire " +
+        "shape to q_sgd_train — only the pointwise loss differs), " +
+        "then ONE codegen'd accuracy aggregate (no UDF, no collect " +
+        "of predictions)."),
     "q_vocab_coverage" ->
       ("Vocabulary fit + held-out coverage in two scans: the train " +
         "scan aggregates term frequencies partial+final and the " +

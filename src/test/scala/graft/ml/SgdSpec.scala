@@ -186,4 +186,47 @@ class SgdSpec extends SparkTestBase {
     assert(preds(1.0) == 2.0 * 1.0 + 1.0 * 2.0 + 0.5)
     assert(preds(0.0) == 2.0 * 0.5 + 1.0 * 0.5 + 0.5)
   }
+
+  test("logistic: one step from zero matches the closed form") {
+    // at w=0,b=0 every margin is 0 ⇒ p=½ and the gradient scale is
+    // (½ − y) exactly; one Default-schedule step of size η gives
+    // w = −η·mean((½−y)·x), b = −η·mean(½−y)
+    val eta = 0.8
+    val rows = Seq(
+      (1.0, Vectors.dense(2.0, -1.0)),
+      (0.0, Vectors.dense(0.5, 3.0)),
+      (1.0, Vectors.dense(-1.5, 0.25)))
+    val data = spark.sparkContext.parallelize(rows, 2)
+    val m = new SketchLogisticRegression()
+      .setIterations(1).setStepsize(eta).fitRDD(data)
+    def mean(f: ((Double, org.apache.spark.ml.linalg.Vector)) => Double) =
+      rows.map(f).sum / rows.length
+    val expW0 = -eta * mean { case (y, x) => (0.5 - y) * x(0) }
+    val expW1 = -eta * mean { case (y, x) => (0.5 - y) * x(1) }
+    val expB = -eta * mean { case (y, _) => 0.5 - y }
+    assert(math.abs(m.weights(0) - expW0) < 1e-12)
+    assert(math.abs(m.weights(1) - expW1) < 1e-12)
+    assert(math.abs(m.intercept - expB) < 1e-12)
+    // first-iteration loss at w=0 is exactly log 2 per point
+    assert(math.abs(m.lossHistory.head - math.log(2.0)) < 1e-12)
+  }
+
+  test("logistic separates a linearly separable cloud") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { _ =>
+      val x = Array(rnd.nextGaussian(), rnd.nextGaussian())
+      val y = if (x(0) + 0.5 * x(1) > 0) 1.0 else 0.0
+      (y, Vectors.dense(x))
+    }
+    val data = spark.sparkContext.parallelize(rows, 4)
+    val m = new SketchLogisticRegression()
+      .setIterations(40).setStepsize(2.0).fitRDD(data)
+    val acc = rows.count { case (y, x) =>
+      val z = m.weights(0) * x(0) + m.weights(1) * x(1) + m.intercept
+      (if (z >= 0) 1.0 else 0.0) == y
+    }.toDouble / rows.length
+    assert(acc >= 0.95, s"logistic failed to separate: accuracy $acc")
+    // log-loss must fall monotonically-ish: final well below initial
+    assert(m.lossHistory.last < m.lossHistory.head / 2)
+  }
 }
