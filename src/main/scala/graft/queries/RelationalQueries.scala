@@ -317,6 +317,22 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
+    // semi-structured extraction: pull a typed field out of the
+    // events' JSON props column and aggregate it per event type —
+    // the JSON parse happens once per row on the scan, and only the
+    // extracted integer rides the exchange
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).cast("long").as("n_missing"))
+        .orderBy("event_type")
+    }),
+
     // equal-width histogram of order totals: 20 codegen'd arithmetic
     // buckets folded map-side — the profiling histogram is one scan
     // and a 20-group exchange no matter how large orders gets
@@ -543,6 +559,12 @@ object RelationalQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
         "event_type = 'error' AS was_filled " +
         "FROM events ORDER BY user_id, us, event_id"),
+    "q_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, " +
+        "count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_missing " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q_histogram" ->
       ("SELECT least(greatest(CAST(floor(o_totalprice / 25000) AS BIGINT), 0), 19) AS bucket, " +
         "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"),

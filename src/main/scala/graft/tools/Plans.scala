@@ -87,6 +87,13 @@ object Plans {
         "dup_in_batch verdict is a min window over the BATCH alone, " +
         "so repeated ingests cost O(batch + index join), not " +
         "O(corpus)."),
+    "q_json_extract" ->
+      ("Semi-structured extraction stays on the scan: " +
+        "get_json_object parses each props string ONCE and only the " +
+        "extracted long enters the partial+final aggregate — the " +
+        "exchange carries 5 event-type groups, never JSON text. At " +
+        "100 TB the upgrade path is from_json into a struct column " +
+        "at ingest; the aggregate shape is already the right one."),
     "q_logistic_train" ->
       ("Classification on the shared sketch-SGD loop: one persisted " +
         "pass + 30 treeAggregate jobs whose partial buffers cross " +
