@@ -178,14 +178,19 @@ object RefQueries {
     // the fitted separator must reach ≥90% training accuracy, checked
     // as a boolean contract with n oracle-recomputed.
     "q_logistic_train" -> ((s, d) => {
+      // center x1 so the separating boundary passes near the origin —
+      // zero-init GD then converges in ~10 iterations instead of ~50
+      // (the uncentered boundary needs the intercept to drift to
+      // −w·0.5, the slowest direction under a shrinking schedule)
       val rdd = featsRdd(s, d).map { case (_, v) =>
-        (if (v(0) > 0.5) 1.0 else 0.0, v) }
+        (if (v(0) > 0.5) 1.0 else 0.0,
+          Vectors.dense(v(0) - 0.5, v(1), v(2))) }
       val m = new SketchLogisticRegression()
-        .setIterations(30).setStepsize(6.0).setCompressionType("None")
+        .setIterations(10).setStepsize(6.0).setCompressionType("None")
         .fitRDD(rdd)
       val df = feats(Tables.lineitem(s, d))
         .select((col("x1") > 0.5).cast("double").as("label"),
-          array(col("x1"), col("x2"), col("x3")).as("features"))
+          array(col("x1") - 0.5, col("x2"), col("x3")).as("features"))
       SketchLogisticRegression.binaryAccuracy(m, df)
         .select(col("n"), (col("acc_e6") >= 900000L).as("acc_ok"))
     }),
