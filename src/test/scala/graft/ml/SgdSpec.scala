@@ -229,4 +229,32 @@ class SgdSpec extends SparkTestBase {
     // log-loss must fall monotonically-ish: final well below initial
     assert(m.lossHistory.last < m.lossHistory.head / 2)
   }
+
+  test("sketch-compressed logistic tracks the uncompressed run (A/B)") {
+    // the reference's raison d'être — lossy gradient compression on
+    // the aggregation exchange — must transfer to the logistic loss
+    // through the PointLoss seam without derailing training
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 600).map { _ =>
+      val x = Array(rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+      val y = if (x(0) - 0.7 * x(2) > 0) 1.0 else 0.0
+      (y, Vectors.dense(x))
+    }
+    val data = spark.sparkContext.parallelize(rows, 4)
+    def fit(codec: String) = new SketchLogisticRegression()
+      .setIterations(30).setStepsize(2.0).setCompressionType(codec).fitRDD(data)
+    val plain = fit("None")
+    val sketch = fit("Sketch")
+    def acc(m: LinearModel) = rows.count { case (y, x) =>
+      val z = m.weights.zip(x.toArray).map { case (w, v) => w * v }.sum + m.intercept
+      (if (z >= 0) 1.0 else 0.0) == y
+    }.toDouble / rows.length
+    assert(acc(plain) >= 0.95, s"plain accuracy ${acc(plain)}")
+    assert(acc(sketch) >= 0.93, s"sketch accuracy ${acc(sketch)}")
+    val mae = plain.weights.zip(sketch.weights)
+      .map { case (a, b) => math.abs(a - b) }.sum / plain.weights.length
+    val scale = plain.weights.map(math.abs).max
+    assert(mae <= 0.2 * scale,
+      s"sketch drifted: MAE $mae vs plain ${plain.weights.toSeq} / sketch ${sketch.weights.toSeq}")
+  }
 }
