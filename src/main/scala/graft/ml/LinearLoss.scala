@@ -60,7 +60,8 @@ object LinearLoss {
     0.5 * r * r
   }
 
-  /** axpy: gradOut += g·x (sparse-aware). */
+  /** axpy: gradOut += g·x (sparse-aware — the left-fold-densify trick
+    * of `FlinkGradientDescent.scala:222-230`). */
   def addScaled(x: Vector, g: Double, gradOut: Array[Double]): Unit = x match {
     case d: DenseVector =>
       val v = d.values
@@ -72,22 +73,4 @@ object LinearLoss {
       while (i < idx.length) { gradOut(idx(i)) += g * v(i); i += 1 }
   }
 
-  /** Accumulate this point's gradient into `gradOut` (axpy-style, the
-    * left-fold-densify trick of `FlinkGradientDescent.scala:222-230`);
-    * returns the residual (= intercept gradient). */
-  def addGradient(w: Array[Double], b: Double, x: Vector, y: Double,
-                  gradOut: Array[Double]): Double = {
-    val r = predict(w, b, x) - y
-    x match {
-      case d: DenseVector =>
-        val v = d.values
-        var i = 0
-        while (i < v.length) { gradOut(i) += r * v(i); i += 1 }
-      case s: SparseVector =>
-        val idx = s.indices; val v = s.values
-        var i = 0
-        while (i < idx.length) { gradOut(idx(i)) += r * v(i); i += 1 }
-    }
-    r
-  }
 }

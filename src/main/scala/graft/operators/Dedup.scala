@@ -48,17 +48,28 @@ object Dedup {
     * never a self-join of the corpus. The index should be the stored
     * `fp` output of [[exact]] from the previous curation run, so
     * repeated ingests are O(batch + index-join), not O(corpus). */
+  /** Admission verdict labels — shared with the streaming twin
+    * (`streaming.StreamingAdmission`) so batch and live ingest can
+    * never drift apart on names or precedence. */
+  val DupOfIndex = "dup_of_index"
+  val DupInBatch = "dup_in_batch"
+  val Novel = "novel"
+
+  /** fp-membership view of a stored fingerprint index (dedup +
+    * boolean marker) — the index prep both admission paths join. */
+  def indexFps(index: DataFrame): DataFrame =
+    index.select(col("fp")).distinct().withColumn("in_index", lit(true))
+
   def incremental(batch: DataFrame, index: DataFrame, fp: Column): DataFrame = {
     val b = batch.select(col("doc_id"), fp.as("fp"))
-    val idx = index.select(col("fp")).distinct().withColumn("in_index", lit(true))
     val w = Window.partitionBy(col("fp"))
-    b.join(idx, Seq("fp"), "left")
+    b.join(indexFps(index), Seq("fp"), "left")
       .withColumn("status",
-        when(col("in_index"), lit("dup_of_index"))
-          .when(col("doc_id") === min(col("doc_id")).over(w), lit("novel"))
-          .otherwise(lit("dup_in_batch")))
+        when(col("in_index"), lit(DupOfIndex))
+          .when(col("doc_id") === min(col("doc_id")).over(w), lit(Novel))
+          .otherwise(lit(DupInBatch)))
       .select(col("doc_id"), col("fp"), col("status"),
-        (col("status") === "novel").as("keep"))
+        (col("status") === Novel).as("keep"))
   }
 
   /** Incremental NEAR-dup admission — the fuzzy twin of
@@ -88,6 +99,12 @@ object Dedup {
       .select(col("doc_id").as("index_id"), posexplode(col("bands")).as(Seq("band", "bh")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("band"), col("bh")).orderBy(col("index_id"))))
+      // same no-silent-caps contract as [[minhashCandidates]]: the
+      // number of capped-out index rows is an observe metric, so a
+      // caller can detect that admission ran against a truncated
+      // bucket instead of discovering missed dups downstream
+      .observe(s"lsh_bucket_truncated_${lshObserveSeq.incrementAndGet()}",
+        sum(when(col("r") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped"))
       .filter(col("r") <= maxBucketSize).drop("r")
     val candidates = bBands.join(iBands, Seq("band", "bh"))
       .select(col("batch_id"), col("index_id")).distinct()

@@ -49,11 +49,12 @@ object Similarity {
     * silently degrades recall when the filter is selective (the true
     * k may not survive the oversample), while pre-constraining both
     * prunes the scored pair count by the constraint's selectivity and
-    * keeps top-k exact within the slice. At scale the equality keys
-    * make this a plain hash join — Catalyst extracts them into a
-    * BroadcastHashJoin here (probe side broadcast), and with a big
-    * probe set the same plan shuffle-colocates both sides on the
-    * constraint columns, which unconstrained cosine search cannot. */
+    * keeps top-k exact within the slice. The query side is
+    * broadcast-hinted, so like [[bruteForceTopK]] the probe set must
+    * be small enough to broadcast; for a probe set that isn't, drop
+    * the hint and the same equality keys become a shuffle hash join
+    * colocated on the constraint columns — a co-location that
+    * unconstrained cosine search has no key to express. */
   def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    constraintCols: Seq[String]): DataFrame = {
     require(constraintCols.nonEmpty, "use bruteForceTopK when unconstrained")

@@ -367,9 +367,13 @@ object PipelineQueries {
         .join(truth, Seq("doc_id"), "left")
         .agg(
           count(lit(1)).as("n_batch"),
-          sum(coalesce(col("t"), lit(0))).cast("long").as("n_exact"),
-          max(when(col("f") === 1 && col("t").isNull, 1).otherwise(0)).as("unsound"),
-          sum(when(col("f") === 1 && col("t") === 1, 1).otherwise(0)).as("n_hit"))
+          // coalesce each aggregate: an EMPTY batch must report
+          // (0, 0, TRUE, TRUE) like the oracle's literals, not NULLs
+          coalesce(sum(coalesce(col("t"), lit(0))), lit(0)).cast("long").as("n_exact"),
+          coalesce(max(when(col("f") === 1 && col("t").isNull, 1).otherwise(0)),
+            lit(0)).as("unsound"),
+          coalesce(sum(when(col("f") === 1 && col("t") === 1, 1).otherwise(0)),
+            lit(0)).as("n_hit"))
         .select(col("n_batch"), col("n_exact"),
           (col("unsound") === 0).as("sound"),
           (col("n_exact") === 0 ||

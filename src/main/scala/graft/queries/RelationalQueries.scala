@@ -350,7 +350,7 @@ object RelationalQueries {
     "q_grouping_sets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_gs")
       Tables.customer(s, d).createOrReplaceTempView("customer_gs")
-      s.sql(
+      val df = s.sql(
         """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
           |       coalesce(o_orderpriority, 'ALL') AS priority,
           |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
@@ -359,6 +359,11 @@ object RelationalQueries {
           |FROM orders_gs JOIN customer_gs ON o_custkey = c_custkey
           |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
           |ORDER BY gid, segment, priority""".stripMargin)
+      // the analyzed plan is already bound to the scans — drop the
+      // views so the catalog isn't left mutated by a query call
+      s.catalog.dropTempView("orders_gs")
+      s.catalog.dropTempView("customer_gs")
+      df
     }),
 
     // TPC-H Q3-shape shipping priority: segment-filtered 3-way join →

@@ -37,10 +37,10 @@ object StreamingAdmission {
     var claimed = state.getOption.getOrElse(false)
     val out = evs.map { e =>
       val status =
-        if (e.in_index) "dup_of_index"
-        else if (!claimed) { claimed = true; "novel" }
-        else "dup_in_batch"
-      AdmissionRow(e.doc_id, e.fp, status, status == "novel")
+        if (e.in_index) graft.operators.Dedup.DupOfIndex
+        else if (!claimed) { claimed = true; graft.operators.Dedup.Novel }
+        else graft.operators.Dedup.DupInBatch
+      AdmissionRow(e.doc_id, e.fp, status, status == graft.operators.Dedup.Novel)
     }
     state.update(claimed)
     out.iterator
@@ -52,9 +52,8 @@ object StreamingAdmission {
     * curation run). */
   def admission(docs: DataFrame, index: DataFrame,
                 fp: org.apache.spark.sql.Column): Dataset[AdmissionRow] = {
-    val idx = index.select(col("fp")).distinct().withColumn("in_index", lit(true))
     docs.withColumn("fp", fp)
-      .join(idx, Seq("fp"), "left")
+      .join(graft.operators.Dedup.indexFps(index), Seq("fp"), "left")
       .select(col("doc_id").cast("long").as("doc_id"), col("fp"),
         coalesce(col("in_index"), lit(false)).as("in_index"))
       .as[AdmissionEvent](Encoders.product[AdmissionEvent])

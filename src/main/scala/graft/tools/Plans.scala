@@ -96,7 +96,7 @@ object Plans {
         "at ingest; the aggregate shape is already the right one."),
     "q_logistic_train" ->
       ("Classification on the shared sketch-SGD loop: one persisted " +
-        "pass + 30 treeAggregate jobs whose partial buffers cross " +
+        "pass + 10 treeAggregate jobs whose partial buffers cross " +
         "the exchange through the gradient codec (identical wire " +
         "shape to q_sgd_train — only the pointwise loss differs), " +
         "then ONE codegen'd accuracy aggregate (no UDF, no collect " +
