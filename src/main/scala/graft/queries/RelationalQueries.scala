@@ -317,6 +317,24 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("us"), col("event_id"))
     }),
 
+    // cohort retention (the classic activation analytics matrix):
+    // users grouped by first-seen day, then for each later day the
+    // count still active — two partial-agg exchanges keyed by
+    // user_id/day plus a user-keyed hash join; integer day
+    // arithmetic end to end, no per-user window sort
+    "q_retention" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $dayUs").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // semi-structured extraction: pull a typed field out of the
     // events' JSON props column and aggregate it per event type —
     // the JSON parse happens once per row on the scan, and only the
@@ -564,6 +582,11 @@ object RelationalQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
         "event_type = 'error' AS was_filled " +
         "FROM events ORDER BY user_id, us, event_id"),
+    "q_retention" ->
+      ("WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1) " +
+        "SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users " +
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_json_extract" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

@@ -87,6 +87,13 @@ object Plans {
         "dup_in_batch verdict is a min window over the BATCH alone, " +
         "so repeated ingests cost O(batch + index join), not " +
         "O(corpus)."),
+    "q_retention" ->
+      ("Cohort retention without a window: first-seen is a min " +
+        "partial+final aggregate on user_id, activity days are a " +
+        "distinct on (user, day), and the matrix is a user-keyed " +
+        "hash join + one more partial agg on (cohort, offset) — " +
+        "every exchange carries per-user or per-cell rows, never " +
+        "the event log, and nothing sorts inside user partitions."),
     "q_json_extract" ->
       ("Semi-structured extraction stays on the scan: " +
         "get_json_object parses each props string ONCE and only the " +
