@@ -62,7 +62,7 @@ object TextOps {
     * length, stopword, token-shape components. The float expression
     * order is part of the cross-engine contract — keep it identical
     * to the DuckDB oracle text. */
-  private def qualityE6Col: Column = {
+  private[graft] def qualityE6Col: Column = {
     val nTok = size(tokens(col("text"))).cast("double")
     val avgTokLen = col("n_chars").cast("double") / nTok
     floor((least(nTok / 100.0, lit(1.0)) * 0.3

@@ -317,6 +317,32 @@ object PipelineQueries {
           expr("n_oov * 1000000 div n_held_tokens").as("oov_e6"))
     }),
 
+    // per-source quality league table (corpus governance): integer
+    // mean/min/max of the composite quality heuristic per source —
+    // one scan, one partial-agg exchange on source
+    "q_source_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), TextOps.qualityE6Col.as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(q) div count(1)").as("mean_quality_e6"),
+          min(col("q")).as("min_quality_e6"),
+          max(col("q")).as("max_quality_e6"))
+        .orderBy("source")
+    }),
+
+    // duplicate-cluster size histogram (governance): how many dup
+    // groups exist at each multiplicity — two cascaded partial aggs,
+    // the second over at most #distinct-sizes keys
+    "q_dup_sizes" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(substring(col("text"), 1, 40).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .groupBy("n_copies").agg(count(lit(1)).as("n_groups"))
+        .orderBy("n_copies")
+    }),
+
     // cross-source duplication matrix (corpus governance): for every
     // unordered source pair, how many duplicate fingerprints they
     // share — diagonal entries count intra-source dup groups (≥2
@@ -563,6 +589,17 @@ object PipelineQueries {
         "WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 'novel' " +
         "ELSE 'dup_in_batch' END AS status FROM b) " +
         "SELECT doc_id, fp, status, status = 'novel' AS keep FROM cls ORDER BY doc_id"),
+    "q_source_quality" ->
+      (s"SELECT source, count(*) AS n_docs, " +
+        s"CAST(sum($qualitySql) // count(*) AS BIGINT) AS mean_quality_e6, " +
+        s"min($qualitySql) AS min_quality_e6, " +
+        s"max($qualitySql) AS max_quality_e6 " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+    "q_dup_sizes" ->
+      ("WITH g AS (SELECT substr(text,1,40) AS fp, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT n_copies, count(*) AS n_groups FROM g " +
+        "WHERE n_copies >= 2 GROUP BY 1 ORDER BY 1"),
     "q_vocab_coverage" ->
       ("WITH tr AS (SELECT unnest(string_split(text, ' ')) AS term " +
         "FROM documents WHERE doc_id % 4 <> 0), " +
