@@ -65,6 +65,14 @@ object Sessions {
     * running ROWS frame is evaluated streaming (no per-row rescan of
     * the frame), so cost is O(events) after the one shuffle any
     * per-user ordering needs.
+    *
+    * `was_filled` is the `missing` predicate itself, NOT
+    * `valid_v.isNull`: a non-missing row whose value column is
+    * genuinely NULL keeps its NULL (it is carried into `valid_v`,
+    * where `last(ignoreNulls)` skips it, so `filled_value` falls back
+    * to the previous valid value) but is reported `was_filled=false`
+    * — only rows the caller's predicate marked missing are flagged as
+    * imputed.
     */
   def fillForward(events: DataFrame, missing: Column,
                   valueCol: String = "value"): DataFrame = {
@@ -74,9 +82,9 @@ object Sessions {
     events.select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"),
         when(missing, lit(null).cast("double")).otherwise(col(valueCol))
-          .as("valid_v"))
+          .as("valid_v"),
+        missing.as("was_filled"))
       .withColumn("filled_value", last(col("valid_v"), ignoreNulls = true).over(w))
-      .withColumn("was_filled", col("valid_v").isNull)
       .select(col("event_id"), col("user_id"), col("us"),
         col("filled_value"), col("was_filled"))
   }

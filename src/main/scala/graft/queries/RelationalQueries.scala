@@ -364,24 +364,24 @@ object RelationalQueries {
 
     // explicit GROUPING SETS (beyond rollup/cube): three chosen
     // aggregation levels + grouping_id in ONE Expand pass over a
-    // single scan — runs as SQL text, the form a BI layer emits
+    // single scan — the Dataset groupingSets API compiles to the
+    // identical Expand plan the SQL text would, WITHOUT registering
+    // catalog views (fixed-name temp views clobbered pre-existing
+    // views and raced under concurrent query calls in one session)
     "q_grouping_sets" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-      Tables.customer(s, d).createOrReplaceTempView("customer_gs")
-      val df = s.sql(
-        """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-          |       coalesce(o_orderpriority, 'ALL') AS priority,
-          |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
-          |       count(*) AS n_orders,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-          |FROM orders_gs JOIN customer_gs ON o_custkey = c_custkey
-          |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
-          |ORDER BY gid, segment, priority""".stripMargin)
-      // the analyzed plan is already bound to the scans — drop the
-      // views so the catalog isn't left mutated by a query call
-      s.catalog.dropTempView("orders_gs")
-      s.catalog.dropTempView("customer_gs")
-      df
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq.empty),
+          col("c_mktsegment"), col("o_orderpriority"))
+        .agg((grouping(col("c_mktsegment")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_orders"), col("total"))
+        .orderBy("gid", "segment", "priority")
     }),
 
     // TPC-H Q3-shape shipping priority: segment-filtered 3-way join →

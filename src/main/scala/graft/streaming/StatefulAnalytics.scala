@@ -208,9 +208,19 @@ object StatefulAnalytics {
                        last_event_type: String, last_value: Double,
                        n_events: Long, lifetime_value: Double)
 
+  /** Exact-cents conversion mirroring the batch `CAST(value AS
+    * DECIMAL(18,2))` including its failure mode: the batch cast turns
+    * NaN/Infinity and values beyond DECIMAL(18,2)'s range into NULL,
+    * which `sum` then skips — so here those values contribute 0 to
+    * the running sum instead of throwing (`BigDecimal.valueOf(NaN)`
+    * raises NumberFormatException, `longValueExact` overflows past
+    * ~9.2e16) and crashing the streaming query the batch twin
+    * survives. */
   private def cents(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+    if (java.lang.Double.isFinite(v) && math.abs(v) < 1e16)
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+    else 0L
 
   private def round6(v: Double): Double =
     java.math.BigDecimal.valueOf(v)
