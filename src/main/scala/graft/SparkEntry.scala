@@ -25,7 +25,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (lossy sketch, engine-hash
-    * MinHash/SimHash/LSH, stub decode) get the rows-only check. */
+    * MinHash/SimHash) get the rows-only check. */
   def oracleSql: Map[String, String] =
     RefQueries.oracleSql ++ RelationalQueries.oracleSql ++
       PipelineQueries.oracleSql ++ SketchQueries.oracleSql

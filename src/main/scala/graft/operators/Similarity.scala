@@ -187,6 +187,109 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** Bulk symmetric-int8 quantization of the corpus: (vec_id, qv
+    * array<tinyint>, scale double). Explode shape, NOT nested HOFs —
+    * Spark HOF lambdas are interpreted and have no let-binding, so a
+    * transform referencing the scale column re-derives array_max per
+    * ELEMENT (see [[EmbeddingQuant.quantReport]]); exploded, every
+    * step is a codegen'd scalar and the rebuild is one vec_id
+    * shuffle. A 100 TB deployment runs this ONCE at ingest and
+    * stores (qv, scale, cid) as the ANN index's disk layout — see
+    * `IvfqLayoutSpec` for the stored form and its pruned scan. */
+  def quantizedCorpus(corpus: DataFrame): DataFrame = {
+    val ex = corpus.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val w = Window.partitionBy(col("vec_id"))
+    ex.withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
+      .withColumn("q",
+        when(col("scale") === 0, lit(0.0))
+          .otherwise(round(col("x") / col("scale"))).cast("tinyint"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("scale")).as("scale"),
+        transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+          s => s.getField("q")).as("qv"))
+  }
+
+  /** IVF + int8 two-stage ANN: stage 1 scans ONLY the quantized
+    * corpus — cell assignment and candidate scoring both run on the
+    * int8 vectors (cosine is scale-invariant, so the per-vector
+    * `scale` never even enters the ranking math) and keep the top
+    * `rerank·k` candidates per query by approximate score; stage 2
+    * re-ranks exactly by joining just those candidates back to the
+    * full-precision vectors BY KEY. At 100 TB the bulk scan touches
+    * the 4× smaller int8 index (pre-materialized, cid-bucketed —
+    * [[quantizedCorpus]]), and full-precision vectors are read only
+    * for |Q|·rerank·k point lookups — the memory-bounded IVF+PQ-style
+    * shape of a production vector store. Recall is bounded below by
+    * plain [[ivfTopK]] minus int8 ranking distortion (<1%,
+    * [[EmbeddingQuant.quantReport]]'s checked contract). */
+  def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nlist: Int = 16, nProbe: Int = 4, rerank: Int = 4,
+                       seed: Long = 42L): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed)
+    val quant = quantizedCorpus(corpus)
+    val exact = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    ivfqRerank(quant, exact, queries, centroids, k, nProbe, rerank)
+  }
+
+  /** The two stages over an ALREADY-QUANTIZED corpus (the stored
+    * index form: vec_id, qv, scale, and optionally a precomputed
+    * cid). Split out so a spec can feed a parquet-backed quantized
+    * index and assert the stage-1 scan reads qv — never the float
+    * embedding column. */
+  def ivfqRerank(quant: DataFrame, exact: DataFrame, queries: DataFrame,
+                 centroids: Array[Array[Double]], k: Int, nProbe: Int,
+                 rerank: Int): DataFrame = {
+    def centroidScores(vecCol: org.apache.spark.sql.Column) =
+      graft.functions.CentroidCosines.of(vecCol, centroids)
+    // stage 1: quantized-only. int8 → double is a cast, not a lookup;
+    // cid from argmax cosine against the same centroids as the probe.
+    val qd = quant.withColumn("qcv",
+      transform(col("qv"), q => q.cast("double")))
+    val assigned = (if (quant.columns.contains("cid")) qd
+      else qd.withColumn("cs", centroidScores(col("qcv")))
+        .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
+        .drop("cs"))
+      .withColumn("qcn", VectorOps.l2Norm(col("qcv")))
+      .select(col("vec_id"), col("cid"), col("qcv"), col("qcn"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv2"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv2")))
+      .withColumn("cs", centroidScores(col("qv2")))
+      .select(col("qid"), col("qv2"), col("qn"),
+        posexplode(col("cs")).as(Seq("cpos", "cscore")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qv2"), col("qn"), (col("cpos") + 1).cast("int").as("cid")))
+    val candidates = assigned.join(q, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("approx",
+        when(col("qn") * col("qcn") > 0,
+          VectorOps.dotArr(col("qv2"), col("qcv")) / (col("qn") * col("qcn"))))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("approx"), col("vec_id"))))
+      .filter(col("arank") <= rerank.toLong * k)
+      .select(col("qid"), col("vec_id"))
+    // stage 2: exact re-rank of the bounded candidate set only — a
+    // keyed join against the full-precision store, never a scan-scale
+    // shuffle of float vectors.
+    candidates.join(exact, Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+          VectorOps.asDoubleArray(col("embedding")).as("qfull"))
+        .withColumn("qfn", VectorOps.l2Norm(col("qfull")))), Seq("qid"))
+      .withColumn("score",
+        when(col("qfn") * col("cn") > 0,
+          VectorOps.dotArr(col("qfull"), col("cv")) / (col("qfn") * col("cn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Mean recall@k of an ANN result against the exact result: for
     * each query, the fraction of exact top-k neighbors the ANN run
     * found, averaged over queries (queries the ANN missed entirely

@@ -484,16 +484,35 @@ object PipelineQueries {
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
+    // IVF × int8 two-stage ANN (quantized candidate scan + exact
+    // re-rank of the top rerank·k only — the memory-bounded IVF+PQ
+    // shape of a production vector store), same checked recall
+    // contract against the exact top-5
+    "q_similarity_ivfq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val ann = Similarity.ivfTopKQuantized(emb, queries, k = 5,
+        nlist = 16, nProbe = 4, rerank = 4)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      Similarity.meanRecall(ann, exact)
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+    }),
+
     // multimodal binary-column metadata (columnar, SQL-expressible path)
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
-    // multimodal batched stub-decode (mapPartitions plumbing path) —
-    // deterministic fake features; rows-only check
+    // multimodal batched decode (mapPartitions plumbing path): real
+    // PNG-IHDR / JPEG-SOF0 header parsing over planted valid headers
+    // — the oracle recomputes the planted dims arithmetically, so a
+    // broken parser (wrong offset, endianness, CRC, segment walk)
+    // hash-mismatches; payload features remain the marked stub
     "q_multimodal_decode" -> ((s, d) => {
-      Multimodal.decodeFeatures(Multimodal.withBinary(Tables.documents(s, d)))
+      Multimodal.decodeFeatures(Multimodal.withPlantedMedia(Tables.documents(s, d)))
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("doc_id"))
     }),
@@ -869,12 +888,26 @@ object PipelineQueries {
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q_similarity_ivf" ->
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+    "q_similarity_ivfq" ->
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
         "CAST(ceil(ceil(octet_length(encode(text))/256.0)/4.0) AS BIGINT) AS n_sampled " +
+        "FROM documents ORDER BY doc_id"),
+    // independent arithmetic recomputation of the PLANTED header
+    // fields (format by parity, dims by the plant formulas, n_bytes =
+    // payload + exact header size, f0 = first header byte / 255);
+    // the Spark side recovers the same values by PARSING the bytes
+    "q_multimodal_decode" ->
+      ("SELECT doc_id, " +
+        "CAST(octet_length(encode(text)) + " +
+        "  CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 + doc_id % 8 END AS BIGINT) AS n_bytes, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST((doc_id * 31 + 7) % 2000 + 1 AS BIGINT) AS width, " +
+        "CAST((doc_id * 17 + 3) % 1200 + 1 AS BIGINT) AS height, " +
+        "round(CASE WHEN doc_id % 2 = 0 THEN 137 ELSE 255 END / 255.0, 6) AS f0 " +
         "FROM documents ORDER BY doc_id")
-    // q_dedup_minhash / q_dedup_simhash / q_multimodal_decode:
-    // engine-hash / stub semantics — rows-only.
+    // q_dedup_minhash / q_dedup_simhash: engine-hash semantics — rows-only.
   )
 }

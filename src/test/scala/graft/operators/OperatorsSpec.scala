@@ -317,15 +317,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
-  test("multimodal stub decode keeps schema/batch contract") {
-    val docs = docsDf(Seq(1L -> "hello world", 2L -> "xyz"))
-    val out = Multimodal.decodeFeatures(Multimodal.withBinary(docs), batchSize = 1)
+  test("multimodal decode parses real planted PNG/JPEG headers end-to-end") {
+    // even doc_id → PNG, odd → JPEG with variable APP0 pad (doc_id % 8)
+    val docs = docsDf(Seq(2L -> "hello world", 7L -> "xyz"))
+    val out = Multimodal.decodeFeatures(Multimodal.withPlantedMedia(docs),
+        batchSize = 1)
       .collect().map(m => m.doc_id -> m).toMap
-    assert(out(1L).n_bytes == 11 && out(2L).n_bytes == 3)
-    assert(out(1L).features.length == 8)
-    assert(out(1L).width == 11 % 640 + 1)
-    // deterministic: first feature = first byte / 255
-    assert(math.abs(out(1L).features(0) - 'h'.toInt / 255.0f) < 1e-6)
+    assert(out(2L).format == "png" && out(7L).format == "jpeg")
+    assert(out(2L).width == Multimodal.plantedWidth(2L))
+    assert(out(2L).height == Multimodal.plantedHeight(2L))
+    assert(out(7L).width == Multimodal.plantedWidth(7L))
+    assert(out(7L).height == Multimodal.plantedHeight(7L))
+    // n_bytes = header + payload: PNG header is 33 B, JPEG 39 + pad
+    assert(out(2L).n_bytes == 11 + 33)
+    assert(out(7L).n_bytes == 3 + 39 + 7)
+    assert(out(2L).features.length == 8)
+    // first feature = first header byte / 255 (PNG signature 0x89)
+    assert(math.abs(out(2L).features(0) - 0x89 / 255.0f) < 1e-6)
+  }
+
+  test("image header parser rejects corrupt and unknown bytes without throwing") {
+    // valid PNG with one flipped width byte → CRC mismatch → corrupt
+    val png = Multimodal.plantHeader(4L, Array[Byte](1, 2, 3))
+    png(16) = (png(16) ^ 0x01).toByte
+    assert(Multimodal.parseImageHeader(png) == (("corrupt", -1, -1)))
+    // JPEG SOI with no SOF segment before the bytes run out → corrupt
+    val truncated = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte)
+    assert(Multimodal.parseImageHeader(truncated) == (("corrupt", -1, -1)))
+    // arbitrary text bytes → unknown
+    assert(Multimodal.parseImageHeader("not an image".getBytes("UTF-8")) ==
+      (("unknown", -1, -1)))
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray) == (("unknown", -1, -1)))
   }
 
   test("text stats tokenization matches duckdb string_split semantics") {
