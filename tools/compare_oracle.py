@@ -23,8 +23,21 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if not os.path.exists(p):
+            continue
+        # driver fixtures are single files; graft.tools.DataGen output
+        # is a directory of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if t == "events":
+            # driver events.ts is TIMESTAMP(NANOS); DataGen writes raw
+            # INT64 nanos (Spark cannot emit nanos timestamps) — view
+            # them identically so epoch_us() oracles work on both
+            ts_type = con.sql(f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+            if ts_type == "BIGINT":
+                con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+                continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
