@@ -119,8 +119,9 @@ object Plans {
       ("Three chosen aggregation levels compile to ONE Expand node " +
         "feeding partial+final HashAggregate over a single scan — " +
         "the same single-pass shape as q_rollup/q_cube but with an " +
-        "arbitrary (non-lattice) set list, entered through SQL text " +
-        "as a BI layer would emit it."),
+        "arbitrary (non-lattice) set list, via the Dataset " +
+        "groupingSets API (identical Expand plan to the SQL text, " +
+        "no catalog views touched)."),
     "q_ship_priority" ->
       ("The TPC-H Q3 composite: both date predicates live in " +
         "PushedFilters (row groups outside the cutoff are never " +
@@ -322,6 +323,24 @@ object Plans {
         "CentroidCosines pass, constant code size at any nlist. On " +
         "disk the same cid bucketing prunes unprobed cells' FILES " +
         "(IvfLayoutSpec)."),
+    "q_similarity_ivfq" ->
+      ("IVF × int8 two-stage: stage 1 assigns cells AND scores " +
+        "candidates on the quantized vectors only (cosine is " +
+        "scale-invariant, so `scale` never enters the ranking), " +
+        "keeping top rerank·k per query; stage 2 re-ranks exactly " +
+        "via a KEYED join of just those candidates to the float " +
+        "vectors. At 100 TB the bulk scan reads the 4× smaller " +
+        "stored int8 index (cid-bucketed — IvfqLayoutSpec proves " +
+        "the stage-1 scan never reads the float column) and full " +
+        "precision is |Q|·rerank·k point lookups."),
+    "q_multimodal_decode" ->
+      ("mapPartitions-batched decode, zero shuffle: each partition " +
+        "streams (doc_id, media) batches through the dependency-free " +
+        "PNG-IHDR / JPEG-SOF0 header parser (magic + CRC32 + " +
+        "length-prefixed segment walk). Per-row CPU, partition- " +
+        "parallel, no driver involvement — the multimodal plumbing " +
+        "shape; only the stub payload featurizer awaits a real " +
+        "codec."),
     "q_embed_centroid" ->
       ("posexplode → per-(label, pos) mean with map-side partial " +
         "aggregation: the corpus is read once and the one shuffle " +

@@ -165,6 +165,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(7L) == ((Some(5.0), false)))
   }
 
+  test("fillForward: genuinely-NULL value on a VALID row is not flagged imputed") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "view", Some(10.0)),
+      (2L, ts(1), 7L, "view", None), // valid row, NULL value
+      (3L, ts(2), 7L, "error", Some(99.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.fillForward(events, col("event_type") === "error")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble),
+          r.getAs[Boolean]("was_filled"))).toMap
+    // row 2: was_filled=false (the missing PREDICATE, not isNull);
+    // its null is skipped by last(ignoreNulls) so filled_value falls
+    // back to the previous valid reading
+    assert(out(2L) == ((Some(10.0), false)))
+    assert(out(3L) == ((Some(10.0), true)))
+  }
+
   test("embedding centroids: per-group per-position means, ordered") {
     import spark.implicits._
     val emb = Seq(

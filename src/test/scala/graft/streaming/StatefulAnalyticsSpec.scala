@@ -215,6 +215,19 @@ class StatefulAnalyticsSpec extends SparkTestBase {
     assert(out(7L)._6 == 0.60) // 0.1+0.2+0.3 exact in cents, not 0.6000000000000001
   }
 
+  test("latest survives NaN/Infinity/overflow values like the batch decimal cast") {
+    import spark.implicits._
+    // batch CAST(value AS DECIMAL(18,2)) turns these into NULL, which
+    // sum skips; the streaming fold must contribute 0, not crash
+    val evil = Seq(
+      fv(1, 0, 9, "view", 1.50), fv(2, 1, 9, "view", Double.NaN),
+      fv(3, 2, 9, "view", Double.PositiveInfinity),
+      fv(4, 3, 9, "view", 1e17), fv(5, 4, 9, "view", 2.25))
+    val out = StatefulAnalytics.latest(evil.toDS()).collect()
+      .map(r => r.user_id -> ((r.n_events, r.lifetime_value))).toMap
+    assert(out(9L) == ((5L, 3.75)))
+  }
+
   test("incremental latest: an older event in a later batch cannot usurp the champion") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
