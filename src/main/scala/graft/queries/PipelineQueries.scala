@@ -467,7 +467,10 @@ object PipelineQueries {
     "q_similarity_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-      val ann = Similarity.lshTopK(emb, queries, k = 5, bits = 4, numTables = 8)
+      // dim passed explicitly (pipeline config) — avoids the
+      // documented one-row probe job the dim=0 fallback costs
+      val ann = Similarity.lshTopK(emb, queries, k = 5, bits = 4, numTables = 8,
+        dim = 64)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       Similarity.meanRecall(ann, exact)
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))

@@ -74,6 +74,41 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(expected(2L)._1 == "novel" && expected(5L)._1 == "novel")
   }
 
+  test("checkpointed restart resumes fuzzy admission without re-emitting verdicts") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup").toFile.getAbsolutePath
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      StreamingNearDupAdmission.admission(stream, indexDf)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+    }
+    // batch 1 before first start
+    streamDocs.take(2).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 lands while the query is DOWN; restart must pick it up
+    // from the checkpoint and emit each verdict exactly once
+    streamDocs.drop(2).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == streamDocs.size, s"expected one verdict per doc, got ${rows.length}")
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("status"), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val expected = Dedup.incrementalNearDup(
+        streamDocs.toDF("doc_id", "text"), indexDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)))).toMap
+    assert(got == expected)
+  }
+
   test("micro-batched stream produces the same verdicts as one batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
