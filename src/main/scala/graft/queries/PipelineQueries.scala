@@ -529,6 +529,21 @@ object PipelineQueries {
         .orderBy(col("quant_ok"))
     }),
 
+    // multimodal batched resize (resolution-normalize step): the
+    // stub resize's exact sampling formula out[i] = payload[i·len/n]
+    // is recomputed by the oracle over the SAME ascii payload bytes,
+    // so the output-shape contract (exactly w·h bytes, deterministic
+    // sampling) is oracle-checked end to end
+    "q_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resizeTo(Multimodal.withBinary(Tables.documents(s, d)),
+          w = 16, h = 16)
+        .map(r => (r.doc_id, r.pixels.length.toLong,
+          r.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+        .toDF("doc_id", "n_pixels", "byte_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal frame sampling (video-pipeline temporal subsample):
     // frame COUNTS are byte-length arithmetic → oracle-checkable,
     // while the typed path carries the sampled frame payloads
@@ -897,6 +912,15 @@ object PipelineQueries {
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
         "CAST(ceil(ceil(octet_length(encode(text))/256.0)/4.0) AS BIGINT) AS n_sampled " +
+        "FROM documents ORDER BY doc_id"),
+    // the fixture text is pure ASCII, so byte i of the utf-8 payload
+    // is ascii(char i) — the oracle replays the integer-floor
+    // sampling formula positionally over the text
+    "q_multimodal_resize" ->
+      ("SELECT doc_id, CAST(256 AS BIGINT) AS n_pixels, " +
+        "CAST(list_aggregate(list_transform(range(256), " +
+        "i -> ascii(substr(text, CAST(i * length(text) // 256 AS INT) + 1, 1))), " +
+        "'sum') AS BIGINT) AS byte_sum " +
         "FROM documents ORDER BY doc_id"),
     // independent arithmetic recomputation of the PLANTED header
     // fields (format by parity, dims by the plant formulas, n_bytes =
