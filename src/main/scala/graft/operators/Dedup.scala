@@ -72,6 +72,45 @@ object Dedup {
         (col("status") === Novel).as("keep"))
   }
 
+  /** Bloom-backed incremental admission — the BOUNDED-MEMORY twin of
+    * [[incremental]]: instead of joining each ingest batch against
+    * the stored fingerprint index (shuffle keyed by fp, state = the
+    * whole index), the index is folded ONCE into a Bloom filter
+    * (`expectedItems`/`fpp` sized; ~1.2 MB per million fps at 1%)
+    * that BROADCASTS to the batch scan — admission becomes a
+    * shuffle-free map over the batch plus the same one-window
+    * within-batch claim. The trade is explicit and one-sided: a
+    * Bloom filter has NO false negatives, so every true duplicate is
+    * still caught (soundness preserved — the property dedup cannot
+    * lose); a tunable `fpp` fraction of genuinely-novel docs is
+    * wrongly dropped (bounded recall loss, checked as a contract in
+    * `q_dedup_incr_bloom`). At 100 TB this is the difference between
+    * re-shuffling every ingest against a trillion-row index and
+    * probing a broadcast few-GB filter.
+    *
+    * `expectedItems` is required (a deployment knows its index
+    * cardinality from metadata) so sizing never costs a count scan.
+    * The probe is a broadcast-sketch UDF: Spark's public BloomFilter
+    * has no registered SQL probe function (`might_contain` is
+    * internal to runtime filtering), and the per-row work is two
+    * hashes — not a codegen-relevant hot spot. */
+  def incrementalBloom(batch: DataFrame, index: DataFrame, fp: Column,
+                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = indexFps(index).stat.bloomFilter(col("fp"),
+      expectedNumItems = math.max(1L, expectedItems), fpp = fpp)
+    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val w = Window.partitionBy(col("fp"))
+    batch.select(col("doc_id"), fp.as("fp"))
+      .withColumn("in_index", hit(col("fp")))
+      .withColumn("status",
+        when(col("in_index"), lit(DupOfIndex))
+          .when(col("doc_id") === min(col("doc_id")).over(w), lit(Novel))
+          .otherwise(lit(DupInBatch)))
+      .select(col("doc_id"), col("fp"), col("status"),
+        (col("status") === Novel).as("keep"))
+  }
+
   /** Incremental NEAR-dup admission — the fuzzy twin of
     * [[incremental]]: classify each batch doc against the curated
     * corpus through its MinHash BAND-KEY index. The band keys
@@ -378,6 +417,55 @@ object Dedup {
     withComp.join(keepers, Seq("component"))
       .select(col(idCol), col("component"),
         (col(idCol) === col("keep_id")).as("keep"))
+  }
+
+  /** Cross-document duplicated SUBSTRING spans (the exact-substring
+    * training-data dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — span-level, not
+    * whole-doc): every k-token gram appearing in ≥ `minDocs` DISTINCT
+    * documents marks its k positions duplicated; overlapping/touching
+    * marked windows merge into maximal [span_start, span_end) token
+    * spans per doc. A curation pipeline TRIMS these spans instead of
+    * dropping whole documents — the right remedy for boilerplate and
+    * licence blocks that near-dup operators (whole-doc granularity)
+    * cannot excise.
+    *
+    * Scale shape: one tokenize pass (posexplode + k−1 codegen'd
+    * leads — no per-element HOF work), gram df via groupBy on the
+    * gram STRING (exact, collision-free parity with the oracle; a
+    * 100 TB deployment would key on xxhash64(gram) and carry the
+    * ~2⁻⁶⁴ collision odds, same trade as any fingerprint index),
+    * duplicated-gram starts via one gram-keyed join, and the
+    * interval merge is a single per-doc window pass (gaps-and-
+    * islands over a running max of span ends). Every shuffle carries
+    * either (gram) or (doc_id)-keyed rows — never pairs. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+    val grams = (1 until k).foldLeft(toks) { (df, i) =>
+        df.withColumn(s"w$i", lead(col("w0"), i).over(w))
+      }
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("g"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs).select(col("g"))
+    val starts = grams.join(dupGrams, Seq("g"))
+      .select(col("doc_id"), col("pos"))
+    starts
+      .withColumn("prev_max_end", max(col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("pos") + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
   /** EXACT embedding-cosine near-dup stats per probe vector: neighbor

@@ -294,6 +294,35 @@ object PipelineQueries {
       Dedup.incremental(batch, index, fp40).orderBy(col("doc_id"))
     }),
 
+    // bounded-memory incremental admission: the stored index folded
+    // into a broadcast Bloom filter instead of joined — soundness
+    // (no false negatives: every true dup still caught) plus a
+    // bounded novel-loss rate vs the exact operator, as a checked
+    // contract
+    "q_dedup_incr_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp40 = substring(col("text"), 1, 40)
+      val index = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(fp40.as("fp"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val exact = Dedup.incremental(batch, index, fp40)
+        .select(col("doc_id"), col("status").as("exact_status"))
+      val bloom = Dedup.incrementalBloom(batch, index, fp40,
+          expectedItems = 100000L, fpp = 0.01)
+        .select(col("doc_id"), col("status").as("bloom_status"))
+      exact.join(bloom, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_batch"),
+          (sum(when(col("exact_status") === Dedup.DupOfIndex &&
+            col("bloom_status") =!= Dedup.DupOfIndex, 1L).otherwise(0L)) === 0)
+            .as("sound"),
+          coalesce(
+            sum(when(col("exact_status") === Dedup.Novel &&
+              col("bloom_status") === Dedup.DupOfIndex, 1L).otherwise(0L))
+              .cast("double") /
+              sum(when(col("exact_status") === Dedup.Novel, 1L).otherwise(0L))
+              <= 0.05, lit(true)).as("loss_ok"))
+    }),
+
     // tokenizer-prep vocabulary coverage: top-20 term vocab from the
     // train split (tf desc, term tie-break — deterministic at the
     // cutoff), OOV rate of the held-out split as integer ppm. The
@@ -499,6 +528,24 @@ object PipelineQueries {
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       Similarity.meanRecall(ann, exact)
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+    }),
+
+    // cross-doc duplicated-substring spans (Lee et al. exact-substring
+    // dedup, span granularity): per-doc count of maximal duplicated
+    // 8-gram spans + duplicated/kept token totals — the trim-don't-drop
+    // remedy for boilerplate that whole-doc dedup cannot excise
+    "q_dedup_substring" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spans = Dedup.duplicatedSpans(docs, k = 8, minDocs = 2)
+      val sizes = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start")).as("dup_tokens"))
+        .join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+          (col("n_tokens") - col("dup_tokens")).as("kept_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // multimodal binary-column metadata (columnar, SQL-expressible path)
@@ -913,6 +960,30 @@ object PipelineQueries {
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
         "CAST(ceil(ceil(octet_length(encode(text))/256.0)/4.0) AS BIGINT) AS n_sampled " +
         "FROM documents ORDER BY doc_id"),
+    "q_dedup_incr_bloom" ->
+      ("SELECT count(*) AS n_batch, TRUE AS sound, TRUE AS loss_ok " +
+        "FROM documents WHERE doc_id % 3 = 0"),
+    "q_dedup_substring" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "gr AS (SELECT doc_id, u.i - 1 AS pos, " +
+        "concat_ws(' ', toks[u.i], toks[u.i+1], toks[u.i+2], toks[u.i+3], " +
+        "toks[u.i+4], toks[u.i+5], toks[u.i+6], toks[u.i+7]) AS g " +
+        "FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u), " +
+        "dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+        "s AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN " +
+        "max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL " +
+        "OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "THEN 1 ELSE 0 END AS ni FROM s), " +
+        "isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl), " +
+        "spans AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 8 AS en FROM isl2 GROUP BY 1, 2), " +
+        "summ AS (SELECT doc_id, count(*) AS n_spans, sum(en - st) AS dup_tokens FROM spans GROUP BY 1) " +
+        "SELECT summ.doc_id, CAST(n_spans AS BIGINT) AS n_spans, " +
+        "CAST(dup_tokens AS BIGINT) AS dup_tokens, " +
+        "CAST(len(string_split(text,' ')) - dup_tokens AS BIGINT) AS kept_tokens " +
+        "FROM summ JOIN documents ON summ.doc_id = documents.doc_id ORDER BY 1"),
     // the fixture text is pure ASCII, so byte i of the utf-8 payload
     // is ascii(char i) — the oracle replays the integer-floor
     // sampling formula positionally over the text

@@ -337,6 +337,57 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("incrementalBloom: sound (no false negatives) with bounded novel loss") {
+    import spark.implicits._
+    val index = (0 until 2000).map(i => s"stored-$i").toDF("fp")
+    val batch = ((0 until 200).map(i => (i.toLong, s"stored-$i")) ++ // true dups
+      (0 until 200).map(i => (1000L + i, s"fresh-$i")) ++           // novel
+      Seq((5000L, "fresh-0"), (5001L, "fresh-0")))                  // in-batch dups
+      .toDF("doc_id", "key")
+    val exact = Dedup.incremental(batch, index, col("key")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val bloom = Dedup.incrementalBloom(batch, index, col("key"),
+        expectedItems = 2000L, fpp = 0.01).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    // soundness: every exact dup_of_index is still flagged
+    exact.foreach { case (id, st) =>
+      if (st == Dedup.DupOfIndex)
+        assert(bloom(id) == Dedup.DupOfIndex, s"false negative on doc $id")
+    }
+    // bounded loss: ≤ 5% of exact-novel docs wrongly dropped (fpp 1%)
+    val novel = exact.collect { case (id, st) if st == Dedup.Novel => id }
+    val lost = novel.count(id => bloom(id) == Dedup.DupOfIndex)
+    assert(lost.toDouble / novel.size <= 0.05, s"lost $lost of ${novel.size}")
+    // fingerprint groups untouched by a false positive classify
+    // identically to the exact operator
+    val keyOf = batch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fpHitKeys = bloom.collect { case (id, st)
+      if st == Dedup.DupOfIndex && exact(id) != Dedup.DupOfIndex => keyOf(id) }.toSet
+    exact.keys.filterNot(id => fpHitKeys(keyOf(id))).foreach { id =>
+      assert(bloom(id) == exact(id), s"doc $id: ${bloom(id)} vs ${exact(id)}")
+    }
+  }
+
+  test("duplicatedSpans finds maximal cross-doc k-gram spans and merges overlaps") {
+    import spark.implicits._
+    // docs 1 and 2 share tokens 0..9 (two overlapping 8-grams -> ONE
+    // merged span of 10 tokens); doc 3 shares nothing long enough;
+    // a within-doc-only repeat (doc 4) must NOT count (cross-doc df)
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail1 a b c"),
+      (2L, "head x " + shared),
+      (3L, "totally different words " + (0 until 8).map(i => s"z$i").mkString(" ")),
+      (4L, ("r1 r2 r3 r4 r5 r6 r7 r8 " * 2).trim))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(spans.toList == List((1L, 0L, 10L), (2L, 2L, 12L)),
+      s"got ${spans.toList}")
+    // k larger than every doc: no grams, no spans, no crash
+    assert(Dedup.duplicatedSpans(docs, k = 64).count() == 0)
+  }
+
   test("multimodal decode parses real planted PNG/JPEG headers end-to-end") {
     // even doc_id → PNG, odd → JPEG with variable APP0 pad (doc_id % 8)
     val docs = docsDf(Seq(2L -> "hello world", 7L -> "xyz"))
