@@ -323,6 +323,24 @@ object Plans {
         "CentroidCosines pass, constant code size at any nlist. On " +
         "disk the same cid bucketing prunes unprobed cells' FILES " +
         "(IvfLayoutSpec)."),
+    "q_dedup_substring" ->
+      ("Exact-substring span dedup in three bounded exchanges: " +
+        "tokenize once (posexplode + 7 codegen'd leads — no HOF " +
+        "re-evaluation), gram df as a grouped count keyed by the " +
+        "gram STRING (collision-free oracle parity; a 100 TB run " +
+        "keys on xxhash64 and accepts ~2^-64 collisions), duplicated " +
+        "starts via one gram-keyed join, and the maximal-span merge " +
+        "is a single per-doc gaps-and-islands window pass. Nothing " +
+        "ever shuffles document PAIRS — cost is O(tokens), not " +
+        "O(docs^2)."),
+    "q_dedup_incr_bloom" ->
+      ("The stored index is folded ONCE into a Bloom filter " +
+        "(treeAggregate partials, ~1.2 MB/M keys at 1% fpp) that " +
+        "broadcasts to the ingest scan: admission is a shuffle-free " +
+        "per-row probe plus the same one-window in-batch claim as " +
+        "the exact operator. No false negatives by construction; " +
+        "the fpp novel-loss is the explicit, checked trade for " +
+        "never re-shuffling a trillion-row index per ingest."),
     "q_similarity_ivfq" ->
       ("IVF × int8 two-stage: stage 1 assigns cells AND scores " +
         "candidates on the quantized vectors only (cosine is " +
