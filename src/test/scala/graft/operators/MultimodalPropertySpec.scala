@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Totality properties for the per-row kernels that face arbitrary
+  * bytes/strings in a decode or admission stage: one malformed input
+  * must never kill a 100 TB job. Pure JVM — no SparkSession.
+  * Generators are sampled directly with fixed seeds (same pattern as
+  * SketchCodecSpec — no scalatestplus bridge in the offline cache). */
+class MultimodalPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 100)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  private val bytesGen =
+    Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+
+  test("parseImageHeader is total on arbitrary bytes and never mislabels") {
+    forAll(bytesGen) { bytes =>
+      val (fmt, w, h) = Multimodal.parseImageHeader(bytes)
+      assert(Set("png", "jpeg", "corrupt", "unknown").contains(fmt))
+      if (fmt == "png" || fmt == "jpeg") assert(w >= 0 && h >= 0)
+      else assert(w == -1 && h == -1)
+    }
+  }
+
+  test("plantHeader round-trips through the parser for any doc_id/payload") {
+    forAll(Gen.zip(Gen.choose(0L, 1000000L), bytesGen)) { case (docId, payload) =>
+      val bytes = Multimodal.plantHeader(docId, payload)
+      val (fmt, w, h) = Multimodal.parseImageHeader(bytes)
+      assert(fmt == (if (docId % 2 == 0) "png" else "jpeg"))
+      assert(w == Multimodal.plantedWidth(docId))
+      assert(h == Multimodal.plantedHeight(docId))
+    }
+  }
+
+  test("stubResize always emits exactly w*h bytes") {
+    forAll(Gen.zip(bytesGen, Gen.choose(1, 64), Gen.choose(1, 64))) {
+      case (bytes, w, h) =>
+        assert(Multimodal.stubResize(bytes, w, h).length == w * h)
+    }
+  }
+
+  test("streaming signatureOf is total on arbitrary strings") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val sig = graft.streaming.StreamingNearDupAdmission
+        .signatureOf(s, numBands = 16, rowsPerBand = 2)
+      assert(sig.length == 16 || sig.isEmpty)
+    }
+  }
+}
