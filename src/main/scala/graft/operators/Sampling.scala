@@ -116,4 +116,43 @@ object Sampling {
       .filter(deterministicBucket(col(idCol)) < col("__rate_pm"))
       .drop("__rate_pm")
   }
+
+  /** TOKEN-budget mixture targeting — the "mix sources to target
+    * proportions" step of a pretraining corpus build (Pile/Dolma
+    * style), one level above [[rebalanced]]'s per-stratum ROW cap:
+    * given target mixture weights (permille) and a global token
+    * budget, each stratum is down-sampled at the integer permille
+    * rate that lands its EXPECTED token mass on budget·weight, capped
+    * at keep-everything for strata too small to fill their slot
+    * (under-filled slots are visible in the output rates — no silent
+    * reweighting of the other strata).
+    *
+    * All arithmetic is INTEGER (permille weights, token counts, the
+    * same LCG id cut as [[stratified]]), so exact sample membership —
+    * not just the rates — is reproducible on any engine from
+    * (id, stratum, token) columns alone. Strata absent from
+    * `weightsPermille` get weight 0 and drop out.
+    *
+    * Scale shape: one aggregate pass builds the strata-sized token
+    * table (broadcast back), then the keep decision is a codegen'd
+    * per-row filter on the scan — the corpus never shuffles. */
+  def mixtureBudget(df: DataFrame, idCol: String, strataCol: String,
+                    tokens: Column, weightsPermille: Map[String, Long],
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(weightsPermille.values.forall(_ >= 0), "weights must be >= 0")
+    val wExpr = weightsPermille.foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val tok = df.withColumn("__tk", tokens)
+    val rates = tok.groupBy(col(strataCol))
+      .agg(sum(col("__tk")).as("__tokn"))
+      .withColumn("__wpm", wExpr)
+      .select(col(strataCol),
+        least(lit(1000L),
+          expr(s"(($budgetTokens * __wpm) div 1000) * 1000 div __tokn"))
+          .as("__rate_pm"))
+    tok.join(broadcast(rates), strataCol)
+      .filter(deterministicBucket(col(idCol)) < col("__rate_pm"))
+  }
 }

@@ -294,6 +294,25 @@ object PipelineQueries {
       Dedup.incremental(batch, index, fp40).orderBy(col("doc_id"))
     }),
 
+    // token-budget mixture targeting (the Pile/Dolma-style "mix
+    // sources to target proportions" step): per-lang integer permille
+    // rates land expected token mass on budget x weight; membership
+    // is the deterministic LCG cut, so the achieved mixture —
+    // rates, doc counts, AND token sums — is exactly reproducible
+    "q_mixture_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.mixtureBudget(docs, idCol = "doc_id", strataCol = "lang",
+          tokens = ceil(col("n_chars").cast("double") / 4.0).cast("long"),
+          weightsPermille = Map("en" -> 600L, "zh" -> 100L, "es" -> 100L,
+            "fr" -> 100L, "de" -> 100L),
+          budgetTokens = 20000L)
+        .groupBy(col("lang"))
+        .agg(max(col("__rate_pm")).as("rate_pm"),
+          count(lit(1)).as("n_docs"),
+          sum(col("__tk")).cast("long").as("est_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // bounded-memory incremental admission: the stored index folded
     // into a broadcast Bloom filter instead of joined — soundness
     // (no false negatives: every true dup still caught) plus a
@@ -963,6 +982,17 @@ object PipelineQueries {
     "q_dedup_incr_bloom" ->
       ("SELECT count(*) AS n_batch, TRUE AS sound, TRUE AS loss_ok " +
         "FROM documents WHERE doc_id % 3 = 0"),
+    "q_mixture_budget" ->
+      ("WITH tok AS (SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tk FROM documents), " +
+        "tot AS (SELECT lang, sum(tk) AS tokn FROM tok GROUP BY 1), " +
+        "w AS (SELECT * FROM (VALUES ('en', 600), ('zh', 100), ('es', 100), " +
+        "('fr', 100), ('de', 100)) AS t(lang, wpm)), " +
+        "r AS (SELECT tot.lang, least(1000, ((20000 * wpm) // 1000) * 1000 // tokn) AS rate_pm " +
+        "FROM tot JOIN w ON tot.lang = w.lang), " +
+        "kept AS (SELECT tok.doc_id, tok.lang, tok.tk, r.rate_pm FROM tok JOIN r ON tok.lang = r.lang " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate_pm) " +
+        "SELECT lang, CAST(rate_pm AS BIGINT) AS rate_pm, count(*) AS n_docs, " +
+        "CAST(sum(tk) AS BIGINT) AS est_tokens FROM kept GROUP BY 1, 2 ORDER BY 1"),
     "q_dedup_substring" ->
       ("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
         "gr AS (SELECT doc_id, u.i - 1 AS pos, " +

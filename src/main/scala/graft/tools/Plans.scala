@@ -323,6 +323,13 @@ object Plans {
         "CentroidCosines pass, constant code size at any nlist. On " +
         "disk the same cid bucketing prunes unprobed cells' FILES " +
         "(IvfLayoutSpec)."),
+    "q_mixture_budget" ->
+      ("One aggregate pass builds the strata-sized token table, " +
+        "which broadcasts back as integer permille rates; the keep " +
+        "decision is then a codegen'd LCG filter ON THE SCAN — the " +
+        "corpus is never shuffled, and the achieved mixture (rates, " +
+        "counts, token sums) is bit-reproducible on any engine from " +
+        "(id, stratum, tokens) alone."),
     "q_dedup_substring" ->
       ("Exact-substring span dedup in three bounded exchanges: " +
         "tokenize once (posexplode + 7 codegen'd leads — no HOF " +

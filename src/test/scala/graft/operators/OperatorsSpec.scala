@@ -337,6 +337,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("mixtureBudget hits target token proportions with exact LCG membership") {
+    import spark.implicits._
+    // stratum A: 100 docs x 40 tokens = 4000; B: 100 x 10 = 1000
+    val docs = ((0 until 100).map(i => (i.toLong, "A", 40L)) ++
+      (0 until 100).map(i => (100L + i, "B", 10L)))
+      .toDF("doc_id", "st", "tk")
+    // budget 2500, weights A 800 / B 200: slots 2000 and 500 tokens
+    // -> rates 2000*1000/4000 = 500 pm and 500*1000/1000 = 500 pm
+    val kept = Sampling.mixtureBudget(docs, "doc_id", "st", col("tk"),
+        Map("A" -> 800L, "B" -> 200L), budgetTokens = 2500L)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    val lcg = (id: Long) => ((id % 1000003L) * 1103515245L + 12345L) % 1000L
+    val expected = (0L until 200L).filter(id => lcg(id) < 500L).toSet
+    assert(kept == expected, "membership must be the exact LCG cut")
+    // a stratum too small for its slot caps at keep-everything, and a
+    // stratum with no weight drops out
+    val capped = Sampling.mixtureBudget(docs, "doc_id", "st", col("tk"),
+        Map("A" -> 1000L), budgetTokens = 1000000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("st")))
+    assert(capped.length == 100 && capped.forall(_._2 == "A"))
+  }
+
   test("incrementalBloom: sound (no false negatives) with bounded novel loss") {
     import spark.implicits._
     val index = (0 until 2000).map(i => s"stored-$i").toDF("fp")
