@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftbridge.Bridge
+
 import graft.functions.VectorOps
 
 /** Deduplication operators for LLM training-data pipelines:
@@ -90,19 +92,27 @@ object Dedup {
     *
     * `expectedItems` is required (a deployment knows its index
     * cardinality from metadata) so sizing never costs a count scan.
-    * The probe is a broadcast-sketch UDF: Spark's public BloomFilter
-    * has no registered SQL probe function (`might_contain` is
-    * internal to runtime filtering), and the per-row work is two
-    * hashes — not a codegen-relevant hot spot. */
+    * The probe is NOT a UDF: the filter is built over `xxhash64(fp)`
+    * and probed with Spark's own codegen'd `BloomFilterMightContain`
+    * expression on the same hash — byte-for-byte the shape Spark's
+    * InjectRuntimeFilter plants for runtime row-level filtering,
+    * with the serialized filter riding the plan as a literal (the
+    * executor-shipping mechanics Spark uses for its own runtime
+    * bloom filters; nothing to destroy afterwards, unlike an
+    * explicit broadcast). */
   def incrementalBloom(batch: DataFrame, index: DataFrame, fp: Column,
                        expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = indexFps(index).stat.bloomFilter(col("fp"),
+    val bf = indexFps(index).stat.bloomFilter(xxhash64(col("fp")),
       expectedNumItems = math.max(1L, expectedItems), fpp = fpp)
-    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
-    val hit = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val serialized = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val w = Window.partitionBy(col("fp"))
     batch.select(col("doc_id"), fp.as("fp"))
-      .withColumn("in_index", hit(col("fp")))
+      .withColumn("in_index", col("fp").isNotNull &&
+        Bridge.bloomMightContain(serialized, xxhash64(col("fp"))))
       .withColumn("status",
         when(col("in_index"), lit(DupOfIndex))
           .when(col("doc_id") === min(col("doc_id")).over(w), lit(Novel))

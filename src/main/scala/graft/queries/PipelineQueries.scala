@@ -571,18 +571,27 @@ object PipelineQueries {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
-    // multimodal batched decode (mapPartitions plumbing path): real
-    // PNG-IHDR / JPEG-SOF0 header parsing over planted valid headers
-    // — the oracle recomputes the planted dims arithmetically, so a
-    // broken parser (wrong offset, endianness, CRC, segment walk)
-    // hash-mismatches; payload features remain the marked stub
+    // multimodal batched decode (mapPartitions plumbing path): REAL
+    // codecs over planted valid media — PNG rows run the full chunk
+    // walk + CRC32 + zlib inflate + 5-filter unfilter pipeline and
+    // emit the decoded pixels' per-channel means (exact E6 fixed
+    // point via integer division); JPEG rows parse dims via the SOF0
+    // segment walk and honestly report no payload features. The
+    // oracle recomputes the planted pixel arithmetic independently,
+    // so any codec break (CRC, inflate bounds, filter math,
+    // endianness, segment walk) hash-mismatches
     "q_multimodal_decode" -> ((s, d) => {
       Multimodal.decodeFeatures(Multimodal.withPlantedMedia(Tables.documents(s, d)))
         .toDF()
-        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-          col("format"), col("width").cast("long").as("width"),
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          expr("CASE WHEN format = 'png' AND n_px > 0 THEN " +
+            "element_at(chan_sums, 1) * 1000000 div (n_px * 255) END").as("mean_r_e6"),
+          expr("CASE WHEN format = 'png' AND n_px > 0 THEN " +
+            "element_at(chan_sums, 2) * 1000000 div (n_px * 255) END").as("mean_g_e6"),
+          expr("CASE WHEN format = 'png' AND n_px > 0 THEN " +
+            "element_at(chan_sums, 3) * 1000000 div (n_px * 255) END").as("mean_b_e6"))
         .orderBy(col("doc_id"))
     }),
 
@@ -595,15 +604,18 @@ object PipelineQueries {
         .orderBy(col("quant_ok"))
     }),
 
-    // multimodal batched resize (resolution-normalize step): the
-    // stub resize's exact sampling formula out[i] = payload[i·len/n]
-    // is recomputed by the oracle over the SAME ascii payload bytes,
-    // so the output-shape contract (exactly w·h bytes, deterministic
-    // sampling) is oracle-checked end to end
+    // multimodal batched resize (resolution-normalize step) on REAL
+    // decoded pixels: PNG rows are fully decoded (inflate+unfilter)
+    // then nearest-neighbor-resampled to 16×16 RGB; the oracle
+    // replays the exact resample index arithmetic over the planted
+    // pixel formula, so the byte_sum check covers decode AND
+    // resample end to end (non-decodable JPEG rows yield empty
+    // pixels and are excluded symmetrically by parity)
     "q_multimodal_resize" -> ((s, d) => {
       import s.implicits._
-      Multimodal.resizeTo(Multimodal.withBinary(Tables.documents(s, d)),
+      Multimodal.resizeTo(Multimodal.withPlantedMedia(Tables.documents(s, d)),
           w = 16, h = 16)
+        .filter(_.pixels.nonEmpty)
         .map(r => (r.doc_id, r.pixels.length.toLong,
           r.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
         .toDF("doc_id", "n_pixels", "byte_sum")
@@ -1014,28 +1026,40 @@ object PipelineQueries {
         "CAST(dup_tokens AS BIGINT) AS dup_tokens, " +
         "CAST(len(string_split(text,' ')) - dup_tokens AS BIGINT) AS kept_tokens " +
         "FROM summ JOIN documents ON summ.doc_id = documents.doc_id ORDER BY 1"),
-    // the fixture text is pure ASCII, so byte i of the utf-8 payload
-    // is ascii(char i) — the oracle replays the integer-floor
-    // sampling formula positionally over the text
+    // the oracle replays the nearest-neighbor resample index math
+    // over the planted-pixel formula: out i → (c = i%3, X = (i//3)%16,
+    // Y = i//48) sampled at (x = X·w//16, y = Y·h//16) — so the
+    // byte_sum verifies real inflate+unfilter+resample end to end
     "q_multimodal_resize" ->
-      ("SELECT doc_id, CAST(256 AS BIGINT) AS n_pixels, " +
-        "CAST(list_aggregate(list_transform(range(256), " +
-        "i -> ascii(substr(text, CAST(i * length(text) // 256 AS INT) + 1, 1))), " +
-        "'sum') AS BIGINT) AS byte_sum " +
-        "FROM documents ORDER BY doc_id"),
-    // independent arithmetic recomputation of the PLANTED header
-    // fields (format by parity, dims by the plant formulas, n_bytes =
-    // payload + exact header size, f0 = first header byte / 255);
-    // the Spark side recovers the same values by PARSING the bytes
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
+        "(doc_id*17+3) % 11 + 3 AS h FROM documents WHERE doc_id % 2 = 0) " +
+        "SELECT doc_id, CAST(768 AS BIGINT) AS n_pixels, " +
+        "CAST(list_aggregate(list_transform(range(768), i -> " +
+        "(doc_id*7 + (((i//48) * h) // 16) * 31 + ((((i//3) % 16) * w) // 16) * 13 " +
+        "+ (i % 3) * 97) % 256), 'sum') AS BIGINT) AS byte_sum " +
+        "FROM d ORDER BY doc_id"),
+    // independent arithmetic recomputation of the PLANTED media:
+    // format by parity, dims by the plant formulas, and for PNG rows
+    // the per-channel pixel means in exact E6 fixed point from the
+    // planted pixel formula p(x,y,c) = (doc*7 + y*31 + x*13 + c*97) % 256.
+    // The Spark side recovers the same values by DECODING the bytes
+    // (chunk walk, CRC32, zlib inflate, 5-filter unfilter)
     "q_multimodal_decode" ->
-      ("SELECT doc_id, " +
-        "CAST(octet_length(encode(text)) + " +
-        "  CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 + doc_id % 8 END AS BIGINT) AS n_bytes, " +
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
+        "(doc_id*17+3) % 11 + 3 AS h FROM documents) " +
+        "SELECT doc_id, " +
         "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
-        "CAST((doc_id * 31 + 7) % 2000 + 1 AS BIGINT) AS width, " +
-        "CAST((doc_id * 17 + 3) % 1200 + 1 AS BIGINT) AS height, " +
-        "round(CASE WHEN doc_id % 2 = 0 THEN 137 ELSE 255 END / 255.0, 6) AS f0 " +
-        "FROM documents ORDER BY doc_id")
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
+        "i -> (doc_id*7 + (i//w)*31 + (i%w)*13) % 256), 'sum') " +
+        "* 1000000 // (w*h*255) AS BIGINT) END AS mean_r_e6, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
+        "i -> (doc_id*7 + (i//w)*31 + (i%w)*13 + 97) % 256), 'sum') " +
+        "* 1000000 // (w*h*255) AS BIGINT) END AS mean_g_e6, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
+        "i -> (doc_id*7 + (i//w)*31 + (i%w)*13 + 194) % 256), 'sum') " +
+        "* 1000000 // (w*h*255) AS BIGINT) END AS mean_b_e6 " +
+        "FROM d ORDER BY doc_id")
     // q_dedup_minhash / q_dedup_simhash: engine-hash semantics — rows-only.
   )
 }

@@ -117,7 +117,7 @@ object DataGen {
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority"), "orders", 8)
 
-    // lineitem: 1..9 lines per order (two-dice fan-out, mean ~4, the
+    // lineitem: 1..7 lines per order (two-dice fan-out, mean 4, the
     // measured sf0.1 shape); shipdate = orderdate + 1..120 days
     write(spark.range(nOrders).flatMap { oid =>
       val ro = rng(oid, 4L) // same stream as orders → same orderdate

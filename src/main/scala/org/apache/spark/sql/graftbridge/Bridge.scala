@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.{Column, SparkSession}
 
@@ -16,4 +16,14 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Codegen'd Bloom-filter probe over a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` — the same
+    * `BloomFilterMightContain` expression Spark's own runtime
+    * row-level filtering injects (there is no public SQL surface for
+    * it). `value` must be a LongType column; pair it with
+    * `xxhash64(...)` on both the build and probe side, mirroring
+    * Spark's InjectRuntimeFilter shape. */
+  def bloomMightContain(serialized: Array[Byte], value: Column): Column =
+    column(BloomFilterMightContain(Literal(serialized), expression(value)))
 }

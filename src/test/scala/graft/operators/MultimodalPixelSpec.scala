@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL PNG pixel codec, verified bit-for-bit: genuine zlib
+  * IDAT (JDK Deflater/Inflater), chunk CRC32 validation, and all
+  * five PNG scanline filters (None/Sub/Up/Average/Paeth) must
+  * round-trip the planted arithmetic pixels exactly. Pure JVM — no
+  * SparkSession. */
+class MultimodalPixelSpec extends AnyFunSuite {
+
+  private def expectedPixels(docId: Long): Array[Byte] = {
+    val w = Multimodal.plantedWidth(docId)
+    val h = Multimodal.plantedHeight(docId)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px((y * w + x) * 3 + c) = Multimodal.plantedPixel(docId, x, y, c).toByte
+    px
+  }
+
+  test("planted PNGs decode to the exact planted pixels (all five filter types)") {
+    // plantPng cycles the filter type y % 5, so any doc with h >= 5
+    // exercises None, Sub, Up, Average AND Paeth in one image
+    val tall = (0L until 40L by 2).filter(Multimodal.plantedHeight(_) >= 5)
+    assert(tall.nonEmpty)
+    (tall ++ Seq(0L, 2L, 4L, 6L, 100L, 123456L)).foreach { docId =>
+      val Some((w, h, px)) = Multimodal.decodePng(Multimodal.plantPng(docId))
+      assert(w == Multimodal.plantedWidth(docId))
+      assert(h == Multimodal.plantedHeight(docId))
+      assert(px.toSeq == expectedPixels(docId).toSeq, s"pixels differ for doc $docId")
+    }
+  }
+
+  test("each individual filter type round-trips through filter/unfilter") {
+    val w = 7
+    val rnd = new scala.util.Random(42)
+    (0 to 4).foreach { ft =>
+      val prev = Array.fill(3 * w)(rnd.nextInt(256).toByte)
+      val line = Array.fill(3 * w)(rnd.nextInt(256).toByte)
+      val filtered = Multimodal.filterLine(ft, line, prev)
+      val back = filtered.clone()
+      Multimodal.unfilterLine(ft, back, prev)
+      assert(back.toSeq == line.toSeq, s"filter type $ft did not round-trip")
+    }
+  }
+
+  /** Rebuild a planted PNG with its IDAT split into two chunks —
+    * decoders must concatenate IDAT payloads before inflating. */
+  test("multi-chunk IDAT streams concatenate before inflate") {
+    val one = Multimodal.plantPng(6L)
+    def be32(i: Int): Int =
+      ((one(i) & 0xff) << 24) | ((one(i + 1) & 0xff) << 16) |
+        ((one(i + 2) & 0xff) << 8) | (one(i + 3) & 0xff)
+    val idatLen = be32(33)
+    assert(new String(one, 37, 4, "US-ASCII") == "IDAT" && idatLen > 4)
+    val data = java.util.Arrays.copyOfRange(one, 41, 41 + idatLen)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(one, 0, 33) // signature + IHDR untouched
+    Multimodal.writeChunk(out, "IDAT", data.take(idatLen / 2))
+    Multimodal.writeChunk(out, "IDAT", data.drop(idatLen / 2))
+    Multimodal.writeChunk(out, "IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(out.toByteArray).map(_._3.toSeq) ==
+      Multimodal.decodePng(one).map(_._3.toSeq))
+  }
+
+  test("corrupt streams yield None: CRC flip, truncation, bad filter, wrong size") {
+    val good = Multimodal.plantPng(8L)
+    // flip one IDAT payload byte → chunk CRC32 mismatch
+    val flipped = good.clone()
+    flipped(45) = (flipped(45) ^ 0x40).toByte
+    assert(Multimodal.decodePng(flipped).isEmpty)
+    // truncate mid-IDAT
+    assert(Multimodal.decodePng(good.take(good.length - 20)).isEmpty)
+    // unknown scanline filter type (9) inside a well-formed chunk stream
+    val w = Multimodal.plantedWidth(8L); val h = Multimodal.plantedHeight(8L)
+    def rebuilt(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 33)
+      Multimodal.writeChunk(out, "IDAT", Multimodal.deflate(raw))
+      Multimodal.writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    val badFilter = new Array[Byte](h * (1 + 3 * w))
+    (0 until h).foreach(y => badFilter(y * (1 + 3 * w)) = 9)
+    assert(Multimodal.decodePng(rebuilt(badFilter)).isEmpty)
+    // inflated size disagrees with IHDR dims (one extra scanline)
+    assert(Multimodal.decodePng(rebuilt(new Array[Byte]((h + 1) * (1 + 3 * w)))).isEmpty)
+    // unsupported IHDR class (grayscale color type) is refused, not mis-decoded
+    val gray = good.clone()
+    gray(25) = 0
+    val td = java.util.Arrays.copyOfRange(gray, 12, 12 + 17)
+    val crc = new java.util.zip.CRC32(); crc.update(td)
+    val cv = crc.getValue.toInt
+    gray(29) = (cv >>> 24).toByte; gray(30) = (cv >>> 16).toByte
+    gray(31) = (cv >>> 8).toByte; gray(32) = cv.toByte
+    assert(Multimodal.decodePng(gray).isEmpty)
+  }
+
+  test("JPEG walk honors fill bytes and standalone markers (RSTn/TEM)") {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xff) // legal fill padding
+    out.write(0xff); out.write(0x01) // TEM: standalone, no length
+    out.write(0xff); out.write(0xd0) // RST0: standalone, no length
+    out.write(0xff); out.write(0xc0) // SOF0
+    out.write(0x00); out.write(11)   // length
+    out.write(8)
+    out.write(0x01); out.write(0x18) // height 280
+    out.write(0x02); out.write(0x30) // width 560
+    out.write(3); (1 to 3).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    assert(Multimodal.parseImageHeader(out.toByteArray) == (("jpeg", 560, 280)))
+    // EOI before any SOF → no dims, reported corrupt, no overrun
+    val eoi = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.parseImageHeader(eoi) == (("corrupt", -1, -1)))
+  }
+}

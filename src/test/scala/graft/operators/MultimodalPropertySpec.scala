@@ -38,10 +38,24 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("stubResize always emits exactly w*h bytes") {
-    forAll(Gen.zip(bytesGen, Gen.choose(1, 64), Gen.choose(1, 64))) {
-      case (bytes, w, h) =>
-        assert(Multimodal.stubResize(bytes, w, h).length == w * h)
+  test("decodePng is total on arbitrary bytes (None, never a throw)") {
+    forAll(bytesGen) { bytes =>
+      Multimodal.decodePng(bytes).foreach { case (w, h, px) =>
+        assert(px.length == w * h * 3)
+      }
+    }
+  }
+
+  test("decodePng is total on corrupted valid PNGs (single byte flips)") {
+    val base = Multimodal.plantPng(0L)
+    forAll(Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(1, 255)), 200) {
+      case (pos, mask) =>
+        val mutated = base.clone()
+        mutated(pos) = (mutated(pos) ^ mask).toByte
+        // must not throw; if it still decodes, the shape contract holds
+        Multimodal.decodePng(mutated).foreach { case (w, h, px) =>
+          assert(px.length == w * h * 3)
+        }
     }
   }
 

@@ -410,8 +410,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(Dedup.duplicatedSpans(docs, k = 64).count() == 0)
   }
 
-  test("multimodal decode parses real planted PNG/JPEG headers end-to-end") {
-    // even doc_id → PNG, odd → JPEG with variable APP0 pad (doc_id % 8)
+  test("multimodal decode parses real planted PNG/JPEG media end-to-end") {
+    // even doc_id → pixel-bearing PNG, odd → JPEG with variable APP0 pad
     val docs = docsDf(Seq(2L -> "hello world", 7L -> "xyz"))
     val out = Multimodal.decodeFeatures(Multimodal.withPlantedMedia(docs),
         batchSize = 1)
@@ -421,12 +421,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2L).height == Multimodal.plantedHeight(2L))
     assert(out(7L).width == Multimodal.plantedWidth(7L))
     assert(out(7L).height == Multimodal.plantedHeight(7L))
-    // n_bytes = header + payload: PNG header is 33 B, JPEG 39 + pad
-    assert(out(2L).n_bytes == 11 + 33)
+    // JPEG n_bytes = header (39 + pad) + payload; PNG carries IDAT
     assert(out(7L).n_bytes == 3 + 39 + 7)
-    assert(out(2L).features.length == 8)
-    // first feature = first header byte / 255 (PNG signature 0x89)
-    assert(math.abs(out(2L).features(0) - 0x89 / 255.0f) < 1e-6)
+    // PNG features are the REAL channel means of the decoded pixels:
+    // recompute from the planted formula independently
+    val (w, h) = (Multimodal.plantedWidth(2L), Multimodal.plantedHeight(2L))
+    val expectSums = Array.tabulate(3) { c =>
+      (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.plantedPixel(2L, x, y, c).toLong).sum
+    }
+    assert(out(2L).n_px == w.toLong * h)
+    assert(out(2L).chan_sums.toSeq == expectSums.toSeq)
+    assert(out(2L).features.length == 3)
+    (0 until 3).foreach { c =>
+      assert(math.abs(out(2L).features(c) - expectSums(c) / (w * h * 255.0)) < 1e-6)
+    }
+    // JPEG = header-only decode: honestly no payload features
+    assert(out(7L).features.isEmpty && out(7L).n_px == 0L)
   }
 
   test("image header parser rejects corrupt and unknown bytes without throwing") {
@@ -462,14 +473,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(3L).isEmpty, "zero vector should score null") // null score ranks last
   }
 
-  test("multimodal stub resize emits exactly w*h bytes, deterministic") {
-    val docs = docsDf(Seq(1L -> ("ab" * 50), 2L -> "x"))
-    val out = Multimodal.resizeTo(Multimodal.withBinary(docs), w = 4, h = 3)
+  test("multimodal resize resamples REAL decoded pixels (nearest neighbor)") {
+    val docs = docsDf(Seq(2L -> "png doc", 7L -> "jpeg doc"))
+    val out = Multimodal.resizeTo(Multimodal.withPlantedMedia(docs), w = 4, h = 3)
       .collect().map(r => r.doc_id -> r).toMap
-    assert(out(1L).pixels.length == 12 && out(2L).pixels.length == 12)
-    assert(out(2L).pixels.forall(_ == 'x'.toByte)) // 1-byte source upsampled
-    // sampling is monotone over the source payload
-    assert(out(1L).pixels(0) == 'a'.toByte)
+    // PNG decodes → exactly tw·th·3 bytes; JPEG (header-only) → empty
+    assert(out(2L).pixels.length == 4 * 3 * 3)
+    assert(out(7L).pixels.isEmpty)
+    // every output byte equals the planted pixel at the NN source index
+    val (w, h) = (Multimodal.plantedWidth(2L), Multimodal.plantedHeight(2L))
+    for (yy <- 0 until 3; xx <- 0 until 4; c <- 0 until 3) {
+      val expected = Multimodal.plantedPixel(2L, xx * w / 4, yy * h / 3, c)
+      assert((out(2L).pixels((yy * 4 + xx) * 3 + c) & 0xff) == expected)
+    }
   }
 
   test("multimodal frame sampler: counts and payload slicing agree") {
