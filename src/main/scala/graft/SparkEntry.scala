@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RefQueries, RelationalQueries, SketchQueries}
+import graft.queries.{PipelineQueries, RefQueries, RelationalQueries, SketchQueries, SparkSqlTwins}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.5/§7 + the builder
   * prompt. Queries are assembled from three catalogs:
@@ -29,4 +29,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracleSql ++ RelationalQueries.oracleSql ++
       PipelineQueries.oracleSql ++ SketchQueries.oracleSql
+
+  /** Spark-dialect SQL twins for the oracle statements that are
+    * DuckDB-only dialect. Used by SqlParitySpec to prove the whole
+    * catalog through `spark.sql` text as well. */
+  def sparkSql: Map[String, String] = SparkSqlTwins.map
 }

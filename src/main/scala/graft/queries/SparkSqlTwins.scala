@@ -1,0 +1,478 @@
+package graft.queries
+
+/** Spark-dialect SQL twins for the oracle statements that only parse
+  * in DuckDB (epoch_us, string_split, list_*, `//`, unnest-in-SELECT).
+  * Each twin states the SAME query in Spark SQL and must reproduce
+  * the DataFrame query's rows EXACTLY through `spark.sql` —
+  * `SqlParitySpec` enforces it — so the engine's whole catalog is
+  * proven through the SQL-text surface, not just the DataFrame API.
+  *
+  * Float-bearing twins mirror the DataFrame implementations' exact
+  * operation order (sequential array folds, DECIMAL(18,2) money
+  * sums, exact interpolated `percentile`) because the parity compare
+  * is to 9 significant digits.
+  *
+  * Dialect mapping used throughout: string_split→split, len→size,
+  * list_transform→transform, list_filter→filter,
+  * list_aggregate(_, 'sum')→aggregate, list_distinct→array_distinct,
+  * `//`→div, epoch_us→unix_micros, epoch→unix_seconds,
+  * time_bucket→date_trunc, quantile_cont→percentile,
+  * json_extract_string→get_json_object, sha256→sha2(_, 256),
+  * unnest-in-SELECT→LATERAL VIEW explode/posexplode,
+  * toks[i] (1-based)→element_at, range(a,b)→sequence(a, b-1) with an
+  * explicit emptiness guard (Spark's sequence runs DESCENDING when
+  * start > stop, where DuckDB's range is empty).
+  */
+object SparkSqlTwins {
+
+  private val toks = "split(text, ' ')"
+  private val stop = s"size(filter($toks, t -> t IN ('the','a','of','and','in')))"
+  // decimal-literal trap: in Spark SQL text `100.0` is a DECIMAL
+  // literal (the DataFrame API's lit(100.0) is a double), and decimal
+  // arithmetic flips floor(x*1e6) boundaries vs the DataFrame's
+  // double math — the D suffix keeps the whole expression in doubles
+  private val quality =
+    s"CAST(floor((least(size($toks)/100.0D, 1.0D)*0.3D " +
+      s"+ (CAST($stop AS DOUBLE)/size($toks))*0.4D " +
+      s"+ least((CAST(n_chars AS DOUBLE)/size($toks))/8.0D, 1.0D)*0.3D)*1000000) AS BIGINT)"
+  private val langPred =
+    s"CASE WHEN CAST($stop AS DOUBLE)/size($toks) >= 0.05D THEN 'en' ELSE 'unk' END"
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), '  +', ' '))"
+
+  /** Distinct word-3-shingle array (guarded: empty for < 3 tokens). */
+  private val shingles =
+    s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(sequence(1, size($toks) - 2), " +
+      s"i -> concat(element_at($toks, i), ' ', element_at($toks, i+1), ' ', element_at($toks, i+2)))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  /** Cosine over float embeddings, mirroring VectorOps.cosineSim's
+    * exact op order: sequential-fold dot and norms over
+    * array<double>, null (ranks last) on zero norm. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with(CAST($x.embedding AS ARRAY<DOUBLE>), " +
+        s"CAST($y.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    def nrm(x: String) = s"sqrt(${dot(x, x)})"
+    s"CASE WHEN ${nrm(a)} * ${nrm(b)} > 0 THEN ${dot(a, b)} / (${nrm(a)} * ${nrm(b)}) END"
+  }
+
+  val map: Map[String, String] = Map(
+    // o_orderdate is TIMESTAMP_NTZ in the parquet; unix_* only take
+    // TIMESTAMP, so cast (identity on the stored micros under UTC)
+    "q_asof_join" ->
+      ("SELECT event_id, user_id, CAST(unix_seconds(CAST(max(o_orderdate) AS TIMESTAMP)) AS BIGINT) AS asof_s " +
+        "FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
+        "AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts " +
+        "GROUP BY event_id, user_id ORDER BY event_id"),
+
+    "q_chunk_overlap" ->
+      ("WITH tok AS (SELECT doc_id, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM documents), " +
+        "k AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 64 THEN 1 ELSE (n_tok - 64 + 47) div 48 + 1 END AS n_win " +
+        "FROM tok WHERE n_tok > 0), " +
+        "w AS (SELECT doc_id, n_tok, win_id FROM k LATERAL VIEW explode(sequence(0, n_win - 1)) u AS win_id) " +
+        "SELECT doc_id, win_id, win_id*48 AS win_start, " +
+        "CAST(least(64, n_tok - win_id*48) AS BIGINT) AS win_len FROM w ORDER BY doc_id, win_id"),
+
+    "q_contamination" ->
+      (s"WITH tr AS (SELECT doc_id, s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 <> 0), " +
+        s"ev AS (SELECT DISTINCT s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 = 0), " +
+        "c AS (SELECT tr.doc_id, count(*) AS n_shingles, count(ev.s) AS n_overlap " +
+        "FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, CAST(n_overlap AS BIGINT) AS n_overlap, " +
+        "n_overlap * 1000000 div n_shingles AS contam_e6, " +
+        "n_overlap * 1000000 >= 100000 * n_shingles AS contaminated FROM c ORDER BY doc_id"),
+
+    "q_cooccur" ->
+      ("WITH dt AS (SELECT DISTINCT doc_id, term FROM documents " +
+        "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) ex AS term), " +
+        "ft AS (SELECT * FROM dt WHERE term NOT IN ('the','a','of','and','in')), " +
+        "df AS (SELECT term, count(*) AS df FROM ft GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "vt AS (SELECT ft.doc_id, ft.term, v.df FROM ft JOIN v USING (term)), " +
+        "p AS (SELECT x.term AS a, y.term AS b, x.df AS df_a, y.df AS df_b, count(*) AS n_ab " +
+        "FROM vt x JOIN vt y ON x.doc_id = y.doc_id AND x.term < y.term GROUP BY 1, 2, 3, 4) " +
+        "SELECT a, b, df_a, df_b, n_ab, n_ab * n_docs * 1000000 div (df_a * df_b) AS lift_e6 " +
+        "FROM p CROSS JOIN n ORDER BY lift_e6 DESC, a, b LIMIT 100"),
+
+    "q_corpus_select" ->
+      (s"WITH kept AS (SELECT doc_id, source, n_chars, md5($norm) AS nk FROM documents " +
+        s"WHERE $quality >= 400000 AND $langPred = 'en'), " +
+        "ded AS (SELECT *, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM kept) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est " +
+        "FROM ded WHERE rn = 1 GROUP BY source ORDER BY source"),
+
+    "q_curate_e2e" ->
+      (s"WITH cand AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        s"gated AS (SELECT doc_id, source, n_chars, text, md5($norm) AS nk FROM cand " +
+        s"WHERE $quality >= 400000 AND $langPred = 'en'), " +
+        "ded AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1), " +
+        s"ev AS (SELECT DISTINCT s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 = 0), " +
+        s"trsh AS (SELECT doc_id, s FROM ded LATERAL VIEW explode($shingles) ex AS s), " +
+        "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
+        "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 700000 * n_sh), " +
+        "clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+        "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
+        "rates AS (SELECT source, least(1000, 15000 div n) AS rate FROM cnt), " +
+        "bal AS (SELECT c.* FROM clean c JOIN rates USING (source) " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
+        "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM bal) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST((sum(n_tok) + 2047) div 2048 AS BIGINT) AS n_chunks FROM tok GROUP BY source ORDER BY source"),
+
+    "q_decontam_fuzzy" ->
+      (s"WITH tr AS (SELECT doc_id, s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 <> 0), " +
+        s"ev AS (SELECT doc_id AS eval_id, s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 = 0), " +
+        "tn AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1), " +
+        "en AS (SELECT eval_id, count(*) AS n_ev FROM ev GROUP BY 1), " +
+        "pj AS (SELECT tr.doc_id, ev.eval_id, count(*) AS inter FROM tr JOIN ev USING (s) GROUP BY 1, 2), " +
+        "j AS (SELECT pj.doc_id, pj.eval_id, (inter * 1000000) div (n_sh + n_ev - inter) AS jac " +
+        "FROM pj JOIN tn USING (doc_id) JOIN en USING (eval_id)), " +
+        "b AS (SELECT doc_id, jac, eval_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY jac DESC, eval_id ASC) AS rn FROM j) WHERE rn = 1) " +
+        "SELECT tn.doc_id, CAST(tn.n_sh AS BIGINT) AS n_sh, CAST(coalesce(b.jac, 0) AS BIGINT) AS best_jaccard_e6, " +
+        "b.eval_id AS best_eval_id, coalesce(b.jac, 0) >= 500000 AS contaminated " +
+        "FROM tn LEFT JOIN b USING (doc_id) ORDER BY doc_id"),
+
+    "q_dedup_exact" ->
+      ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha2(text, 256) AS fp " +
+        "FROM documents GROUP BY sha2(text, 256) ORDER BY keep_id"),
+
+    "q_dedup_incr_near" ->
+      (s"WITH b AS (SELECT doc_id, $shingles AS sh FROM documents WHERE doc_id % 3 = 0), " +
+        s"i AS (SELECT doc_id, $shingles AS sh FROM documents WHERE doc_id % 3 <> 0), " +
+        "bx AS (SELECT doc_id, s FROM b LATERAL VIEW explode(sh) ex AS s), " +
+        "ix AS (SELECT doc_id, s FROM i LATERAL VIEW explode(sh) ex AS s), " +
+        "bn AS (SELECT doc_id, size(sh) AS n FROM b), " +
+        "inz AS (SELECT doc_id, size(sh) AS n FROM i), " +
+        "p AS (SELECT bx.doc_id AS a, ix.doc_id AS bd, count(*) AS inter FROM bx JOIN ix ON bx.s = ix.s GROUP BY 1, 2), " +
+        "e AS (SELECT DISTINCT a FROM p JOIN bn ON bn.doc_id = p.a JOIN inz ON inz.doc_id = p.bd " +
+        "WHERE CAST(inter AS DOUBLE)/(bn.n + inz.n - inter) >= 0.5) " +
+        "SELECT (SELECT count(*) FROM b) AS n_batch, (SELECT count(*) FROM e) AS n_exact, " +
+        "TRUE AS sound, TRUE AS recall_ok"),
+
+    "q_dedup_substring" ->
+      (s"WITH t AS (SELECT doc_id, $toks AS toks FROM documents), " +
+        "gr AS (SELECT doc_id, i - 1 AS pos, " +
+        "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2), element_at(toks, i+3), " +
+        "element_at(toks, i+4), element_at(toks, i+5), element_at(toks, i+6), element_at(toks, i+7)) AS g " +
+        "FROM (SELECT * FROM t WHERE size(toks) >= 8) tt LATERAL VIEW explode(sequence(1, size(toks) - 7)) u AS i), " +
+        "dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+        "s AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN " +
+        "max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL " +
+        "OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "THEN 1 ELSE 0 END AS ni FROM s), " +
+        "isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl), " +
+        "spans AS (SELECT doc_id, island, min(pos) AS st, max(pos) + 8 AS en FROM isl2 GROUP BY 1, 2), " +
+        "summ AS (SELECT doc_id, count(*) AS n_spans, sum(en - st) AS dup_tokens FROM spans GROUP BY 1) " +
+        "SELECT summ.doc_id, CAST(n_spans AS BIGINT) AS n_spans, CAST(dup_tokens AS BIGINT) AS dup_tokens, " +
+        s"CAST(size($toks) - dup_tokens AS BIGINT) AS kept_tokens " +
+        "FROM summ JOIN documents ON summ.doc_id = documents.doc_id ORDER BY 1"),
+
+    "q_embed_centroid" ->
+      ("WITH ex AS (SELECT label, pos, x FROM embeddings " +
+        "LATERAL VIEW posexplode(CAST(embedding AS ARRAY<DOUBLE>)) e AS pos, x) " +
+        "SELECT label, CAST(pos AS BIGINT) AS pos, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS v, count(*) AS n_vecs " +
+        "FROM ex GROUP BY label, pos ORDER BY label, pos"),
+
+    "q_event_gaps" ->
+      ("WITH g AS (SELECT user_id, unix_micros(ts) - lag(unix_micros(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) " +
+        "SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps, max(gap_us) AS max_gap_us, " +
+        "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us FROM g GROUP BY user_id ORDER BY user_id"),
+
+    "q_event_sessions" ->
+      ("WITH flagged AS (SELECT user_id, value, unix_micros(ts) AS us, " +
+        "CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 " +
+        "WHEN lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_s " +
+        "FROM events), " +
+        "sess AS (SELECT user_id, value, us, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, max(us) - min(us) AS dur_us, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),
+
+    "q_event_windows" ->
+      ("SELECT CAST(unix_seconds(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type, " +
+        "count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_fill_forward" ->
+      ("SELECT event_id, user_id, unix_micros(ts) AS us, " +
+        "last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END) IGNORE NULLS OVER " +
+        "(PARTITION BY user_id ORDER BY unix_micros(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
+        "event_type = 'error' AS was_filled FROM events ORDER BY user_id, us, event_id"),
+
+    "q_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, unix_micros(ts) AS us FROM events), " +
+        "s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM s3 ORDER BY stage"),
+
+    "q_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k, " +
+        "count(*) FILTER (WHERE get_json_object(props, '$.k') IS NULL) AS n_missing " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q_lang_id" ->
+      (s"SELECT doc_id, lang AS lang_true, $langPred AS lang_pred, " +
+        s"CAST(floor(CAST($stop AS DOUBLE)/size($toks)*1000000) AS BIGINT) AS en_score_e6 " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_latest_state" ->
+      ("WITH r AS (SELECT user_id, event_id, unix_micros(ts) AS us, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY unix_micros(ts) DESC, event_id DESC) AS rn FROM events), " +
+        "t AS (SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value FROM events GROUP BY user_id) " +
+        "SELECT r.user_id, us AS last_us, event_id AS last_event_id, event_type AS last_event_type, " +
+        "round(value, 6) AS last_value, n_events, lifetime_value " +
+        "FROM r JOIN t ON r.user_id = t.user_id WHERE rn = 1 ORDER BY r.user_id"),
+
+    "q_minhash_est" ->
+      (s"WITH sub AS (SELECT doc_id, $shingles AS sh FROM documents WHERE doc_id % 20 = 0), " +
+        "ex AS (SELECT doc_id, s FROM sub LATERAL VIEW explode(sh) e AS s), " +
+        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter " +
+        "FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_pairs, TRUE AS est_ok FROM pairs WHERE inter >= 1"),
+
+    "q_mixture_budget" ->
+      ("WITH tok AS (SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tk FROM documents), " +
+        "tot AS (SELECT lang, sum(tk) AS tokn FROM tok GROUP BY 1), " +
+        "w AS (SELECT * FROM VALUES ('en', 600), ('zh', 100), ('es', 100), " +
+        "('fr', 100), ('de', 100) AS t(lang, wpm)), " +
+        "r AS (SELECT tot.lang, least(1000, ((20000 * wpm) div 1000) * 1000 div tokn) AS rate_pm " +
+        "FROM tot JOIN w ON tot.lang = w.lang), " +
+        "kept AS (SELECT tok.doc_id, tok.lang, tok.tk, r.rate_pm FROM tok JOIN r ON tok.lang = r.lang " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate_pm) " +
+        "SELECT lang, CAST(rate_pm AS BIGINT) AS rate_pm, count(*) AS n_docs, " +
+        "CAST(sum(tk) AS BIGINT) AS est_tokens FROM kept GROUP BY 1, 2 ORDER BY 1"),
+
+    "q_multimodal_decode" ->
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h FROM documents) " +
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(aggregate(transform(sequence(0, w*h - 1), " +
+        "i -> (doc_id*7 + (i div w)*31 + (i % w)*13) % 256), 0L, (a, x) -> a + x) " +
+        "* 1000000 div (w*h*255) AS BIGINT) END AS mean_r_e6, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(aggregate(transform(sequence(0, w*h - 1), " +
+        "i -> (doc_id*7 + (i div w)*31 + (i % w)*13 + 97) % 256), 0L, (a, x) -> a + x) " +
+        "* 1000000 div (w*h*255) AS BIGINT) END AS mean_g_e6, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(aggregate(transform(sequence(0, w*h - 1), " +
+        "i -> (doc_id*7 + (i div w)*31 + (i % w)*13 + 194) % 256), 0L, (a, x) -> a + x) " +
+        "* 1000000 div (w*h*255) AS BIGINT) END AS mean_b_e6 " +
+        "FROM d ORDER BY doc_id"),
+
+    "q_multimodal_frames" ->
+      ("SELECT doc_id, CAST(ceil(octet_length(text)/256.0) AS BIGINT) AS n_frames, " +
+        "CAST(ceil(ceil(octet_length(text)/256.0)/4.0) AS BIGINT) AS n_sampled " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS n_bytes, " +
+        "CAST(octet_length(text) % 640 + 1 AS BIGINT) AS fake_width, " +
+        "CAST(octet_length(text) % 480 + 1 AS BIGINT) AS fake_height " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_resize" ->
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h " +
+        "FROM documents WHERE doc_id % 2 = 0) " +
+        "SELECT doc_id, CAST(768 AS BIGINT) AS n_pixels, " +
+        "CAST(aggregate(transform(sequence(0, 767), i -> " +
+        "(doc_id*7 + (((i div 48) * h) div 16) * 31 + ((((i div 3) % 16) * w) div 16) * 13 " +
+        "+ (i % 3) * 97) % 256), 0L, (a, x) -> a + x) AS BIGINT) AS byte_sum " +
+        "FROM d ORDER BY doc_id"),
+
+    "q_ngram_jaccard" ->
+      (s"WITH sub AS (SELECT doc_id, $shingles AS sh FROM documents WHERE doc_id % 20 = 0), " +
+        "ex AS (SELECT doc_id, s FROM sub LATERAL VIEW explode(sh) e AS s), " +
+        "sizes AS (SELECT doc_id, size(sh) AS n FROM sub), " +
+        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter " +
+        "FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT a, b, round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter),6) AS jaccard " +
+        "FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+        "WHERE inter >= 1 ORDER BY a, b"),
+
+    "q_outliers" ->
+      ("WITH med AS (SELECT event_type, percentile(value, 0.5) AS med FROM events GROUP BY 1), " +
+        "dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, percentile(adev, 0.5) AS mad FROM dev GROUP BY 1) " +
+        "SELECT d.event_type, count(*) AS n, " +
+        "CAST(sum(CASE WHEN d.med - d.value > 3.0*m.mad THEN 1 ELSE 0 END) " +
+        "+ sum(CASE WHEN d.value - d.med > 3.0*m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "CAST(sum(CASE WHEN d.med - d.value > 3.0*m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(sum(CASE WHEN d.value - d.med > 3.0*m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
+        "FROM dev d JOIN mad m USING (event_type) GROUP BY 1 ORDER BY 1"),
+
+    "q_pack_chunks" ->
+      ("WITH tok AS (SELECT doc_id, source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM documents), " +
+        "off AS (SELECT doc_id, source, n_tok, CAST(coalesce(sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM tok) " +
+        "SELECT doc_id, source, n_tok, start_tok, start_tok div 2048 AS chunk_id, " +
+        "CASE WHEN n_tok = 0 THEN 0 ELSE (start_tok + n_tok - 1) div 2048 - start_tok div 2048 + 1 END AS n_chunks " +
+        "FROM off ORDER BY doc_id"),
+
+    "q_pack_segments" ->
+      ("WITH tok AS (SELECT doc_id, source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM documents), " +
+        "off AS (SELECT doc_id, source, n_tok, CAST(coalesce(sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM tok), " +
+        "seg AS (SELECT source, doc_id, n_tok, start_tok, chunk_id FROM (SELECT * FROM off WHERE n_tok > 0) o " +
+        "LATERAL VIEW explode(sequence(start_tok div 2048, (start_tok + n_tok - 1) div 2048)) u AS chunk_id) " +
+        "SELECT source, chunk_id, doc_id, greatest(start_tok, chunk_id*2048) - start_tok AS tok_start, " +
+        "least(start_tok + n_tok, (chunk_id+1)*2048) - greatest(start_tok, chunk_id*2048) AS tok_len, " +
+        "greatest(start_tok, chunk_id*2048) - chunk_id*2048 AS chunk_off " +
+        "FROM seg ORDER BY source, chunk_id, doc_id"),
+
+    "q_percentiles" ->
+      ("SELECT l_returnflag, round(percentile(l_extendedprice, 0.25), 6) AS p25, " +
+        "round(percentile(l_extendedprice, 0.50), 6) AS p50, " +
+        "round(percentile(l_extendedprice, 0.75), 6) AS p75, " +
+        "round(percentile(l_extendedprice, 0.95), 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS STRING) || '@' || source || " +
+        "'.net tel 555-' || lpad(CAST(doc_id AS STRING), 6, '0') AS t FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'), " +
+        "'[0-9]{3}-[0-9]{4,6}', '<NUM>') AS red_text, " +
+        "CAST(size(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+', 0)) AS BIGINT) AS n_emails, " +
+        "CAST(size(regexp_extract_all(t, '[0-9]{3}-[0-9]{4,6}', 0)) AS BIGINT) AS n_phones " +
+        "FROM p ORDER BY doc_id"),
+
+    "q_quality_repetition" ->
+      (s"WITH w AS (SELECT doc_id, n_chars, $toks AS t FROM documents), " +
+        "g AS (SELECT doc_id, n_chars, gm FROM (SELECT * FROM w WHERE size(t) >= 2) ww " +
+        "LATERAL VIEW explode(transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i+1)))) u AS gm), " +
+        "c AS (SELECT doc_id, n_chars, gm, count(*) AS cnt FROM g GROUP BY 1, 2, 3), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gm) AS rn FROM c), " +
+        "a AS (SELECT doc_id, n_chars, sum(cnt) AS n_grams, count(*) AS n_distinct, " +
+        "max(CASE WHEN rn = 1 THEN gm END) AS top_gram, max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt " +
+        "FROM r GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_distinct AS BIGINT) AS n_distinct, " +
+        "top_gram, CAST(top_cnt AS BIGINT) AS top_cnt, " +
+        "top_cnt * length(top_gram) * 1000000 div n_chars AS top_frac_e6, " +
+        "CAST((n_grams - n_distinct) * 1000000 div n_grams AS BIGINT) AS dup_frac_e6 " +
+        "FROM a ORDER BY doc_id"),
+
+    "q_quality_score" ->
+      (s"SELECT doc_id, $quality AS quality_e6 FROM documents ORDER BY doc_id"),
+
+    "q_range_join" ->
+      ("SELECT a.event_id, count(*) AS n_nearby FROM events a JOIN events b " +
+        "ON abs(unix_micros(a.ts) - unix_micros(b.ts)) <= 60000000 AND b.user_id <> a.user_id " +
+        "GROUP BY a.event_id ORDER BY a.event_id"),
+
+    "q_retention" ->
+      ("WITH e AS (SELECT DISTINCT user_id, unix_micros(ts) div 86400000000 AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1) " +
+        "SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users " +
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_rolling_range" ->
+      ("SELECT user_id, event_id, unix_micros(ts) AS us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY unix_micros(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY unix_micros(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_trailing " +
+        "FROM events ORDER BY user_id, event_id"),
+
+    "q_ship_priority" ->
+      ("SELECT l_orderkey, round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue, " +
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS o_date_us, o_orderpriority " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP_NTZ '1998-06-01' AND l_shipdate > TIMESTAMP_NTZ '1998-06-01' " +
+        "GROUP BY l_orderkey, unix_micros(CAST(o_orderdate AS TIMESTAMP)), o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q_similarity_filtered" ->
+      (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 " +
+        "AND a.label = b.label AND a.vec_id <> b.vec_id), " +
+        "ranked AS (SELECT qid, neighbor_id, score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
+
+    "q_similarity_topk" ->
+      (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id), " +
+        "ranked AS (SELECT qid, neighbor_id, score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
+
+    "q_sketch_heavy" ->
+      ("WITH t AS (SELECT term FROM documents LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term), " +
+        "e AS (SELECT term, count(*) AS n FROM t GROUP BY 1) " +
+        "SELECT (SELECT term FROM e ORDER BY n DESC, term LIMIT 1) AS top1_term, " +
+        "(SELECT CAST(n AS BIGINT) FROM e ORDER BY n DESC, term LIMIT 1) AS top1_n, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_terms, " +
+        "TRUE AS top10_covered, TRUE AS bounds_ok"),
+
+    "q_sketch_quantiles" ->
+      ("SELECT round(percentile(l_extendedprice, 0.5),4) AS p50, " +
+        "round(percentile(l_extendedprice, 0.9),4) AS p90, " +
+        "TRUE AS q50_ok, TRUE AS q90_ok FROM lineitem"),
+
+    "q_source_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), " +
+        "r AS (SELECT source, least(1000, 15000 div n) AS rate FROM c) " +
+        "SELECT d.source, count(*) AS n_kept FROM documents d JOIN r USING (source) " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate " +
+        "GROUP BY d.source ORDER BY d.source"),
+
+    "q_source_quality" ->
+      (s"SELECT source, count(*) AS n_docs, " +
+        s"CAST(sum($quality) div count(*) AS BIGINT) AS mean_quality_e6, " +
+        s"min($quality) AS min_quality_e6, max($quality) AS max_quality_e6 " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "q_text_normalize" ->
+      (s"SELECT doc_id, $norm AS norm_text, length($norm) AS n_norm_chars " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_text_stats" ->
+      (s"SELECT doc_id, n_chars, CAST(size($toks) AS BIGINT) AS n_tokens, " +
+        s"CAST(floor(CAST(n_chars AS DOUBLE)/size($toks)*1000000) AS BIGINT) AS chars_per_token_e6, " +
+        s"CAST(floor(CAST($stop AS DOUBLE)/size($toks)*1000000) AS BIGINT) AS stopword_ratio_e6 " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(size(regexp_extract_all(text,'[a-z0-9]+', 0)) AS BIGINT) AS n_word_tokens, " +
+        "CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_bpe_est " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_top_terms" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, term FROM documents " +
+        "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term) GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * (n.n_docs div df.df) AS score " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n WHERE tf.term NOT IN ('the','a','of','and','in')), " +
+        "r AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tf DESC, term) AS rk FROM sc) " +
+        "SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3 ORDER BY doc_id, rk"),
+
+    "q_vocab_coverage" ->
+      (s"WITH tr AS (SELECT term FROM documents LATERAL VIEW explode($toks) e AS term WHERE doc_id % 4 <> 0), " +
+        "v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM tr WHERE term <> '' GROUP BY 1) " +
+        "ORDER BY tf DESC, term LIMIT 20), " +
+        s"h AS (SELECT term FROM documents LATERAL VIEW explode($toks) e AS term WHERE doc_id % 4 = 0), " +
+        "hh AS (SELECT term FROM h WHERE term <> ''), " +
+        "st AS (SELECT (SELECT count(*) FROM v) AS n_vocab, (SELECT count(*) FROM hh) AS n_held_tokens, " +
+        "(SELECT count(*) FROM hh WHERE term NOT IN (SELECT term FROM v)) AS n_oov) " +
+        "SELECT n_vocab, n_held_tokens, n_oov, n_oov * 1000000 div n_held_tokens AS oov_e6 FROM st")
+  )
+}

@@ -28,7 +28,7 @@ class SqlParitySpec extends SparkTestBase {
     }.mkString("|")).sorted.toSeq
   }
 
-  test("every Spark-parseable oracle statement matches its DataFrame twin") {
+  test("every oracle statement (or its Spark-dialect twin) matches its DataFrame twin") {
     val s = spark
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
@@ -36,29 +36,34 @@ class SqlParitySpec extends SparkTestBase {
     }
     Tables.events(s, sfDir).createOrReplaceTempView("events")
     var compared = 0
+    val comparedNames = scala.collection.mutable.Set[String]()
     val skipped = scala.collection.mutable.ListBuffer[String]()
     val mismatched = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      val parsed =
-        try Some(s.sql(sql))
-        catch { case _: Throwable => skipped += name; None }
-      parsed.foreach { sqlDf =>
-        val viaSql =
-          try Some(canonical(sqlDf))
-          catch { case _: Throwable => skipped += name; None } // runtime-only dialect gaps
-        viaSql.foreach { sqlRows =>
+      // prefer the DuckDB-oracle text when Spark can run it; fall
+      // back to the hand-written Spark-dialect twin otherwise
+      val candidates = Seq(sql) ++ SparkEntry.sparkSql.get(name)
+      val sqlRowsOpt = candidates.view.flatMap { q =>
+        try Some(canonical(s.sql(q)))
+        catch { case _: Throwable => None }
+      }.headOption
+      sqlRowsOpt match {
+        case None => skipped += name
+        case Some(sqlRows) =>
           val dfRows = canonical(SparkEntry.queries(name)(s, sfDir))
           compared += 1
+          comparedNames += name
           if (sqlRows != dfRows) {
             mismatched += name
             info(s"$name: sql=${sqlRows.take(3)} df=${dfRows.take(3)}")
           }
-        }
       }
     }
-    info(s"compared $compared, skipped ${skipped.size} (duckdb-dialect): " +
-      skipped.mkString(", "))
+    info(s"compared $compared, skipped ${skipped.size}: " + skipped.mkString(", "))
     assert(mismatched.isEmpty, s"SQL-text mismatches: $mismatched")
-    assert(compared >= 25, s"only $compared oracle statements were Spark-parseable")
+    assert(compared >= 90, s"only $compared oracle statements ran through spark.sql")
+    // twin-rot guard: every hand-written Spark twin must actually run
+    val rotted = SparkEntry.sparkSql.keySet.diff(comparedNames)
+    assert(rotted.isEmpty, s"sparkSql twins that never ran: $rotted")
   }
 }
