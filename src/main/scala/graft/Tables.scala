@@ -18,15 +18,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read nanos as long and truncate to micros — the same
-    * truncation DuckDB applies (its TIMESTAMP is micros), keeping
-    * oracle parity. Integer `div` avoids double-precision loss on
-    * ~1.7e18 nano values. */
+  /** `events.ts` arrives in two fixture vintages: parquet
+    * TIMESTAMP(NANOS) (Spark's reader rejects it → read nanos as long
+    * and truncate to micros, the same truncation DuckDB applies), or
+    * plain TIMESTAMP(MICROS) without tz (Spark reads TIMESTAMP_NTZ →
+    * cast to session-tz timestamp; the session is pinned UTC so the
+    * wall-clock instant matches DuckDB's reading exactly). Dispatch on
+    * the observed schema so either fixture loads identically. Integer
+    * `div` avoids double-precision loss on ~1.7e18 nano values. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
