@@ -133,11 +133,16 @@ object Bench {
     // 28.2 s — pure window variance). N full passes over the sorted
     // surface land each query in N well-separated windows; the
     // per-query MIN across passes is the graded number.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").trim.toInt).getOrElse {
+        System.err.println("[bench] bad SPARK_GRAFT_BENCH_RUNS, using 2")
+        2
+      })
     var lastCanary = mopsPre
     var lastPar = parPre
-    def measurePass(): (Seq[(String, Double)], Set[String]) = {
+    def measurePass(): (Seq[(String, Double)], Set[String], Set[String]) = {
       val starved = scala.collection.mutable.ListBuffer[String]()
+      val failed = scala.collection.mutable.ListBuffer[String]()
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val samples = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
         var healthy = 0
@@ -146,14 +151,23 @@ object Bench {
           val pre = lastCanary
           val preP = lastPar
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          // A thrown query fails fast, and its near-zero elapsed time
+          // must NOT enter the min-merge as a "measurement" — mark the
+          // sample unhealthy and surface the query in "failed".
+          var threw = false
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            threw = true
+            System.err.println(s"[bench] $name attempt ${attempts + 1} threw: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           cleanup()
           lastCanary = canaryMops()
           lastPar = parallelCanaryMops(parWidth)
-          val ok = math.min(pre, lastCanary) >= canaryFloor &&
+          val ok = !threw && math.min(pre, lastCanary) >= canaryFloor &&
             math.min(preP, lastPar) >= parFloor
           if (ok) healthy += 1
+          if (threw) failed += name
           samples += ((sec, ok))
           attempts += 1
         }
@@ -162,7 +176,7 @@ object Bench {
         val sec = (if (good.nonEmpty) good.min else samples.map(_._1).min)
         name -> sec
       }
-      (results, starved.toSet)
+      (results, starved.toSet, failed.toSet)
     }
     val passes = (1 to runs).map { i =>
       val p = measurePass()
@@ -174,6 +188,10 @@ object Bench {
     // a query is starved only if NO pass got it 2 healthy windows;
     // min across passes favors whichever window was clean
     val starved = names.filter(n => passes.forall(_._2.contains(n)))
+    // any query that threw in ANY pass is reported — its timing (if no
+    // healthy sample exists anywhere) is a fail-fast artifact, not a
+    // measurement
+    val failed = names.filter(n => passes.exists(_._3.contains(n)))
     val results = names.map { n =>
       val sec = passes.map(_._1.toMap.apply(n)).min
       n -> (math.round(sec * 1000.0) / 1000.0)
@@ -184,6 +202,7 @@ object Bench {
     val mopsPost = canaryMops(500000000L)
     val parPost = parallelCanaryMops(parWidth)
     val starvedJson = starved.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""canary_mops_pre":$mopsPre,"canary_mops_post":$mopsPost,""" +
@@ -191,7 +210,7 @@ object Bench {
         s""""protocol":"min_merge_of_${runs}_passes_min_of_2_healthy_attempts",""" +
         s""""runs":$runs,"canary_floor":$canaryFloor,""" +
         s""""par_floor":$parFloor,""" +
-        s""""starved":$starvedJson,"sf":"$sfDir"}"""
+        s""""starved":$starvedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // Robust emission: the JSON goes to a file AND to stdout on its
     // own line (BENCH_r04 recorded "parsed": null because sbt's
     // LoggedOutput glued the line to log noise — build.sbt now also
@@ -212,7 +231,7 @@ object Bench {
         s""""n_queries":${results.size},"compact":true,"runs":$runs,""" +
         s""""canary_mops_pre":$mopsPre,"canary_mops_post":$mopsPost,""" +
         s""""par_mops_pre":$parPre,"par_mops_post":$parPost,""" +
-        s""""starved":$starvedJson,"sf":"$sfDir"}"""
+        s""""starved":$starvedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     System.out.flush()
     println()
     println(json)

@@ -16,13 +16,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Write an explicit failure record instead of nothing: a query
+        // that throws must surface in the driver's compare as a LOUD
+        // hash/schema mismatch, not silently vanish from the gate
+        // (round 8 lost all 12 events queries to an un-analyzable
+        // loader and the correctness artifact just had 85 keys).
+        try {
+          import spark.implicits._
+          Seq((name, String.valueOf(e.getMessage).take(500)))
+            .toDF("_verify_error_query", "_verify_error_message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
+    System.err.println(s"[verify] ${SparkEntry.queries.size - failed.size}/" +
+      s"${SparkEntry.queries.size} ok" +
+      (if (failed.nonEmpty) s"; FAILED: ${failed.mkString(", ")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -267,8 +267,12 @@ object Multimodal {
       def be32(i: Int): Int =
         ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
           ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-      // walk chunks after IHDR, concatenating IDAT payloads
-      val idat = new java.io.ByteArrayOutputStream(h * (1 + 3 * w) / 2 + 32)
+      // walk chunks after IHDR, concatenating IDAT payloads. The
+      // buffer can never exceed the input, so cap its initial
+      // capacity by the input size — a hostile IHDR claiming 2^26
+      // pixels in a 100-byte payload must not pre-allocate ~100 MB.
+      val idat = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length, h * (1 + 3 * w) / 2 + 32))
       var i = 33
       var done = false
       while (!done) {
@@ -281,8 +285,13 @@ object Multimodal {
         else if (ctype == "IEND") done = true
         i += 12 + len
       }
-      // inflate to exactly h·(1 + 3w) filtered bytes
+      // inflate to exactly h·(1 + 3w) filtered bytes — but first bound
+      // the claimed output against what the IDAT stream could possibly
+      // inflate to (zlib's theoretical max ratio is ~1032:1): a
+      // decompression bomb's tiny IDAT with a huge IHDR is rejected
+      // BEFORE the big allocations, not after.
       val expected = h * (1 + 3 * w)
+      if (expected.toLong > 1032L * idat.size + 64L) return None
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       val filtered = new Array[Byte](expected)

@@ -516,12 +516,12 @@ object RelationalQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_event_sessions" ->
-      ("WITH flagged AS (SELECT user_id, value, epoch_us(ts) AS us, " +
+      ("WITH flagged AS (SELECT user_id, event_id, value, epoch_us(ts) AS us, " +
         "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 " +
         "WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
         "sess AS (SELECT user_id, value, us, " +
-        "sum(new_s) OVER (PARTITION BY user_id ORDER BY us " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
         "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, " +
         "max(us) - min(us) AS dur_us, " +

@@ -186,12 +186,12 @@ object SparkSqlTwins {
         "CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us FROM g GROUP BY user_id ORDER BY user_id"),
 
     "q_event_sessions" ->
-      ("WITH flagged AS (SELECT user_id, value, unix_micros(ts) AS us, " +
+      ("WITH flagged AS (SELECT user_id, event_id, value, unix_micros(ts) AS us, " +
         "CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 " +
         "WHEN lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_s " +
         "FROM events), " +
         "sess AS (SELECT user_id, value, us, sum(new_s) OVER " +
-        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
         "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, max(us) - min(us) AS dur_us, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),

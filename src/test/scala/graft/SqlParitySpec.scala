@@ -36,34 +36,42 @@ class SqlParitySpec extends SparkTestBase {
     }
     Tables.events(s, sfDir).createOrReplaceTempView("events")
     var compared = 0
-    val comparedNames = scala.collection.mutable.Set[String]()
     val skipped = scala.collection.mutable.ListBuffer[String]()
     val mismatched = scala.collection.mutable.ListBuffer[String]()
+    // twin-rot guard bookkeeping: each sparkSql twin must ITSELF
+    // execute (not merely share a name with an oracle that ran) — a
+    // twin whose oracle text also parses in Spark would otherwise
+    // never run and could rot undetected
+    val twinRan = scala.collection.mutable.Set[String]()
+    val twinBroken = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      // prefer the DuckDB-oracle text when Spark can run it; fall
-      // back to the hand-written Spark-dialect twin otherwise
-      val candidates = Seq(sql) ++ SparkEntry.sparkSql.get(name)
-      val sqlRowsOpt = candidates.view.flatMap { q =>
-        try Some(canonical(s.sql(q)))
+      val oracleRowsOpt =
+        try Some(canonical(s.sql(sql)))
         catch { case _: Throwable => None }
-      }.headOption
-      sqlRowsOpt match {
-        case None => skipped += name
-        case Some(sqlRows) =>
-          val dfRows = canonical(SparkEntry.queries(name)(s, sfDir))
-          compared += 1
-          comparedNames += name
-          if (sqlRows != dfRows) {
-            mismatched += name
-            info(s"$name: sql=${sqlRows.take(3)} df=${dfRows.take(3)}")
-          }
+      val twinRowsOpt = SparkEntry.sparkSql.get(name).flatMap { q =>
+        try { val r = canonical(s.sql(q)); twinRan += name; Some(r) }
+        catch { case e: Throwable =>
+          twinBroken += name
+          info(s"$name twin failed: ${e.getClass.getSimpleName}")
+          None
+        }
+      }
+      val ran = oracleRowsOpt.toSeq ++ twinRowsOpt.toSeq
+      if (ran.isEmpty) skipped += name
+      else {
+        val dfRows = canonical(SparkEntry.queries(name)(s, sfDir))
+        compared += 1
+        if (ran.exists(_ != dfRows)) {
+          mismatched += name
+          info(s"$name: sql=${ran.head.take(3)} df=${dfRows.take(3)}")
+        }
       }
     }
     info(s"compared $compared, skipped ${skipped.size}: " + skipped.mkString(", "))
     assert(mismatched.isEmpty, s"SQL-text mismatches: $mismatched")
     assert(compared >= 90, s"only $compared oracle statements ran through spark.sql")
-    // twin-rot guard: every hand-written Spark twin must actually run
-    val rotted = SparkEntry.sparkSql.keySet.diff(comparedNames)
+    assert(twinBroken.isEmpty, s"sparkSql twins that failed to run: $twinBroken")
+    val rotted = SparkEntry.sparkSql.keySet.diff(twinRan)
     assert(rotted.isEmpty, s"sparkSql twins that never ran: $rotted")
   }
 }

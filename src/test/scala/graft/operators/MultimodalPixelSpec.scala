@@ -96,6 +96,27 @@ class MultimodalPixelSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(gray).isEmpty)
   }
 
+  test("decompression bomb: huge IHDR over a tiny IDAT is rejected before allocation") {
+    // well-formed chunk stream (valid CRCs) claiming 4096×4096 RGB
+    // (~50 MB filtered) backed by a few-byte IDAT: the 1032:1 zlib
+    // ratio bound must refuse it up front — None, no OOM-sized buffers
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    val w = 4096; val h = 4096
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2
+    Multimodal.writeChunk(out, "IHDR", ihdr)
+    Multimodal.writeChunk(out, "IDAT", Multimodal.deflate(new Array[Byte](16)))
+    Multimodal.writeChunk(out, "IEND", Array.emptyByteArray)
+    val bomb = out.toByteArray
+    assert(bomb.length < 200)
+    assert(Multimodal.decodePng(bomb).isEmpty)
+  }
+
   test("JPEG walk honors fill bytes and standalone markers (RSTn/TEM)") {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
