@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, ModelSelection, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -129,6 +129,19 @@ object PipelineQueries {
     // gates, as floor-divided e6 integers
     "q_quality_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // CCNet-style bigram-LM scoring: train the corpus's own bigram
+    // table, score each doc by avg negative log-likelihood (e6
+    // integer; lower = more in-distribution) — the learned quality
+    // tier after the rule-based gates
+    "q_quality_lm" -> ((s, d) =>
+      ModelSelection.lmScore(Tables.documents(s, d))),
+
+    // DSIR-style selection: hashed-unigram log-likelihood ratio of
+    // the src0 target domain vs the raw corpus; top-20 weighted docs
+    "q_select_dsir" -> ((s, d) =>
+      ModelSelection.dsirWeights(Tables.documents(s, d),
+        isTarget = col("source") === "src0")),
 
     // deterministic per-group reservoir: exactly 5 docs per source
     // ranked by the LCG key (vs rate-based expected counts) — the
@@ -926,6 +939,34 @@ object PipelineQueries {
         "top_cnt * length(top_gram) * 1000000 // n_chars AS top_frac_e6, " +
         "CAST((n_grams - n_distinct) * 1000000 // n_grams AS BIGINT) AS dup_frac_e6 " +
         "FROM a ORDER BY doc_id"),
+    "q_quality_lm" ->
+      ("WITH w AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(t)), i -> t[i])) AS w0, " +
+        "unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w1 " +
+        "FROM w WHERE len(t) >= 2), " +
+        "c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w0, sum(c2) AS c1 FROM c2 GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT w1) AS v FROM c2), " +
+        "sc AS (SELECT bg.doc_id, " +
+        "CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1e9) AS BIGINT) AS lp " +
+        "FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0) CROSS JOIN v) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST((-sum(lp)) // (count(*) * 1000) AS BIGINT) AS nll_e6 " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    "q_select_dsir" ->
+      ("WITH toks AS (SELECT doc_id, source = 'src0' AS is_t, " +
+        "('0x' || substr(md5(unnest(string_split(text,' '))), 1, 6))::BIGINT % 64 AS b " +
+        "FROM documents), " +
+        "m AS (SELECT b, count(*) AS nr, " +
+        "sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM m), " +
+        "lr AS (SELECT b, CAST(floor((ln((nt + 1.0) / (tt + 64)) " +
+        "- ln((nr + 1.0) / (tr + 64))) * 1e9) AS BIGINT) AS lr_e9 " +
+        "FROM m CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(lr_e9) AS BIGINT) AS w_e9 " +
+        "FROM toks JOIN lr USING (b) " +
+        "GROUP BY doc_id ORDER BY w_e9 DESC, doc_id LIMIT 20"),
     "q_sample_group" ->
       ("WITH r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
         "ORDER BY ((doc_id % 1000003) * 1103515245 + 12345) % 1000003, doc_id) AS rk " +

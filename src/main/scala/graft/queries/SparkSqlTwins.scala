@@ -366,8 +366,37 @@ object SparkSqlTwins {
         "CAST((n_grams - n_distinct) * 1000000 div n_grams AS BIGINT) AS dup_frac_e6 " +
         "FROM a ORDER BY doc_id"),
 
+    "q_quality_lm" ->
+      (s"WITH w AS (SELECT doc_id, $toks AS t FROM documents), " +
+        "bg AS (SELECT doc_id, element_at(t, i) AS w0, element_at(t, i + 1) AS w1 " +
+        "FROM (SELECT * FROM w WHERE size(t) >= 2) ww " +
+        "LATERAL VIEW explode(sequence(1, size(t) - 1)) u AS i), " +
+        "c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w0, sum(c2) AS c1 FROM c2 GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT w1) AS v FROM c2), " +
+        "sc AS (SELECT bg.doc_id, " +
+        "CAST(floor(ln((c2.c2 + 1.0D) / (c1.c1 + v.v)) * 1e9) AS BIGINT) AS lp " +
+        "FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0) CROSS JOIN v) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "(-sum(lp)) div (count(*) * 1000) AS nll_e6 " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+
     "q_quality_score" ->
       (s"SELECT doc_id, $quality AS quality_e6 FROM documents ORDER BY doc_id"),
+
+    "q_select_dsir" ->
+      (s"WITH toks AS (SELECT doc_id, source = 'src0' AS is_t, " +
+        "CAST(conv(substring(md5(tok), 1, 6), 16, 10) AS BIGINT) % 64 AS b " +
+        s"FROM documents LATERAL VIEW explode($toks) u AS tok), " +
+        "m AS (SELECT b, count(*) AS nr, " +
+        "sum(CASE WHEN is_t THEN 1L ELSE 0L END) AS nt FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(nr) AS tr, sum(nt) AS tt FROM m), " +
+        "lr AS (SELECT b, CAST(floor((ln((nt + 1.0D) / (tt + 64)) " +
+        "- ln((nr + 1.0D) / (tr + 64))) * 1e9) AS BIGINT) AS lr_e9 " +
+        "FROM m CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, sum(lr_e9) AS w_e9 " +
+        "FROM toks JOIN lr USING (b) " +
+        "GROUP BY doc_id ORDER BY w_e9 DESC, doc_id LIMIT 20"),
 
     "q_range_join" ->
       ("SELECT a.event_id, count(*) AS n_nearby FROM events a JOIN events b " +

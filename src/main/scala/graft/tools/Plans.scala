@@ -301,6 +301,26 @@ object Plans {
         "final per-doc aggregate reuse the SAME doc_id hash " +
         "partitioning (no second exchange). All fractions are " +
         "codegen'd integer div, bit-stable across engines."),
+    "q_quality_lm" ->
+      ("The bigram LM trains and scores in one pipeline: document " +
+        "bigrams are built under a single doc_id exchange (posexplode " +
+        "+ lead, the shingle shape); the (w0,w1) and (w0) count " +
+        "tables shuffle only map-side-combined vocabulary-sized " +
+        "partials, and the score join keys corpus bigrams against " +
+        "that sublinear model (auto-broadcast here; gram-keyed " +
+        "shuffle + AQE skew handling past the broadcast threshold). " +
+        "Every log-prob is e9-quantized BEFORE the per-doc sum, so " +
+        "aggregation is pure integer math — partition-order-" +
+        "independent and bit-portable."),
+    "q_select_dsir" ->
+      ("ONE token explode serves both distribution fits and the " +
+        "scoring: the hashed model is a conditional aggregate " +
+        "(count + count-if-target) over the same rows, collapsing to " +
+        "exactly `buckets` rows that broadcast back with the two " +
+        "smoothing totals. The corpus-sized movement is a single " +
+        "map-side-combined groupBy(doc_id) of integer partial sums, " +
+        "and top-k is TakeOrdered (per-partition heap), never a " +
+        "global sort of a 100 TB corpus."),
     "q_train_order" ->
       ("The order key and shard are per-row LCG arithmetic on the " +
         "scan (auditable from the id alone); the only exchange is the " +
