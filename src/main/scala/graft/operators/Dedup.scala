@@ -520,6 +520,54 @@ object Dedup {
     * Probes with zero candidates surface as (n_near = 0, max_cos
     * null) through the left join — silently dropping them would make
     * the report lie about coverage. */
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al.
+    * 2023): k-means-partition the embedding space, then search for
+    * near-duplicate pairs ONLY within each cluster and drop the
+    * larger-id member of every (cos > threshold) pair — the repo's
+    * keep-min survivor convention. Output: (vec_id, cid, keep).
+    *
+    * Approximate by construction: a near pair straddling a cluster
+    * boundary is missed (never the reverse — every within-cluster
+    * drop IS a genuine global near-dup, so drops are SOUND). The
+    * premise, as in the paper, is that semantic duplicates land in
+    * the same angular cell with high probability; `q_dedup_semantic`
+    * gates that as a checked soundness + recall contract over
+    * planted duplicates.
+    *
+    * Scale shape (100 TB): centroids fit on a deterministic hash
+    * sample with no pre-count pass ([[Similarity.kmeansCentroids]]);
+    * assignment is one codegen'd [[graft.functions.CentroidCosines]]
+    * pass; the pair search is a cid-keyed self equi-join, so pair
+    * cost is bounded by Σ|cell|² — `nlist` grows with the corpus to
+    * hold |cell| roughly constant (the paper's configuration), and
+    * the join never materializes cross-cluster pairs. */
+  def semanticDedup(corpus: DataFrame, nlist: Int, threshold: Double,
+                    seed: Long = 42L, sampleMod: Int = 1): DataFrame = {
+    // random init: deterministic under the seed and O(k) — k-means||
+    // runs a driver-local clustering over ~2·rounds·k candidates
+    // that dominates once nlist reaches the hundreds, and cell
+    // QUALITY is secondary here (cells partition the space; recall
+    // is gated by the q_dedup_semantic contract, not cell shape)
+    val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
+      sampleMod = sampleMod, initMode = "random")
+    val assigned = Similarity.assignCells(corpus, centroids)
+      .select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    val x = assigned.select(col("cid"), col("vec_id").as("xid"),
+      col("cv").as("xv"), col("cn").as("xn"))
+    val y = assigned.select(col("cid"), col("vec_id").as("yid"),
+      col("cv").as("yv"), col("cn").as("yn"))
+    val drops = x.join(y, Seq("cid"))
+      .filter(col("xid") < col("yid") && col("xn") * col("yn") > 0 &&
+        VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn"))
+          > threshold)
+      .select(col("yid").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(drops.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__drop").isNull.as("keep"))
+  }
+
   def embeddingNearDupLsh(corpus: DataFrame, probes: DataFrame, threshold: Double,
                           bits: Int = 2, seed: Long = 42L, numTables: Int = 8,
                           dim: Int = 0): DataFrame = {

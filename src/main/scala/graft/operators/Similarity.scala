@@ -106,7 +106,8 @@ object Similarity {
     * them). Cosine distance matches the probe metric, so cells are
     * angular regions like the search. */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-                      maxIter: Int = 10, sampleMod: Int = 1): Array[Array[Double]] = {
+                      maxIter: Int = 10, sampleMod: Int = 1,
+                      initMode: String = "k-means||"): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
@@ -120,8 +121,15 @@ object Similarity {
       // bounds k — KMeans needs k <= n and the sample could be tiny
       val n = fit.count()
       val k = math.min(nlist.toLong, math.max(n, 1L)).toInt
+      // initMode "random" is the large-k escape hatch: k-means||'s
+      // final step runs a DRIVER-LOCAL k-means over ~2·rounds·k
+      // candidate points, which dominates wall-clock once k reaches
+      // the hundreds; random init (seeded, deterministic) costs
+      // nothing and cell QUALITY is secondary when the cells are
+      // space partitions rather than query answers (semantic dedup).
       new KMeans()
         .setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setInitMode(initMode)
         .setDistanceMeasure("cosine")
         .setFeaturesCol("features")
         .fit(fit)

@@ -503,6 +503,66 @@ object PipelineQueries {
               / greatest(sum(col("n_exact")), lit(1L)) >= 0.8).as("recall_ok"))
     }),
 
+    // SemDeDup-style cluster-scoped semantic dedup as a checked
+    // contract: 5% planted near-duplicate vectors (deterministic
+    // per-dim perturbation, cos ≈ 0.999 to their source) must be
+    // found by WITHIN-CLUSTER pair search only. sound = every drop
+    // re-verified against the exact global definition (broadcast of
+    // the small drop set, never all pairs); recall_ok = ≥80% of the
+    // planted dups dropped
+    "q_dedup_semantic" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("embedding"))
+      val planted = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            v + (pmod(col("vec_id") * 7 + i, lit(5)) - lit(2)).cast("double")
+              * lit(0.004)).as("embedding"))
+      val corpus = emb.unionByName(planted)
+      // the paper's configuration: nlist grows with the corpus so
+      // |cell| (and the Σ|cell|² pair cost) stays bounded; the count
+      // is parquet-footer metadata, not a data scan. The centroid
+      // fit runs on a hash sample capped at ~16·nlist rows so fit
+      // cost is O(nlist²) regardless of corpus size.
+      val n = corpus.count()
+      val nlist = math.max(8L, n / 256L).toInt
+      val sampleMod = math.max(1L, n / (16L * nlist)).toInt
+      // cache: res is 3 narrow columns and feeds BOTH contract
+      // branches — without it the cid-keyed pair join runs twice
+      val res = Dedup.semanticDedup(corpus, nlist, threshold = 0.9,
+        sampleMod = sampleMod).cache()
+      // soundness truth branch: re-verify a deterministic 1/7 sample
+      // of the drop set against the exact global definition, so the
+      // branch's pair count is |drops|/7 × |corpus| — bounded at the
+      // verification SFs and sampled, never the operator's cost
+      // (mod 7 because planted ids are ≡ 0 mod 20: a mod-20 sampler
+      // would select exactly the planted drops and verify nothing else)
+      val droppedVec = broadcast(res.filter(!col("keep")
+          && pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("yid"))
+        .join(corpus.select(col("vec_id").as("yid"), col("embedding").as("yv")),
+          Seq("yid")))
+      val confirmed = droppedVec
+        .join(corpus.select(col("vec_id").as("xid"), col("embedding").as("xv")),
+          col("xid") < col("yid"))
+        .filter(VectorOps.cosineSim(col("xv"), col("yv")) > 0.9)
+        .select(col("yid")).distinct()
+        .agg(count(lit(1)).as("n_confirmed"))
+      res.agg(
+          count(lit(1)).as("n_corpus"),
+          sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L)).as("n_planted"),
+          sum(when(!col("keep") && pmod(col("vec_id"), lit(7)) === 0, 1L)
+            .otherwise(0L)).as("n_dropped_sampled"),
+          sum(when(!col("keep") && col("vec_id") >= 1000000L, 1L).otherwise(0L))
+            .as("n_planted_dropped"))
+        .crossJoin(broadcast(confirmed))
+        .select(col("n_corpus"), col("n_planted"),
+          (col("n_dropped_sampled") === col("n_confirmed")).as("sound"),
+          (col("n_planted_dropped").cast("double")
+            >= col("n_planted") * 0.8).as("recall_ok"))
+    }),
+
     // brute-force cosine top-5 for keyed probe queries (exact ANN baseline)
     "q_similarity_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -997,6 +1057,11 @@ object PipelineQueries {
     "q_dedup_embedding" ->
       ("SELECT count(*) AS n_probes, TRUE AS sound, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id % 50 = 0"),
+    "q_dedup_semantic" ->
+      ("SELECT (SELECT count(*) FROM embeddings) " +
+        "+ (SELECT count(*) FROM embeddings WHERE vec_id % 20 = 0) AS n_corpus, " +
+        "(SELECT count(*) FROM embeddings WHERE vec_id % 20 = 0) AS n_planted, " +
+        "TRUE AS sound, TRUE AS recall_ok"),
     "q_similarity_topk" ->
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
         s"${cosSql("a", "b")} AS score " +

@@ -301,6 +301,15 @@ object Plans {
         "final per-doc aggregate reuse the SAME doc_id hash " +
         "partitioning (no second exchange). All fractions are " +
         "codegen'd integer div, bit-stable across engines."),
+    "q_dedup_semantic" ->
+      ("Cluster-scoped pair search: centroids fit on a hash sample " +
+        "(one cached scan), assignment is a codegen'd CentroidCosines " +
+        "pass, and the near-dup join is a cid-keyed self equi-join — " +
+        "pair cost bounded by Σ|cell|² with nlist grown to hold |cell| " +
+        "constant, never corpus². The exact-definition soundness " +
+        "re-check broadcasts only the small DROP set against the " +
+        "corpus, so the contract's truth branch stays bounded at any " +
+        "verification SF."),
     "q_quality_lm" ->
       ("The bigram LM trains and scores in one pipeline: document " +
         "bigrams are built under a single doc_id exchange (posexplode " +
