@@ -49,4 +49,38 @@ object EmbeddingOps {
         max(col("n_vecs")).as("n_vecs"), // every pos has the same count
         transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("centroid"))
+
+  /** Johnson–Lindenstrauss random-SIGN projection (Achlioptas 2003:
+    * ±1 entries preserve pairwise distances like Gaussian ones) from
+    * the native dim down to `outDim` — the dimensionality-reduction
+    * front of an ANN / clustering pipeline when the full vectors are
+    * too wide to shuffle.
+    *
+    * The sign matrix is IMPLICIT — `sign(pos, j)` is an LCG hash of
+    * the (input, output) index pair, so nothing is broadcast and any
+    * executor regenerates any entry: the property that makes the
+    * operator embarrassingly parallel at 100 TB. Per-element values
+    * are floor-quantized to e6 integers BEFORE the signed sum, so
+    * the projection is exact integer math (order-independent,
+    * bit-portable) — the repo's cross-engine convention.
+    *
+    * Shape: posexplode → `outDim` conditional integer sums under ONE
+    * (vec_id)-keyed aggregation. All hot expressions are codegen'd
+    * scalars (no interpreted higher-order functions); map-side
+    * partial aggregation collapses each vector inside its input
+    * partition, so the shuffle moves only `outDim` longs per vector.
+    */
+  def projectSigned(emb: DataFrame, outDim: Int = 8,
+                    vecCol: String = "embedding"): DataFrame = {
+    val ex = emb.select(col("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("x") * lit(1e6)).cast("long").as("q"))
+    val sums = (0 until outDim).map { j =>
+      val h = ((col("pos") * 131 + lit(j.toLong)) * lit(2654435761L)
+        + lit(12345L)) % 997
+      sum(when(h < 499, col("q")).otherwise(-col("q"))).as(s"p${j}_e6")
+    }
+    ex.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the `documents` table — the BM25
+  * ranking primitive a RAG / eval-retrieval pipeline fronts its
+  * corpus with (Robertson & Spärck Jones probabilistic relevance
+  * framework; the Lucene `k1`/`b` parameterization).
+  *
+  * Scale shape at 100 TB:
+  *  - the corpus is tokenized ONCE; `(doc, term)` tf partials are
+  *    map-side combined before the single term-keyed shuffle — the
+  *    inverted-index build;
+  *  - the query-term table is tiny (`nQueryTerms` rows) and
+  *    broadcast, so the postings join never shuffles the corpus a
+  *    second time — only postings of the queried terms flow;
+  *  - document length and the global `avgdl` scalar come from the
+  *    same scan (map-side count + one 1-row broadcast crossJoin);
+  *  - the final top-k is a `TakeOrdered` (per-partition heap + one
+  *    k-row driver merge), never a global sort.
+  *
+  * Cross-engine determinism: the per-(doc, term) BM25 contribution
+  * is floor-quantized to an e6 integer BEFORE the per-doc sum, so
+  * aggregation is exact integer math (partition-order independent)
+  * and the only float expressions (idf, length norm) are evaluated
+  * in one fixed parenthesization shared verbatim with the oracle
+  * SQL. Tie-break on the k boundary is total: (score desc, doc_id).
+  */
+object Retrieval {
+
+  /** BM25 top-k with the query-term set derived from the corpus
+    * itself (top-`nQueryTerms` non-stopword terms by document
+    * frequency; df desc, term asc) so the query is fixture-agnostic.
+    *
+    * Output: (doc_id, n_hit, bm25_e6) — the k best documents.
+    */
+  def bm25TopK(docs: DataFrame, nQueryTerms: Int = 3, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+      explode(TextOps.regexTokens(col("text"))).as("term"))
+    // document frequency over distinct (doc, term): one term-keyed
+    // shuffle of already-distinct map-side partials
+    val df = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.regexTokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = df
+      .filter(!col("term").isin("the", "a", "of", "and", "in"))
+      .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.regexTokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = dt.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    // fixed float parenthesization — shared with the oracle text
+    val idf = log(lit(1.0)
+      + (col("n_docs").cast("double") - col("df") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val norm = col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double")
+        + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    tf.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * norm * lit(1e6)).cast("long").as("score_e6"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("score_e6")).as("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge induction (Sennrich et al. ACL'16) — the
+  * tokenizer-training step of an LLM data pipeline.
+  *
+  * Scale design: BPE learning never iterates over the corpus. The
+  * corpus is scanned ONCE into the word-frequency table (map-side
+  * combined term partials, one term-keyed shuffle), and every merge
+  * round after that operates on the VOCABULARY table — sub-linear in
+  * corpus size, exactly how production BPE trainers (e.g. the
+  * original subword-nmt, SentencePiece's BPE mode) scale. At 100 TB
+  * the vocab table is a few million rows; `rounds` driver-loop jobs
+  * over it are trivial next to the single corpus scan.
+  *
+  * Merge semantics match the reference BPE algorithm: a word is a
+  * delimiter-wrapped symbol string (see [[wordFreq]]); one round
+  * counts adjacent symbol pairs weighted by word frequency
+  * (posexplode + lead — the repo's shingle idiom), picks the argmax
+  * pair under the total order (count desc, pair asc), and rewrites
+  * every non-overlapping left-to-right occurrence (`replace` — the
+  * same greedy semantics as Python's `re.sub` with boundary
+  * assertions in the reference implementation). The argmax
+  * is a bounded 1-row driver probe per round, the same pattern as
+  * the SGD driver loop's per-iteration weight fetch.
+  */
+object Tokenizer {
+
+  /** Word-frequency table with each word exploded into its initial
+    * single-character symbol string ("abc" → "<a><b><c>"). Every
+    * symbol is WRAPPED in angle-bracket delimiters (characters that
+    * cannot occur inside a `[a-z0-9]+` symbol): a plain space
+    * separator lets substring `replace` match ACROSS symbol
+    * boundaries ("an a" has a false hit inside "b an an a"), while
+    * with per-symbol wrapping a match of "<pa><pb>" can only align
+    * on two complete adjacent symbols — so one non-overlapping
+    * left-to-right `replace` is EXACTLY the reference algorithm's
+    * greedy merge. The original `word` is kept as the stable row
+    * key: merged symbol strings can collide with other words'. */
+  def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.regexTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("sym"), col("n"))
+
+  /** Adjacent-symbol pair counts over a (word, sym, n) vocab table. */
+  def pairCounts(wf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("word")).orderBy(col("i"))
+    wf.select(col("word"), col("n"),
+        posexplode(regexp_extract_all(col("sym"), lit("[^<>]+"), lit(0)))
+          .as(Seq("i", "a")))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+  }
+
+  /** Learn `rounds` merges; returns one row per round:
+    * (round, pair_a, pair_b, cnt). */
+  def bpeLearn(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    var wf = wordFreq(docs)
+    // the vocab table is re-derived per round from a cached base —
+    // at scale, persist wf and unpersist the previous round instead
+    wf.persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = pairCounts(wf)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (pa, pb, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, pa, pb, cnt))
+        val next = wf.select(col("word"),
+          replace(col("sym"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")).as("sym"),
+          col("n"))
+        next.persist()
+        next.count() // materialize before dropping the parent
+        wf.unpersist()
+        wf = next
+      }
+    }
+    wf.unpersist()
+    import spark.implicits._
+    merges.result().toDF("round", "pair_a", "pair_b", "cnt")
+  }
+}

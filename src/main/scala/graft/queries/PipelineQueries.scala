@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, ModelSelection, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -704,7 +704,28 @@ object PipelineQueries {
         .toDF()
         .select(col("doc_id"), col("n_frames"), col("n_sampled"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // BM25 lexical retrieval (the RAG / eval-retrieval primitive):
+    // corpus-derived 3-term query, inverted-index postings join with
+    // the tiny query-term table broadcast, per-(doc,term) score
+    // e6-quantized before the integer per-doc sum, TakeOrdered top-10
+    "q_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), nQueryTerms = 3, k = 10)),
+
+    // Johnson-Lindenstrauss signed random projection 64 -> 8 dims:
+    // implicit LCG sign matrix (nothing broadcast), per-element e6
+    // quantization before exact integer sums — the wide-vector
+    // shrink step before ANN / clustering shuffles
+    "q_embed_project" -> ((s, d) =>
+      EmbeddingOps.projectSigned(Tables.embeddings(s, d), outDim = 8)
+        .orderBy(col("vec_id"))),
+
+    // BPE merge induction (tokenizer training): one corpus scan to
+    // the word-frequency table, then 5 merge rounds over the
+    // vocab-sized table only — (round, merged pair, count)
+    "q_bpe_merges" -> ((s, d) =>
+      Tokenizer.bpeLearn(Tables.documents(s, d), rounds = 5))
   )
 
   private val toksSql = "string_split(text, ' ')"
@@ -1165,7 +1186,69 @@ object PipelineQueries {
         "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
         "i -> (doc_id*7 + (i//w)*31 + (i%w)*13 + 194) % 256), 'sum') " +
         "* 1000000 // (w*h*255) AS BIGINT) END AS mean_b_e6 " +
-        "FROM d ORDER BY doc_id")
+        "FROM d ORDER BY doc_id"),
+    // BM25: same float parenthesization as Retrieval.bm25TopK, the
+    // per-(doc,term) contribution e6-floored before the integer sum
+    "q_bm25_topk" ->
+      ("WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
+        "FROM documents), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1), " +
+        "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
+        "ORDER BY df DESC, term LIMIT 3), " +
+        "dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS dl " +
+        "FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+        "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
+        "GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) " +
+        "* (CAST(tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf AS DOUBLE) " +
+        "+ 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
+        "* 1000000.0) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id), st) " +
+        "SELECT doc_id, count(*) AS n_hit, CAST(sum(score_e6) AS BIGINT) AS bm25_e6 " +
+        "FROM sc GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id LIMIT 10"),
+    // JL signed projection: the implicit LCG sign matrix recomputed
+    // in SQL; unnest + generate_subscripts MUST share one SELECT
+    // (either alone in a subquery re-expands per row)
+    "q_embed_project" ->
+      ("WITH ux AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos, " +
+        "unnest(embedding) AS x FROM embeddings), " +
+        "ex AS (SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q " +
+        "FROM ux) " +
+        "SELECT vec_id, " +
+        (0 until 8).map(j =>
+          s"CAST(sum(CASE WHEN ((pos*131 + $j)*2654435761 + 12345) % 997 < 499 " +
+            s"THEN q ELSE -q END) AS BIGINT) AS p${j}_e6").mkString(", ") +
+        " FROM ex GROUP BY vec_id ORDER BY vec_id"),
+    "q_bpe_merges" -> bpeOracleSql(5)
     // q_dedup_minhash / q_dedup_simhash: engine-hash semantics — rows-only.
   )
+
+  /** Unrolled-CTE BPE oracle: round r counts adjacent symbol pairs of
+    * wf(r-1) (1-based array indexing), takes the (cnt desc, pair asc)
+    * argmax, and rewrites via `replace` over the delimiter-wrapped
+    * symbol string ("<a><b><c>", see Tokenizer.wordFreq) — with
+    * per-symbol wrapping, plain non-overlapping left-to-right
+    * `replace` IS the reference greedy merge. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ("WITH wf0 AS (SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS sym, n " +
+      "FROM (SELECT word, count(*) AS n FROM " +
+      "(SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word FROM documents) GROUP BY 1))")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s", tk$r AS (SELECT regexp_extract_all(sym, '[^<>]+') AS tk, n FROM wf$p)"
+      sb ++= (s", pc$r AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt " +
+        s"FROM (SELECT tk, n, unnest(range(1, len(tk))) AS i FROM tk$r) GROUP BY 1, 2)")
+      sb ++= s", top$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1)"
+      if (r < rounds)
+        sb ++= (s", wf$r AS (SELECT word, replace(sym, (SELECT '<' || a || '><' || b || '>' FROM top$r), " +
+          s"(SELECT '<' || a || b || '>' FROM top$r)) AS sym, n FROM wf$p)")
+    }
+    sb ++= " SELECT * FROM ("
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT $r AS round, a AS pair_a, b AS pair_b, cnt FROM top$r").mkString(" UNION ALL ")
+    sb ++= ") ORDER BY round"
+    sb.toString
+  }
 }

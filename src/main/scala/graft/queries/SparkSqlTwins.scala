@@ -502,6 +502,64 @@ object SparkSqlTwins {
         "hh AS (SELECT term FROM h WHERE term <> ''), " +
         "st AS (SELECT (SELECT count(*) FROM v) AS n_vocab, (SELECT count(*) FROM hh) AS n_held_tokens, " +
         "(SELECT count(*) FROM hh WHERE term NOT IN (SELECT term FROM v)) AS n_oov) " +
-        "SELECT n_vocab, n_held_tokens, n_oov, n_oov * 1000000 div n_held_tokens AS oov_e6 FROM st")
+        "SELECT n_vocab, n_held_tokens, n_oov, n_oov * 1000000 div n_held_tokens AS oov_e6 FROM st"),
+
+    "q_bm25_topk" ->
+      ("WITH dt AS (SELECT doc_id, term FROM documents " +
+        "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term), " +
+        "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
+        "ORDER BY df DESC, term LIMIT 3), " +
+        "dl AS (SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS dl " +
+        "FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+        "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
+        "GROUP BY doc_id, dt.term, df), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(" +
+        "ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)) " +
+        "* (CAST(tf AS DOUBLE) * (1.2D + 1.0D) / (CAST(tf AS DOUBLE) " +
+        "+ 1.2D * (1.0D - 0.75D + 0.75D * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
+        "* 1000000.0D) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS n_hit, sum(score_e6) AS bm25_e6 " +
+        "FROM sc GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 10"),
+
+    "q_embed_project" ->
+      ("WITH ux AS (SELECT vec_id, pos, x FROM embeddings " +
+        "LATERAL VIEW posexplode(CAST(embedding AS ARRAY<DOUBLE>)) e AS pos, x), " +
+        "ex AS (SELECT vec_id, CAST(pos AS BIGINT) AS pos, " +
+        "CAST(floor(x * 1000000.0D) AS BIGINT) AS q FROM ux) " +
+        "SELECT vec_id, " +
+        (0 until 8).map(j =>
+          s"sum(CASE WHEN ((pos*131 + $j)*2654435761 + 12345) % 997 < 499 " +
+            s"THEN q ELSE -q END) AS p${j}_e6").mkString(", ") +
+        " FROM ex GROUP BY vec_id ORDER BY vec_id"),
+
+    "q_bpe_merges" -> bpeTwin(5)
   )
+
+  /** Spark-dialect unroll of PipelineQueries.bpeOracleSql — same
+    * delimiter-wrapped replace semantics; sequence() guarded against
+    * Spark's descending-range behavior on single-symbol words. */
+  private def bpeTwin(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ("WITH wf0 AS (SELECT word, regexp_replace(word, '(.)', '<$1>') AS sym, n " +
+      "FROM (SELECT word, count(*) AS n FROM (SELECT word FROM documents " +
+      "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS word) GROUP BY word))")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s", tk$r AS (SELECT regexp_extract_all(sym, '[^<>]+', 0) AS tk, n FROM wf$p)"
+      sb ++= (s", pc$r AS (SELECT element_at(tk, i) AS a, element_at(tk, i+1) AS b, " +
+        s"sum(n) AS cnt FROM (SELECT tk, n FROM tk$r WHERE size(tk) >= 2) " +
+        s"LATERAL VIEW explode(sequence(1, size(tk) - 1)) u AS i GROUP BY a, b)")
+      sb ++= s", top$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1)"
+      if (r < rounds)
+        sb ++= (s", wf$r AS (SELECT word, replace(sym, (SELECT concat('<', a, '><', b, '>') FROM top$r), " +
+          s"(SELECT concat('<', a, b, '>') FROM top$r)) AS sym, n FROM wf$p)")
+    }
+    sb ++= " SELECT * FROM ("
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT $r AS round, a AS pair_a, b AS pair_b, cnt FROM top$r").mkString(" UNION ALL ")
+    sb ++= ") ORDER BY round"
+    sb.toString
+  }
 }
