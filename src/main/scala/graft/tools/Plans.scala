@@ -438,7 +438,41 @@ object Plans {
         "count(distinct) set compiles to a single Expand (gid 0 " +
         "carries the plain aggregates, one grouping set per distinct " +
         "column) feeding partial+final HashAggregates — shuffle " +
-        "volume is per-column partial states, input is read once."))
+        "volume is per-column partial states, input is read once."),
+    "q_bm25_topk" ->
+      ("The inverted-index build is explode + partial-aggregated " +
+        "(doc,term) tf counts; the 3-row query-term table and the " +
+        "1-row corpus stats BROADCAST, so postings of non-queried " +
+        "terms never shuffle. Scoring is codegen'd double arithmetic " +
+        "e6-floored per (doc,term) before the integer per-doc sum, " +
+        "and the top-10 is TakeOrderedAndProject (per-partition heap " +
+        "+ k-row driver merge) — no global sort at any scale."),
+    "q_embed_project" ->
+      ("The sign matrix is IMPLICIT (LCG hash of the index pair): " +
+        "nothing is broadcast or joined. posexplode feeds 8 " +
+        "conditional integer sums in one partial+final HashAggregate " +
+        "keyed by vec_id — map-side combine collapses each vector " +
+        "inside its input partition, so the exchange moves 8 longs " +
+        "per vector instead of the 64-float embedding: the projection " +
+        "SHRINKS shuffle volume 4x before any downstream ANN/cluster " +
+        "step."),
+    "q_bpe_merges" ->
+      ("BPE never iterates the corpus: one scan builds the " +
+        "word-frequency table (map-side combined partials, one " +
+        "term-keyed exchange), and each merge round is explode + lead " +
+        "over the VOCAB-sized table with a 1-row argmax driver probe " +
+        "(the SGD-loop pattern). At 100 TB rounds cost vocab-table " +
+        "jobs, not corpus scans — the subword-nmt/SentencePiece " +
+        "scaling shape."),
+    "q_similarity_proj" ->
+      ("Stage 1 never touches a float vector: the coarse score is " +
+        "codegen'd scalar arithmetic over the 16-long projected " +
+        "index (a pre-materializable narrow table), the broadcast " +
+        "query side is projected the same way, and WindowGroupLimit " +
+        "prunes each partition to the LITERAL candidate budget " +
+        "before the qid exchange. Stage 2 re-reads full vectors for " +
+        "the kept fraction only, via a keyed join — the IVF+PQ " +
+        "two-tier storage layout expressed with a JL index."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
