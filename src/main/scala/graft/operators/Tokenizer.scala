@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge induction (Sennrich et al. ACL'16) — the
@@ -19,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Merge semantics match the reference BPE algorithm: a word is a
   * delimiter-wrapped symbol string (see [[wordFreq]]); one round
   * counts adjacent symbol pairs weighted by word frequency
-  * (posexplode + lead — the repo's shingle idiom), picks the argmax
+  * (a per-row zip of the symbol array with its tail), picks the argmax
   * pair under the total order (count desc, pair asc), and rewrites
   * every non-overlapping left-to-right occurrence (`replace` — the
   * same greedy semantics as Python's `re.sub` with boundary
@@ -46,14 +45,18 @@ object Tokenizer {
       .select(col("word"),
         regexp_replace(col("word"), "(.)", "<$1>").as("sym"), col("n"))
 
-  /** Adjacent-symbol pair counts over a (word, sym, n) vocab table. */
+  /** Adjacent-symbol pair counts over a (word, sym, n) vocab table.
+    * Pairing is per-row array arithmetic (zip of the symbol array
+    * with its own tail) — NOT a lead() window, which would shuffle
+    * and sort the exploded symbols every merge round; here the only
+    * exchange is the map-side-combined (a, b) partial aggregate. */
   def pairCounts(wf: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("word")).orderBy(col("i"))
-    wf.select(col("word"), col("n"),
-        posexplode(regexp_extract_all(col("sym"), lit("[^<>]+"), lit(0)))
-          .as(Seq("i", "a")))
-      .withColumn("b", lead(col("a"), 1).over(w))
-      .filter(col("b").isNotNull)
+    val tk = regexp_extract_all(col("sym"), lit("[^<>]+"), lit(0))
+    wf.select(col("n"),
+        explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1))).as("p"))
+      .select(col("p").getField("0").as("a"),
+        col("p").getField("1").as("b"), col("n"))
       .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
   }
 
@@ -61,10 +64,12 @@ object Tokenizer {
     * (round, pair_a, pair_b, cnt). */
   def bpeLearn(docs: DataFrame, rounds: Int = 5): DataFrame = {
     val spark = docs.sparkSession
-    var wf = wordFreq(docs)
-    // the vocab table is re-derived per round from a cached base —
-    // at scale, persist wf and unpersist the previous round instead
-    wf.persist()
+    // ONE cached corpus-derived table; each round layers a lazy
+    // narrow `replace` projection on top — recomputing r cheap
+    // projections over the cached vocab per round beats r
+    // persist+materialize jobs (no extra actions, no cache churn)
+    val base = wordFreq(docs).persist()
+    var wf = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val top = pairCounts(wf)
@@ -73,16 +78,12 @@ object Tokenizer {
         val (pa, pb, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, pa, pb, cnt))
-        val next = wf.select(col("word"),
+        wf = wf.select(col("word"),
           replace(col("sym"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")).as("sym"),
           col("n"))
-        next.persist()
-        next.count() // materialize before dropping the parent
-        wf.unpersist()
-        wf = next
       }
     }
-    wf.unpersist()
+    base.unpersist()
     import spark.implicits._
     merges.result().toDF("round", "pair_a", "pair_b", "cnt")
   }
