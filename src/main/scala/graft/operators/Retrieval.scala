@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Per-term document frequency — the stats half of an inverted
+    * index. One term-keyed shuffle of already-distinct map-side
+    * partials. The SAME aggregation expression runs unchanged over a
+    * streaming frame (see `streaming.StreamingIndexStats`): df is a
+    * plain additive count because every document arrives exactly
+    * once and contributes each distinct term once. */
+  def dfCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.regexTokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Corpus-level (n_docs, sum_dl) — the scalar half of the index
+    * stats; also streaming-compatible (one global additive agg). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(size(TextOps.regexTokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
   /** BM25 top-k with the query-term set derived from the corpus
     * itself (top-`nQueryTerms` non-stopword terms by document
     * frequency; df desc, term asc) so the query is fixture-agnostic.
@@ -39,18 +56,13 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dt = docs.select(col("doc_id"),
       explode(TextOps.regexTokens(col("text"))).as("term"))
-    // document frequency over distinct (doc, term): one term-keyed
-    // shuffle of already-distinct map-side partials
-    val df = docs.select(col("doc_id"),
-        explode(array_distinct(TextOps.regexTokens(col("text")))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = dfCounts(docs)
     val qterms = df
       .filter(!col("term").isin("the", "a", "of", "and", "in"))
       .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
     val dl = docs.select(col("doc_id"),
       size(TextOps.regexTokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
+    val stats = corpusStats(docs)
     val tf = dt.join(broadcast(qterms), Seq("term"))
       .groupBy(col("doc_id"), col("term"), col("df"))
       .agg(count(lit(1)).as("tf"))
