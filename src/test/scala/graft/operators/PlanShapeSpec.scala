@@ -42,4 +42,45 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"admission must be an fp-keyed equi-join:\n$p")
   }
+
+  test("bm25TopK ends in a TakeOrdered, joins postings through hash joins") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"term${i % 5} data word${i % 3} filler")).toDF("doc_id", "text")
+    val p = plan(Retrieval.bm25TopK(docs, nQueryTerms = 3, k = 5))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-term join must be a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row stats broadcast may be non-equi:\n$p")
+  }
+
+  test("projTopK stage 1 prunes map-side via WindowGroupLimit") {
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(((i * 7 + 3) % 11).toFloat - 5f))).toDF("vec_id", "embedding")
+    val p = plan(Similarity.projTopK(emb, emb.filter(col("vec_id") % 20 === 0),
+      k = 3, outDim = 4, keepDenom = 3))
+    assert(p.contains("WindowGroupLimit"),
+      s"the literal candidate budget must enable map-side top-keep pruning:\n$p")
+  }
+
+  test("BPE pair counting has no window — partial+final agg only") {
+    val wf = Seq(("ab", "<a><b>", 3L), ("abc", "<a><b><c>", 2L))
+      .toDF("word", "sym", "n")
+    val p = plan(Tokenizer.pairCounts(wf))
+    assert(!p.contains("Window"),
+      s"pairing must be per-row array zips, not a lead() window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected map-side partial + final aggregation:\n$p")
+  }
+
+  test("projectSigned is one keyed aggregation — no joins, no windows") {
+    val emb = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(i.toFloat / 7f))).toDF("vec_id", "embedding")
+    val p = plan(EmbeddingOps.projectSigned(emb, outDim = 4))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the implicit sign matrix must not introduce joins or windows:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation keyed by vec_id:\n$p")
+  }
 }
