@@ -50,6 +50,12 @@ object Retrieval {
     * itself (top-`nQueryTerms` non-stopword terms by document
     * frequency; df desc, term asc) so the query is fixture-agnostic.
     *
+    * This gate query recomputes the index stats inline to stay
+    * self-contained (4 column-pruned scans of the text column); the
+    * production path materializes [[dfCounts]]/[[corpusStats]] ONCE
+    * (or maintains them live — `streaming.StreamingIndexStats`) and
+    * serves every query from the stored index.
+    *
     * Output: (doc_id, n_hit, bm25_e6) — the k best documents.
     */
   def bm25TopK(docs: DataFrame, nQueryTerms: Int = 3, k: Int = 10,

@@ -313,14 +313,16 @@ object Similarity {
     * embeddings the number of distractors inside the JL error margin
     * of the true top-k grows with n, so a constant budget's recall
     * decays with scale while a fractional one is scale-stable
-    * (measured ≈0.7 at both 500 and 2000 vectors with keepDenom=3).
+    * (measured 0.64-0.84 across three 500-2000-vector fixtures with
+    * keepDenom=2; a 1/3 fraction sat at 0.48 on one fixture draw, so
+    * the default keeps the larger margin).
     * That is intrinsic to coarse search on unclustered data, not a
     * JL artifact — clustered real-world embeddings admit smaller
     * fractions. Distance fidelity of stage 1 is the JL lemma for ±1
     * signs (Achlioptas 2003), checked as a recall contract. */
   def projTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                outDim: Int = 16, rerank: Int = 8,
-               keepDenom: Int = 3): DataFrame = {
+               keepDenom: Int = 2): DataFrame = {
     def projected(df: DataFrame, idAs: String, prefix: String) =
       EmbeddingOps.projectSigned(df, outDim)
         .select(col("vec_id").as(idAs) +:

@@ -573,10 +573,17 @@ object PipelineQueries {
             >= col("n_planted") * 0.8).as("recall_ok"))
     }),
 
-    // brute-force cosine top-5 for keyed probe queries (exact ANN baseline)
+    // brute-force cosine top-5 for keyed probe queries (exact ANN
+    // baseline). All six similarity queries pin the probe set to
+    // vec_id % 100 == 0 AND vec_id < 2000: a no-op at sf<=0.1 (every
+    // vec_id qualifies), a CONSTANT <=20-probe panel beyond — the
+    // probe panel is pipeline config, and an unbounded one makes the
+    // deliberate |Q|x|C| exact-truth branches (not the ANN paths)
+    // dominate large-sf benches
     "q_similarity_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
       Similarity.bruteForceTopK(emb, queries, k = 5)
         .orderBy(col("qid"), col("rank"))
     }),
@@ -586,7 +593,8 @@ object PipelineQueries {
     // label), never a post-filter of oversampled neighbors
     "q_similarity_filtered" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
       Similarity.filteredTopK(emb, queries, k = 5, constraintCols = Seq("label"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -597,7 +605,8 @@ object PipelineQueries {
     // oracle checks the boolean + the probe count)
     "q_similarity_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
       // dim passed explicitly (pipeline config) — avoids the
       // documented one-row probe job the dim=0 fallback costs
       val ann = Similarity.lshTopK(emb, queries, k = 5, bits = 4, numTables = 8,
@@ -611,7 +620,8 @@ object PipelineQueries {
     // join), same checked recall contract (measured 0.59-0.92)
     "q_similarity_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
       val ann = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nProbe = 4)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       Similarity.meanRecall(ann, exact)
@@ -624,7 +634,8 @@ object PipelineQueries {
     // contract against the exact top-5
     "q_similarity_ivfq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
       val ann = Similarity.ivfTopKQuantized(emb, queries, k = 5,
         nlist = 16, nProbe = 4, rerank = 4)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
@@ -638,7 +649,8 @@ object PipelineQueries {
     // recall contract (measured ~0.7 at sf0.01 and on the 4x corpus)
     "q_similarity_proj" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
       val ann = Similarity.projTopK(emb, queries, k = 5)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       Similarity.meanRecall(ann, exact)
@@ -1110,7 +1122,7 @@ object PipelineQueries {
     "q_similarity_topk" ->
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
         s"${cosSql("a", "b")} AS score " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id), " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id), " +
         "ranked AS (SELECT qid, neighbor_id, score, " +
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
         "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +
@@ -1118,7 +1130,7 @@ object PipelineQueries {
     "q_similarity_filtered" ->
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, " +
         s"${cosSql("a", "b")} AS score " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id < 2000 " +
         "AND a.label = b.label AND a.vec_id <> b.vec_id), " +
         "ranked AS (SELECT qid, neighbor_id, score, " +
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
@@ -1132,13 +1144,17 @@ object PipelineQueries {
     "q_embed_quant" ->
       ("SELECT TRUE AS quant_ok, count(*) AS n_vecs FROM embeddings"),
     "q_similarity_lsh" ->
-      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     "q_similarity_ivf" ->
-      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     "q_similarity_ivfq" ->
-      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     "q_similarity_proj" ->
-      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id % 100 = 0"),
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +

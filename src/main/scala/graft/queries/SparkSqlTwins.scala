@@ -429,7 +429,7 @@ object SparkSqlTwins {
 
     "q_similarity_filtered" ->
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS score " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id < 2000 " +
         "AND a.label = b.label AND a.vec_id <> b.vec_id), " +
         "ranked AS (SELECT qid, neighbor_id, score, " +
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
@@ -438,7 +438,8 @@ object SparkSqlTwins {
 
     "q_similarity_topk" ->
       (s"WITH scored AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS score " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id), " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id < 2000 " +
+        "AND a.vec_id <> b.vec_id), " +
         "ranked AS (SELECT qid, neighbor_id, score, " +
         "row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
         "SELECT qid, rank, neighbor_id, round(score,6) AS score FROM ranked " +
