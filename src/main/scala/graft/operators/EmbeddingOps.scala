@@ -56,31 +56,51 @@ object EmbeddingOps {
     * front of an ANN / clustering pipeline when the full vectors are
     * too wide to shuffle.
     *
-    * The sign matrix is IMPLICIT — `sign(pos, j)` is an LCG hash of
-    * the (input, output) index pair, so nothing is broadcast and any
-    * executor regenerates any entry: the property that makes the
-    * operator embarrassingly parallel at 100 TB. Per-element values
-    * are floor-quantized to e6 integers BEFORE the signed sum, so
-    * the projection is exact integer math (order-independent,
-    * bit-portable) — the repo's cross-engine convention.
+    * The sign matrix is IMPLICIT — `sign(pos, j)` is a MIXING hash
+    * of the (input, output) index pair, so nothing is broadcast and
+    * any executor regenerates any entry: the property that makes the
+    * operator embarrassingly parallel at 100 TB. The mix is two
+    * multiply rounds with xor-shift folds between them (the
+    * xorshift-multiply family): a single affine `(a·key+b) mod p`
+    * step leaves adjacent output dims' sign vectors ~94% identical
+    * (affine in (pos, j) ⇒ the outDim coordinates are near-copies,
+    * collapsing the effective dimension), while the folded mix
+    * measures ~50% pairwise agreement, i.e. actually independent
+    * signs. Every intermediate stays < 2^52, so the arithmetic is
+    * exact in any engine with 64-bit integers (DuckDB raises on
+    * BIGINT overflow — the reduction to a 20-bit value before the
+    * second multiply is what keeps it safe there). Per-element
+    * values are floor-quantized to e6 integers BEFORE the signed
+    * sum, so the projection is exact integer math
+    * (order-independent, bit-portable) — the repo's cross-engine
+    * convention.
     *
     * Shape: posexplode → `outDim` conditional integer sums under ONE
     * (vec_id)-keyed aggregation. All hot expressions are codegen'd
     * scalars (no interpreted higher-order functions); map-side
     * partial aggregation collapses each vector inside its input
     * partition, so the shuffle moves only `outDim` longs per vector.
+    * `carryCols` ride through the aggregation as extra group keys
+    * (functionally dependent on `vec_id`), so an index build can
+    * attach a precomputed partition column (e.g. the IVF cell id in
+    * [[Similarity.projIndex]]) in the SAME pass instead of re-joining
+    * it afterwards.
     */
   def projectSigned(emb: DataFrame, outDim: Int = 8,
-                    vecCol: String = "embedding"): DataFrame = {
-    val ex = emb.select(col("vec_id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("pos").cast("long").as("pos"),
-        floor(col("x") * lit(1e6)).cast("long").as("q"))
+                    vecCol: String = "embedding",
+                    carryCols: Seq[String] = Nil): DataFrame = {
+    val keys = col("vec_id") +: carryCols.map(col)
+    val ex = emb.select(keys :+
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")): _*)
+      .select(keys :+ col("pos").cast("long").as("pos") :+
+        floor(col("x") * lit(1e6)).cast("long").as("q"): _*)
     val sums = (0 until outDim).map { j =>
-      val h = ((col("pos") * 131 + lit(j.toLong)) * lit(2654435761L)
-        + lit(12345L)) % 997
-      sum(when(h < 499, col("q")).otherwise(-col("q"))).as(s"p${j}_e6")
+      val h1 = (col("pos") * 131 + lit(j.toLong)) * lit(2654435761L) + lit(12345L)
+      val h2 = (h1.bitwiseXOR(shiftright(h1, 13)) % lit(1048573L)) *
+        lit(2654435761L) + lit(999983L)
+      val mixed = h2.bitwiseXOR(shiftright(h2, 17))
+      sum(when(mixed % 2 === 0, col("q")).otherwise(-col("q"))).as(s"p${j}_e6")
     }
-    ex.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+    ex.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
   }
 }

@@ -298,58 +298,61 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
-  /** JL-projected two-stage top-k: stage 1 ranks candidates by
-    * cosine in the [[EmbeddingOps.projectSigned]] integer space —
-    * `outDim` longs per vector instead of the full float array, so
-    * the coarse pass reads/ships a narrow pre-materializable columnar
-    * index (~2× smaller than the vectors, and the coarse score is
-    * pure codegen'd scalar arithmetic, no array HOFs at all); stage 2
-    * exact-reranks only the kept candidates per query via a keyed
-    * join back to the full-precision store — the same
-    * never-scan-floats-in-stage-1 layout as [[ivfTopKQuantized]].
+  /** The JL ANN's stored index: (vec_id, cid, p0_e6..p{outDim-1}_e6)
+    * — IVF cell id plus the [[EmbeddingOps.projectSigned]] integer
+    * projection, built in ONE corpus pass (the cell id rides through
+    * the projection aggregation as a carry key). Materialized
+    * cid-bucketed via [[graft.sources.CorpusSink.writeParquet]] this
+    * is the disk form [[projRerank]] serves from: `outDim` longs + an
+    * int per vector, no floats (`ProjLayoutSpec` proves the serving
+    * scan never reads the embedding column). */
+  def projIndex(corpus: DataFrame, centroids: Array[Array[Double]],
+                outDim: Int): DataFrame =
+    EmbeddingOps.projectSigned(assignCells(corpus, centroids), outDim,
+      carryCols = Seq("cid"))
+
+  /** The two JL stages over an ALREADY-BUILT index ([[projIndex]] —
+    * possibly parquet-backed): stage 1 joins the (tiny, broadcast)
+    * probed-cell query table against the index ON THE CELL ID and
+    * ranks the probed cells' candidates by cosine in the integer
+    * projection space — pure codegen'd scalar arithmetic over
+    * `outDim` longs, no floats, no array HOFs; stage 2 exact-reranks
+    * only the kept candidates per query via a keyed join back to the
+    * full-precision store (`exact`: vec_id, cv, cn) — the same
+    * never-scan-floats-in-stage-1 layout as [[ivfqRerank]].
     *
-    * The candidate budget is `max(rerank·k, ⌈n/keepDenom⌉)` — a
-    * CORPUS FRACTION, not a constant: on unstructured (near-random)
-    * embeddings the number of distractors inside the JL error margin
-    * of the true top-k grows with n, so a constant budget's recall
-    * decays with scale while a fractional one is scale-stable
-    * (measured 0.64-0.84 across three 500-2000-vector fixtures with
-    * keepDenom=2; a 1/3 fraction sat at 0.48 on one fixture draw, so
-    * the default keeps the larger margin).
-    * That is intrinsic to coarse search on unclustered data, not a
-    * JL artifact — clustered real-world embeddings admit smaller
-    * fractions. Distance fidelity of stage 1 is the JL lemma for ±1
-    * signs (Achlioptas 2003), checked as a recall contract. */
-  def projTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-               outDim: Int = 16, rerank: Int = 8,
-               keepDenom: Int = 2): DataFrame = {
-    def projected(df: DataFrame, idAs: String, prefix: String) =
-      EmbeddingOps.projectSigned(df, outDim)
-        .select(col("vec_id").as(idAs) +:
-          (0 until outDim).map(j => col(s"p${j}_e6").as(s"$prefix$j")): _*)
-    val pc = projected(corpus, "vec_id", "c")
-    val pq = projected(queries, "qid", "q")
+    * `keep` is a driver-resolved LITERAL budget: a column-valued rank
+    * bound would defeat WindowGroupLimit's map-side top-keep
+    * pruning. */
+  def projRerank(index: DataFrame, exact: DataFrame, queries: DataFrame,
+                 centroids: Array[Array[Double]], k: Int, outDim: Int,
+                 nProbe: Int, keep: Long): DataFrame = {
+    val qproj = EmbeddingOps.projectSigned(queries, outDim)
+      .select(col("vec_id").as("qid") +:
+        (0 until outDim).map(j => col(s"p${j}_e6").as(s"q$j")): _*)
+    val qcells = queries.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv"))
+      .withColumn("cs", graft.functions.CentroidCosines.of(col("qv"), centroids))
+      .select(col("qid"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), (col("cpos") + 1).cast("int").as("cid"))
+    val q = broadcast(qcells.join(qproj, Seq("qid")))
+    val pc = index.select(col("vec_id") +: col("cid") +:
+      (0 until outDim).map(j => col(s"p${j}_e6").as(s"c$j")): _*)
     def dot2(a: String, b: String) = (0 until outDim).map(j =>
       col(s"$a$j").cast("double") * col(s"$b$j").cast("double")).reduce(_ + _)
     val qn = sqrt(dot2("q", "q"))
     val cn = sqrt(dot2("c", "c"))
-    // driver-resolved LITERAL budget: a column-valued rank bound
-    // would defeat WindowGroupLimit's map-side top-keep pruning (one
-    // column-pruned count job, the ivf-fit pattern of a bounded
-    // driver probe)
-    val keep = math.max(rerank.toLong * k,
-      (corpus.count() + keepDenom - 1) / keepDenom)
-    val coarse = pc.join(broadcast(pq), col("qid") =!= col("vec_id"))
+    val coarse = pc.join(q, Seq("cid")).filter(col("qid") =!= col("vec_id"))
       .withColumn("approx",
         when(qn * cn > 0, dot2("q", "c") / (qn * cn)).otherwise(lit(-2.0)))
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("approx"), col("vec_id"))))
       .filter(col("arank") <= keep)
       .select(col("qid"), col("vec_id"))
-    val full = corpus.select(col("vec_id"),
-        VectorOps.asDoubleArray(col("embedding")).as("cv"))
-      .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    coarse.join(full, Seq("vec_id"))
+    coarse.join(exact, Seq("vec_id"))
       .join(broadcast(queries.select(col("vec_id").as("qid"),
           VectorOps.asDoubleArray(col("embedding")).as("qfull"))
         .withColumn("qfn", VectorOps.l2Norm(col("qfull")))), Seq("qid"))
@@ -361,6 +364,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** JL-within-IVF two-stage top-k: the corpus is coarse-partitioned
+    * into `nlist` k-means cells ([[kmeansCentroids]]) and stage 1
+    * ranks ONLY the `nProbe` probed cells' candidates by cosine in
+    * the [[EmbeddingOps.projectSigned]] integer space; stage 2
+    * exact-reranks the kept candidates per query by a keyed join back
+    * to the full-precision store ([[projRerank]]).
+    *
+    * The candidate budget is `max(rerank·k, ⌈probed/keepDenom⌉)`
+    * where `probed ≈ n·nProbe/nlist` — a fraction of the PROBED
+    * CELLS, not of the corpus: on unstructured (near-random)
+    * embeddings the number of distractors inside the JL error margin
+    * of the true top-k grows with the candidate count, so a constant
+    * budget's recall decays with scale, while a probed-fraction one
+    * is scale-stable AND o(n) under the standard IVF deployment rule
+    * (nlist grows with the corpus to hold |cell| roughly constant) —
+    * the earlier global-fraction form re-ranked ⌈n/2⌉ vectors per
+    * query, a compressed linear scan rather than an index. Distance
+    * fidelity of stage 1 is the JL lemma for ±1 signs (Achlioptas
+    * 2003); the end-to-end recall contract is gated in
+    * `q_similarity_proj` (measured 0.8 at the sf0.01 gate with these
+    * defaults — probe half the cells, keep half the probed — for a
+    * per-query budget of n/4; the pre-round-10 affine-mod sign hash
+    * had to exact-rerank n/2 GLOBAL candidates to reach 0.72, and
+    * outDim=16 at 64-dim keeps the index 2× smaller than the floats,
+    * which outDim=32 would forfeit). */
+  def projTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               outDim: Int = 16, rerank: Int = 8, keepDenom: Int = 2,
+               nlist: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed)
+    val index = projIndex(corpus, centroids, outDim)
+    // one column-pruned count job (the ivf-fit pattern of a bounded
+    // driver probe) sizes the literal budget
+    val n = corpus.count()
+    val probed = n * math.min(nProbe, centroids.length) /
+      math.max(centroids.length, 1)
+    val keep = math.max(rerank.toLong * k, (probed + keepDenom - 1) / keepDenom)
+    val exact = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    projRerank(index, exact, queries, centroids, k, outDim, nProbe, keep)
   }
 
   /** Mean recall@k of an ANN result against the exact result: for

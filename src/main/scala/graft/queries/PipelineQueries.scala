@@ -643,10 +643,11 @@ object PipelineQueries {
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
-    // JL-projected two-stage ANN: coarse rank over the 16-long
-    // integer projection (narrow scan, no floats in stage 1), exact
-    // re-rank of a corpus-FRACTION candidate budget — same checked
-    // recall contract (measured ~0.7 at sf0.01 and on the 4x corpus)
+    // JL-within-IVF two-stage ANN: coarse rank over the 16-long
+    // integer projection of the nProbe probed CELLS only (narrow
+    // cid-keyed scan, no floats in stage 1), exact re-rank of a
+    // probed-fraction candidate budget — same checked recall
+    // contract (measured ~0.84-0.96 after the round-10 sign-hash fix)
     "q_similarity_proj" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
@@ -1249,19 +1250,26 @@ object PipelineQueries {
         "* 1000000.0) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id), st) " +
         "SELECT doc_id, count(*) AS n_hit, CAST(sum(score_e6) AS BIGINT) AS bm25_e6 " +
         "FROM sc GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id LIMIT 10"),
-    // JL signed projection: the implicit LCG sign matrix recomputed
-    // in SQL; unnest + generate_subscripts MUST share one SELECT
-    // (either alone in a subquery re-expands per row)
+    // JL signed projection: the implicit xorshift-multiply sign
+    // matrix recomputed in SQL (exact 64-bit integer math, every
+    // intermediate < 2^52 so DuckDB's strict BIGINT never overflows);
+    // unnest + generate_subscripts MUST share one SELECT (either
+    // alone in a subquery re-expands per row)
     "q_embed_project" ->
       ("WITH ux AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos, " +
         "unnest(embedding) AS x FROM embeddings), " +
         "ex AS (SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q " +
-        "FROM ux) " +
+        "FROM ux), " +
+        "hj AS (SELECT vec_id, q, j, (pos*131 + j)*2654435761 + 12345 AS h1 " +
+        "FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j) t), " +
+        "h2t AS (SELECT vec_id, q, j, " +
+        "(xor(h1, h1 >> 13) % 1048573)*2654435761 + 999983 AS h2 FROM hj), " +
+        "sg AS (SELECT vec_id, j, " +
+        "CASE WHEN xor(h2, h2 >> 17) % 2 = 0 THEN q ELSE -q END AS sq FROM h2t) " +
         "SELECT vec_id, " +
         (0 until 8).map(j =>
-          s"CAST(sum(CASE WHEN ((pos*131 + $j)*2654435761 + 12345) % 997 < 499 " +
-            s"THEN q ELSE -q END) AS BIGINT) AS p${j}_e6").mkString(", ") +
-        " FROM ex GROUP BY vec_id ORDER BY vec_id"),
+          s"CAST(sum(CASE WHEN j = $j THEN sq END) AS BIGINT) AS p${j}_e6").mkString(", ") +
+        " FROM sg GROUP BY vec_id ORDER BY vec_id"),
     "q_bpe_merges" -> bpeOracleSql(5)
     // q_dedup_minhash / q_dedup_simhash: engine-hash semantics — rows-only.
   )

@@ -529,12 +529,17 @@ object SparkSqlTwins {
       ("WITH ux AS (SELECT vec_id, pos, x FROM embeddings " +
         "LATERAL VIEW posexplode(CAST(embedding AS ARRAY<DOUBLE>)) e AS pos, x), " +
         "ex AS (SELECT vec_id, CAST(pos AS BIGINT) AS pos, " +
-        "CAST(floor(x * 1000000.0D) AS BIGINT) AS q FROM ux) " +
+        "CAST(floor(x * 1000000.0D) AS BIGINT) AS q FROM ux), " +
+        "hj AS (SELECT vec_id, q, j, (pos*131 + j)*2654435761 + 12345 AS h1 " +
+        "FROM ex LATERAL VIEW explode(sequence(0, 7)) t AS j), " +
+        "h2t AS (SELECT vec_id, q, j, " +
+        "((h1 ^ shiftright(h1, 13)) % 1048573)*2654435761 + 999983 AS h2 FROM hj), " +
+        "sg AS (SELECT vec_id, j, " +
+        "CASE WHEN (h2 ^ shiftright(h2, 17)) % 2 = 0 THEN q ELSE -q END AS sq FROM h2t) " +
         "SELECT vec_id, " +
         (0 until 8).map(j =>
-          s"sum(CASE WHEN ((pos*131 + $j)*2654435761 + 12345) % 997 < 499 " +
-            s"THEN q ELSE -q END) AS p${j}_e6").mkString(", ") +
-        " FROM ex GROUP BY vec_id ORDER BY vec_id"),
+          s"sum(CASE WHEN j = $j THEN sq END) AS p${j}_e6").mkString(", ") +
+        " FROM sg GROUP BY vec_id ORDER BY vec_id"),
 
     "q_bpe_merges" -> bpeTwin(5)
   )

@@ -459,20 +459,26 @@ object Plans {
     "q_bpe_merges" ->
       ("BPE never iterates the corpus: one scan builds the " +
         "word-frequency table (map-side combined partials, one " +
-        "term-keyed exchange), and each merge round is explode + lead " +
-        "over the VOCAB-sized table with a 1-row argmax driver probe " +
+        "term-keyed exchange), and each merge round is an explode of " +
+        "per-row adjacent-symbol zips (no window) over the VOCAB-sized " +
+        "table with a 1-row argmax driver probe " +
         "(the SGD-loop pattern). At 100 TB rounds cost vocab-table " +
         "jobs, not corpus scans — the subword-nmt/SentencePiece " +
         "scaling shape."),
     "q_similarity_proj" ->
-      ("Stage 1 never touches a float vector: the coarse score is " +
-        "codegen'd scalar arithmetic over the 16-long projected " +
-        "index (a pre-materializable narrow table), the broadcast " +
-        "query side is projected the same way, and WindowGroupLimit " +
-        "prunes each partition to the LITERAL candidate budget " +
-        "before the qid exchange. Stage 2 re-reads full vectors for " +
-        "the kept fraction only, via a keyed join — the IVF+PQ " +
-        "two-tier storage layout expressed with a JL index."))
+      ("Stage 1 never touches a float vector: the (vec_id, cid, " +
+        "16-long projection) index — pre-materializable cid-bucketed, " +
+        "ProjLayoutSpec proves the stored form scans float-free — is " +
+        "hash-joined on the CELL ID against the broadcast probed-cell " +
+        "query table, so only the nProbe/nlist probed fraction of the " +
+        "corpus is coarse-scored (codegen'd scalar arithmetic), and " +
+        "WindowGroupLimit prunes each partition to the LITERAL " +
+        "candidate budget — max(rerank*k, probed/keepDenom), a " +
+        "fraction of the PROBED cells that is o(n) under the IVF rule " +
+        "of growing nlist with the corpus — before the qid exchange. " +
+        "Stage 2 re-reads full vectors for the kept candidates only, " +
+        "via a keyed join — the IVF+PQ two-tier storage layout " +
+        "expressed with a JL index."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -34,10 +34,14 @@ class ProjTopKSpec extends SparkTestBase {
     assert(wide >= narrow - 1e-9)
   }
 
-  test("a keepDenom of 1 degenerates to the exact result") {
+  test("one cell + a keepDenom of 1 degenerates to the exact result") {
     val emb = Tables.embeddings(spark, sfDir).limit(60)
     val queries = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
-    val ann = Similarity.projTopK(emb, queries, k = 3, keepDenom = 1)
+    // nlist = 2 with nProbe >= nlist: every cell is probed (Spark
+    // KMeans requires k >= 2, so 2 cells is the smallest fit), and
+    // keepDenom = 1 keeps everything probed — so the two-stage path
+    // must reproduce the exact top-k bit for bit
+    val ann = Similarity.projTopK(emb, queries, k = 3, keepDenom = 1, nlist = 2)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
     val r = Similarity.meanRecall(ann, exact).collect()(0)
     assert(r.getDouble(1) == 1.0, s"recall ${r.getDouble(1)}")

@@ -7,8 +7,11 @@ import graft.SparkTestBase
   * exists for. */
 class ProjectionSpec extends SparkTestBase {
 
-  private def sign(pos: Long, j: Long): Long =
-    if (((pos * 131 + j) * 2654435761L + 12345L) % 997 < 499) 1L else -1L
+  private def sign(pos: Long, j: Long): Long = {
+    val h1 = (pos * 131 + j) * 2654435761L + 12345L
+    val h2 = ((h1 ^ (h1 >> 13)) % 1048573L) * 2654435761L + 999983L
+    if (((h2 ^ (h2 >> 17)) % 2) == 0) 1L else -1L
+  }
 
   private def refProject(v: Seq[Float], outDim: Int): Seq[Long] =
     (0 until outDim).map { j =>
