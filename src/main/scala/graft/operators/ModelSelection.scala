@@ -58,13 +58,20 @@ object ModelSelection {
     * bigram's log-prob is quantized to e9 before the per-doc integer
     * sum, so the result is independent of partitioning and add
     * order. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  /** Corpus bigram rows (doc_id, w0, w1) — one doc_id exchange
+    * (posexplode + lead window), shared by [[lmScore]] and
+    * [[lmScoreKn]]. */
+  private def bigrams(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = docs
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .withColumn("w1", lead(col("w0"), 1).over(w))
       .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("w0"), col("w1"))
+  }
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bg = bigrams(docs)
     val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w0")).agg(sum(col("c2")).as("c1"))
     val v = c2.agg(countDistinct(col("w1")).cast("long").as("v"))
@@ -72,6 +79,55 @@ object ModelSelection {
       .join(c1, Seq("w0"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), logpE9(col("c2"), col("c1"), col("v")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_e9"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("nll_e9 div (n_bigrams * 1000)").as("nll_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Kneser–Ney-lite (interpolated absolute-discount) bigram scoring
+    * — the standard CCNet-style smoothing alongside [[lmScore]]'s
+    * add-one: every seen bigram's probability is
+    *
+    *   P(w1|w0) = ((c2 − D) + D·nf(w0)·(np(w1)/nbt)) / c1
+    *
+    * with D the absolute discount, nf(w0) the distinct-follower count
+    * of the context (how much mass the discount freed), np(w1) the
+    * distinct-PREDECESSOR count of the word, and nbt the total
+    * distinct bigram types — so the backoff term is the Kneser–Ney
+    * continuation probability ("how many contexts does w1 follow"),
+    * not the raw unigram frequency; a word frequent only inside one
+    * collocation scores low where add-one would overrate it. Scoring
+    * the corpus against itself means c2 ≥ 1 for every scored bigram,
+    * so the discounted head term stays positive and no unseen-bigram
+    * branch is needed.
+    *
+    * Output and scale shape are [[lmScore]]'s exactly: (doc_id,
+    * n_bigrams, nll_e6), one doc_id exchange for the bigram build,
+    * vocabulary-sized model tables (the three stats joins key on
+    * w0 / w1 against tables no bigger than the bigram-type table),
+    * a broadcast 1-row nbt scalar, and every log e9-floor-quantized
+    * before the per-doc INTEGER sum. The single float expression is
+    * evaluated in one fixed parenthesization shared verbatim with
+    * the DuckDB oracle and the Spark SQL twin. */
+  def lmScoreKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val bg = bigrams(docs)
+    val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
+    // c1 (context total) and nf (distinct followers) fall out of the
+    // same w0-keyed aggregation over the bigram-TYPE table
+    val c1 = c2.groupBy(col("w0"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("nf"))
+    val np = c2.groupBy(col("w1")).agg(count(lit(1)).as("np"))
+    val nbt = c2.agg(count(lit(1)).cast("long").as("nbt"))
+    val d = lit(discount)
+    val p = ((col("c2") - d) + d * col("nf") *
+      (col("np").cast("double") / col("nbt"))) / col("c1")
+    bg.join(c2, Seq("w0", "w1"))
+      .join(c1, Seq("w0"))
+      .join(np, Seq("w1"))
+      .crossJoin(broadcast(nbt))
+      .select(col("doc_id"), floor(log(p) * 1e9).cast("long").as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_e9"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -137,6 +137,12 @@ object PipelineQueries {
     "q_quality_lm" -> ((s, d) =>
       ModelSelection.lmScore(Tables.documents(s, d))),
 
+    // the same scoring under Kneser-Ney-lite smoothing (absolute
+    // discount + continuation-probability backoff — the CCNet
+    // standard configuration); same e9-quantized integer sums
+    "q_quality_lm_kn" -> ((s, d) =>
+      ModelSelection.lmScoreKn(Tables.documents(s, d))),
+
     // DSIR-style selection: hashed-unigram log-likelihood ratio of
     // the src0 target domain vs the raw corpus; top-20 weighted docs
     "q_select_dsir" -> ((s, d) =>
@@ -1068,6 +1074,27 @@ object PipelineQueries {
         "sc AS (SELECT bg.doc_id, " +
         "CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1e9) AS BIGINT) AS lp " +
         "FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0) CROSS JOIN v) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST((-sum(lp)) // (count(*) * 1000) AS BIGINT) AS nll_e6 " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    // Kneser-Ney-lite: absolute discount 0.75 + continuation backoff;
+    // the float expression parenthesization matches the Spark side
+    // verbatim (then e9-floored before any sum)
+    "q_quality_lm_kn" ->
+      ("WITH w AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(t)), i -> t[i])) AS w0, " +
+        "unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w1 " +
+        "FROM w WHERE len(t) >= 2), " +
+        "c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w0, sum(c2) AS c1, count(*) AS nf FROM c2 GROUP BY 1), " +
+        "np AS (SELECT w1, count(*) AS np FROM c2 GROUP BY 1), " +
+        "nbt AS (SELECT count(*) AS nbt FROM c2), " +
+        "sc AS (SELECT bg.doc_id, " +
+        "CAST(floor(ln(((c2.c2 - 0.75) + 0.75 * c1.nf * " +
+        "(CAST(np.np AS DOUBLE) / nbt.nbt)) / c1.c1) * 1e9) AS BIGINT) AS lp " +
+        "FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0) " +
+        "JOIN np USING (w1) CROSS JOIN nbt) " +
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "CAST((-sum(lp)) // (count(*) * 1000) AS BIGINT) AS nll_e6 " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),

@@ -382,6 +382,24 @@ object SparkSqlTwins {
         "(-sum(lp)) div (count(*) * 1000) AS nll_e6 " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
 
+    "q_quality_lm_kn" ->
+      (s"WITH w AS (SELECT doc_id, $toks AS t FROM documents), " +
+        "bg AS (SELECT doc_id, element_at(t, i) AS w0, element_at(t, i + 1) AS w1 " +
+        "FROM (SELECT * FROM w WHERE size(t) >= 2) ww " +
+        "LATERAL VIEW explode(sequence(1, size(t) - 1)) u AS i), " +
+        "c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w0, sum(c2) AS c1, count(*) AS nf FROM c2 GROUP BY 1), " +
+        "np AS (SELECT w1, count(*) AS np FROM c2 GROUP BY 1), " +
+        "nbt AS (SELECT count(*) AS nbt FROM c2), " +
+        "sc AS (SELECT bg.doc_id, " +
+        "CAST(floor(ln(((c2.c2 - 0.75D) + 0.75D * c1.nf * " +
+        "(CAST(np.np AS DOUBLE) / nbt.nbt)) / c1.c1) * 1e9) AS BIGINT) AS lp " +
+        "FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0) " +
+        "JOIN np USING (w1) CROSS JOIN nbt) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "(-sum(lp)) div (count(*) * 1000) AS nll_e6 " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+
     "q_quality_score" ->
       (s"SELECT doc_id, $quality AS quality_e6 FROM documents ORDER BY doc_id"),
 
