@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval over the `documents` table — the BM25
@@ -46,15 +46,41 @@ object Retrieval {
     docs.select(size(TextOps.regexTokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
+  // fixed float parenthesization — shared verbatim between the
+  // inline and stored-index paths AND the oracle text. One accepted
+  // cross-engine caveat, per the repo float rules: idf goes through
+  // ln(), and a last-ulp difference between DuckDB's and Spark's ln
+  // implementations could in principle flip the floor(x·1e6)
+  // quantization of a per-(doc,term) contribution (the e6 floor
+  // BEFORE the per-doc sum removes order dependence, not
+  // transcendental drift; SqlParitySpec runs both texts in Spark so
+  // it cannot catch it either). Both engines use correctly-rounded
+  // or near-correctly-rounded libm ln and every compared value at
+  // the gate SFs sits well off a quantization boundary, so the risk
+  // is accepted and DOCUMENTED rather than padded away; if a future
+  // fixture ever lands on a boundary, the remedy is the rows-only
+  // fallback (drop the oracle hash for this key), not a guard band
+  // that would change published scores.
+  private def idfExpr: Column = log(lit(1.0)
+    + (col("n_docs").cast("double") - col("df") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)))
+
+  private def normExpr(k1: Double, b: Double): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    col("tf").cast("double") * (lit(k1) + 1.0) /
+      (col("tf").cast("double")
+        + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+  }
+
   /** BM25 top-k with the query-term set derived from the corpus
     * itself (top-`nQueryTerms` non-stopword terms by document
     * frequency; df desc, term asc) so the query is fixture-agnostic.
     *
     * This gate query recomputes the index stats inline to stay
     * self-contained (4 column-pruned scans of the text column); the
-    * production path materializes [[dfCounts]]/[[corpusStats]] ONCE
-    * (or maintains them live — `streaming.StreamingIndexStats`) and
-    * serves every query from the stored index.
+    * production path builds the stored index ONCE ([[buildIndex]],
+    * or maintains its stats live — `streaming.StreamingIndexStats`)
+    * and serves every query from it ([[bm25TopKFromIndex]]).
     *
     * Output: (doc_id, n_hit, bm25_e6) — the k best documents.
     */
@@ -72,18 +98,81 @@ object Retrieval {
     val tf = dt.join(broadcast(qterms), Seq("term"))
       .groupBy(col("doc_id"), col("term"), col("df"))
       .agg(count(lit(1)).as("tf"))
-    // fixed float parenthesization — shared with the oracle text
-    val idf = log(lit(1.0)
-      + (col("n_docs").cast("double") - col("df") + lit(0.5))
-        / (col("df").cast("double") + lit(0.5)))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val norm = col("tf").cast("double") * (lit(k1) + 1.0) /
-      (col("tf").cast("double")
-        + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
     tf.join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        floor(idf * norm * lit(1e6)).cast("long").as("score_e6"))
+        floor(idfExpr * normExpr(k1, b) * lit(1e6)).cast("long").as("score_e6"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("score_e6")).as("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Materialized inverted-index build — the serving layout the
+    * 100 TB deployment reads instead of re-deriving stats per query:
+    *
+    *  - `dir/postings`: one row per (term, doc) — (term, df, doc_id,
+    *    dl, tf, term_bucket) — PARTITIONED BY `term_bucket =
+    *    pmod(hash(term), nBuckets)` through
+    *    [[graft.sources.CorpusSink.writeParquet]], in-file sorted by
+    *    term, so a query prunes every non-queried bucket's files at
+    *    the directory level and row-group min/max stats narrow the
+    *    bucket's files to the queried terms. df and dl are
+    *    DENORMALIZED onto the postings row (Lucene stores per-doc
+    *    norms the same way): +16 bytes/row buys a serving path with
+    *    zero corpus-sized side joins.
+    *  - `dir/stats`: the 1-row (n_docs, sum_dl) scalar table.
+    *
+    * The text column never enters the index, so no serving scan can
+    * read it — `RetrievalLayoutSpec` proves both the file pruning
+    * and the postings-only read schema. */
+  def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 16,
+                 filesPerShard: Int = 2): Unit = {
+    val dt = docs
+      .withColumn("toks", TextOps.regexTokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = dt.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val post = tf.join(dfTab, Seq("term"))
+      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+    graft.sources.CorpusSink.writeParquet(post, s"$dir/postings",
+      shardCol = "term_bucket", sortCol = "term", filesPerShard = filesPerShard)
+    corpusStats(docs).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The partition predicate a query pushes at the stored postings:
+    * every queried term's bucket id is a FOLDABLE expression
+    * (`pmod(hash(lit(term)), nBuckets)`), so Catalyst constant-folds
+    * it to a literal and the comparison against the partition column
+    * prunes directories STATICALLY — no job runs to discover which
+    * buckets to read. */
+  def termBucketPredicate(queryTerms: Seq[String], nBuckets: Int): Column =
+    queryTerms.map(t =>
+      col("term_bucket") === pmod(hash(lit(t)), lit(nBuckets))).reduce(_ || _)
+
+  /** BM25 top-k served from the stored index ([[buildIndex]]): the
+    * scan touches only the queried terms' buckets (static partition
+    * pruning via [[termBucketPredicate]] + an `In(term, …)` pushed
+    * filter inside them), every per-(doc,term) input rides on the
+    * postings row, the 1-row stats table is broadcast, and the top-k
+    * is a TakeOrdered — per-query work is O(queried postings), with
+    * the corpus text never readable from this path at all. Scores
+    * are bit-identical to [[bm25TopK]] on the same terms (same
+    * shared score expressions, same e6 floor-before-sum). */
+  def bm25TopKFromIndex(spark: SparkSession, dir: String,
+                        queryTerms: Seq[String], k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        nBuckets: Int = 16): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(termBucketPredicate(queryTerms, nBuckets)
+        && col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    post.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idfExpr * normExpr(k1, b) * lit(1e6)).cast("long").as("score_e6"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(col("score_e6")).as("bm25_e6"))
       .orderBy(col("bm25_e6").desc, col("doc_id"))

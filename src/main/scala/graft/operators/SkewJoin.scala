@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * The salt must be deterministic for oracle-reproducible results —
   * we derive it from a hash of the large side's full row key, NOT
   * `rand()`.
+  *
+  * `AqeSkewSpec` measures the two head to head on the same hot-key
+  * join: AQE's runtime split marks the join `skew=true` and collapses
+  * the max per-task shuffle read ~4x, unsalted — so salting is the
+  * fallback, not the default. The fallback matters where AQE cannot
+  * split: a skewed AGGREGATION key (one group is still one reducer),
+  * or skew materializing after a non-join exchange.
   */
 object SkewJoin {
 

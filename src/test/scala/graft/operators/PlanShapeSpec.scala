@@ -74,6 +74,49 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected map-side partial + final aggregation:\n$p")
   }
 
+  // ---- headline relational plans over the real parquet fixtures:
+  // the PLANS.md rationale for these lived only as prose until round
+  // 10; these assertions make the 100 TB shapes regression-proof.
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def query(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+  test("q_scan_filter: both predicates and the 5-column projection reach parquet") {
+    // formatted explain carries the untruncated PushedFilters /
+    // ReadSchema (AQE's executedPlan root hides the scan from collect)
+    val p = query("q_scan_filter").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThan(l_quantity") &&
+      p.contains("LessThan(l_discount"),
+      s"predicates not pushed to the scan:\n$p")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_discount").foreach(c =>
+      assert(read.contains(c), s"projected column $c missing from ReadSchema: $read"))
+    Seq("l_comment", "l_shipdate", "l_returnflag").foreach(c =>
+      assert(!read.contains(c), s"unprojected column $c read from parquet: $read"))
+  }
+
+  test("q_join_agg: three broadcast joins, no sort-merge shuffle of the fact side") {
+    val p = plan(query("q_join_agg"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected customer/nation/region all broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact side must not shuffle for a dimension join:\n$p")
+  }
+
+  test("q_window_topk: WindowGroupLimit prunes map-side before the exchange") {
+    val p = plan(query("q_window_topk"))
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3-per-segment must pre-prune partitions, not sort whole segments:\n$p")
+  }
+
+  test("q_range_join: band join is a bucketized equi-join, never a nested loop") {
+    val p = plan(query("q_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the ±band predicate must ride the bucket equi-join key:\n$p")
+  }
+
   test("projectSigned is one keyed aggregation — no joins, no windows") {
     val emb = (0 until 30).map(i =>
       (i.toLong, Array.fill(8)(i.toFloat / 7f))).toDF("vec_id", "embedding")
