@@ -8,17 +8,24 @@ import org.apache.spark.sql.functions._
   * passes (the JVM analogue of an Arrow-batched Pandas UDF), with
   * partition-parallel execution and no shuffle.
   *
-  * The PNG path is a REAL dependency-free decoder: planted fixtures
-  * carry genuine zlib-compressed IDAT scanlines (java.util.zip
-  * Deflater at plant time), and [[decodePng]] walks the chunk
-  * stream (CRC32-validated), inflates with java.util.zip.Inflater,
-  * and unfilters all five PNG filter types (None/Sub/Up/Average/
-  * Paeth, per the public PNG spec) to recover actual pixels; the
-  * emitted features are the real per-channel sums/means of those
-  * pixels. JPEG stays header-only (SOI→SOFn segment walk for
-  * dimensions): entropy-coded payload decode needs a Huffman+DCT
-  * decoder, out of scope — JPEG rows honestly report NO payload
-  * features rather than fabricated ones.
+  * Both codecs are REAL and dependency-free:
+  *  - PNG: planted fixtures carry genuine zlib-compressed IDAT
+  *    scanlines (java.util.zip Deflater at plant time), and
+  *    [[decodePng]] walks the chunk stream (CRC32-validated),
+  *    inflates with java.util.zip.Inflater, and unfilters all five
+  *    PNG filter types (None/Sub/Up/Average/Paeth, per the public
+  *    PNG spec) to recover actual pixels.
+  *  - JPEG: planted fixtures are complete baseline-sequential 4:2:0
+  *    JPEGs (ITU T.81) with real Huffman-coded entropy data, and
+  *    [[decodeJpeg]] runs the full baseline pipeline — segment walk,
+  *    canonical Huffman decode with byte unstuffing, differential DC
+  *    prediction, dequantization, separable IDCT, chroma upsampling,
+  *    and exact-integer JFIF YCbCr→RGB ([[yccToRgbE6]]). The planted
+  *    blocks are DC-only, which makes the lossy format lossless by
+  *    construction, so oracles recompute the decoded pixels in pure
+  *    arithmetic.
+  * The emitted features are the real per-channel sums/means of the
+  * decoded pixels for BOTH formats.
   */
 object Multimodal {
 
@@ -44,6 +51,34 @@ object Multimodal {
     * (and any feature of it) independently of the codec. */
   def plantedPixel(docId: Long, x: Int, y: Int, c: Int): Int =
     ((docId * 7 + y.toLong * 31 + x.toLong * 13 + c.toLong * 97) % 256).toInt
+
+  /** Planted JPEG content, defined in YCbCr: luma is constant per
+    * 8×8 block (one value per block coordinate, so the decoder's DC
+    * prediction chain across the MCU's four Y blocks is exercised),
+    * chroma is constant per image (one 4:2:0 subsampled block).
+    * DC-only blocks make baseline JPEG LOSSLESS by construction —
+    * a constant block's FDCT has a single DC coefficient 8·(v−128),
+    * which quantizes exactly with Q(0,0)=8 — so the oracle can
+    * recompute the decoded pixels arithmetically. */
+  def plantedY(docId: Long, bx: Int, by: Int): Int =
+    ((docId * 11 + bx.toLong * 53 + by.toLong * 29) % 256).toInt
+  def plantedCb(docId: Long): Int = ((docId * 19 + 35) % 256).toInt
+  def plantedCr(docId: Long): Int = ((docId * 23 + 71) % 256).toInt
+
+  /** JFIF YCbCr→RGB in EXACT e6 integer fixed point (coefficients
+    * 1.402 / 0.344136 / 0.714136 / 1.772 scaled by 10^6, round via
+    * +500000, floor-divide). The +256·10^6 offset keeps every
+    * numerator positive so truncating division (Spark `div`, DuckDB
+    * `//`) equals floor division in both engines — the conversion is
+    * bit-identical in Scala, Spark SQL, and DuckDB with no
+    * transcendental or float drift at all. */
+  def yccToRgbE6(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Long): Int = math.min(255L, math.max(0L, v)).toInt
+    val r = cl((1000000L * y + 1402000L * (cr - 128) + 500000L + 256000000L) / 1000000L - 256L)
+    val g = cl((1000000L * y - 344136L * (cb - 128) - 714136L * (cr - 128) + 500000L + 256000000L) / 1000000L - 256L)
+    val b = cl((1000000L * y + 1772000L * (cb - 128) + 500000L + 256000000L) / 1000000L - 256L)
+    (r, g, b)
+  }
 
   private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
     val crc = new java.util.zip.CRC32()
@@ -171,34 +206,119 @@ object Multimodal {
   }
 
   /** Build the fixture media bytes: even doc_ids get the complete
-    * pixel-bearing PNG from [[plantPng]]; odd doc_ids get a JPEG
-    * SOI + APP0/JFIF segment of VARIABLE length (so the SOF0 offset
-    * differs per doc and a fixed-offset "parser" fails) + SOF0 frame
-    * header carrying height/width, followed by the payload standing
-    * in for the entropy-coded data. */
-  def plantHeader(docId: Long, payload: Array[Byte]): Array[Byte] = {
-    if (docId % 2 == 0) return plantPng(docId)
+    * pixel-bearing PNG from [[plantPng]]; odd doc_ids get the
+    * complete pixel-bearing baseline JPEG from [[plantJpeg]]. The
+    * `payload` argument is retained for API stability but no longer
+    * embedded — the JPEG entropy-coded data is now real. */
+  def plantHeader(docId: Long, payload: Array[Byte]): Array[Byte] =
+    if (docId % 2 == 0) plantPng(docId) else plantJpeg(docId)
+
+  /** DC quantization step for planted JPEGs: the planted constant
+    * blocks have FDCT DC = 8·(v−128), so Q(0,0)=8 makes the
+    * quantized DC exactly v−128 — a lossless round trip. */
+  private final val JpegDcQ = 8
+
+  /** MSB-first JPEG entropy bit writer with mandatory 0xFF→0xFF00
+    * byte stuffing; flush pads the final byte with 1-bits per the
+    * public JPEG spec (ITU T.81 §B.1.1.5/F.1.2.3). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBit((bits >>> i) & 1); i -= 1 }
+    }
+    private def putBit(v: Int): Unit = {
+      acc = (acc << 1) | v; n += 1
+      if (n == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0) // byte stuffing
+        acc = 0; n = 0
+      }
+    }
+    def flush(): Unit = while (n != 0) putBit(1)
+  }
+
+  /** Build a COMPLETE valid baseline-sequential 4:2:0 JPEG (ITU
+    * T.81): SOI, APP0/JFIF with (docId % 8) pad bytes — so the
+    * frame-header offset VARIES per doc and a fixed-offset "parser"
+    * fails — DQT (luma + chroma tables, Q(0,0)=[[JpegDcQ]]), SOF0
+    * (Y sampled 2×2, Cb/Cr 1×1), DHT (canonical DC tables for
+    * categories 0–8 at uniform code length 4; one-entry AC tables
+    * whose single symbol is EOB at code length 1), SOS, and real
+    * Huffman-coded entropy data: one 16×16 MCU = 4 Y blocks + Cb +
+    * Cr, each DC-only with differential DC prediction per component
+    * and an EOB, byte-stuffed. Content follows [[plantedY]]/
+    * [[plantedCb]]/[[plantedCr]] so the decoded image is
+    * arithmetic-recomputable by the oracle while the byte stream
+    * must survive a real Huffman + dequant + IDCT + upsample +
+    * color-convert decode. */
+  def plantJpeg(docId: Long): Array[Byte] = {
     val w = plantedWidth(docId)
     val h = plantedHeight(docId)
-    val out = new java.io.ByteArrayOutputStream(payload.length + 48)
-    def be16(v: Int): Unit = { out.write(v >>> 8 & 0xff); out.write(v & 0xff) }
-    // JPEG: SOI, APP0 with (docId % 8) pad bytes, SOF0
-    out.write(0xff); out.write(0xd8)                  // SOI
+    val out = new java.io.ByteArrayOutputStream(320)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >>> 8); b(v) }
+    b(0xff); b(0xd8)                                  // SOI
     val pad = (docId % 8).toInt
-    out.write(0xff); out.write(0xe0)                  // APP0 marker
-    be16(16 + pad)                                    // len incl. itself
-    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
-    out.write(1); out.write(1)                        // version
-    out.write(0); be16(72); be16(72)                  // density
-    out.write(0); out.write(0)                        // thumbnail
-    (0 until pad).foreach(_ => out.write(0))
-    out.write(0xff); out.write(0xc0)                  // SOF0 marker
-    be16(8 + 3 * 3)                                   // len: 3 components
-    out.write(8)                                      // precision
-    be16(h); be16(w)                                  // height, width
-    out.write(3)                                      // n components
-    (1 to 3).foreach { c => out.write(c); out.write(0x11); out.write(0) }
-    out.write(payload, 0, payload.length)
+    b(0xff); b(0xe0); be16(16 + pad)                  // APP0, len incl. itself
+    out.write("JFIF".getBytes("US-ASCII")); b(0)
+    b(1); b(1)                                        // version
+    b(0); be16(72); be16(72)                          // density
+    b(0); b(0)                                        // thumbnail
+    (0 until pad).foreach(_ => b(0))
+    // DQT: table 0 (luma) + table 1 (chroma), 8-bit precision. Only
+    // Q(0,0) matters (all ACs are zero); the rest is an arbitrary 16.
+    b(0xff); b(0xdb); be16(2 + 2 * 65)
+    (0 to 1).foreach { id => b(id); b(JpegDcQ); (1 until 64).foreach(_ => b(16)) }
+    // SOF0: baseline, 4:2:0 — Y h=2,v=2 (q-table 0); Cb/Cr 1,1 (q-table 1)
+    b(0xff); b(0xc0); be16(8 + 3 * 3)
+    b(8); be16(h); be16(w); b(3)
+    b(1); b(0x22); b(0)
+    b(2); b(0x11); b(1)
+    b(3); b(0x11); b(1)
+    // DHT: four tables in one segment. DC 0/1: 9 symbols (categories
+    // 0..8) all at length 4 → canonical codes 0000..1000. AC 0/1: the
+    // single EOB symbol (0x00) at length 1 → code '0'. DC-only blocks
+    // never need another AC code, and neither table uses the
+    // forbidden all-ones code.
+    b(0xff); b(0xc4); be16(2 + 2 * (17 + 9) + 2 * (17 + 1))
+    (0 to 1).foreach { id =>
+      b(0x00 | id)                                    // class 0 = DC
+      val bits = new Array[Int](16); bits(3) = 9
+      bits.foreach(b); (0 to 8).foreach(b)
+      b(0x10 | id)                                    // class 1 = AC
+      val abits = new Array[Int](16); abits(0) = 1
+      abits.foreach(b); b(0x00)
+    }
+    // SOS: 3 components, Y→tables (0,0), Cb/Cr→tables (1,1)
+    b(0xff); b(0xda); be16(6 + 2 * 3)
+    b(3); b(1); b(0x00); b(2); b(0x11); b(3); b(0x11)
+    b(0); b(63); b(0)
+    // entropy-coded data: single MCU, Y blocks in raster order then
+    // Cb, Cr; each block = Huffman(DC category) + category bits + EOB
+    val bw = new JpegBitWriter(out)
+    def putBlock(dc: Int, pred: Int): Int = {
+      val diff = dc - pred
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1
+      bw.put(cat, 4)                                  // canonical code == symbol index
+      if (cat > 0) {
+        val v = if (diff >= 0) diff else diff + (1 << cat) - 1
+        bw.put(v & ((1 << cat) - 1), cat)
+      }
+      bw.put(0, 1)                                    // EOB (1-bit code '0')
+      dc
+    }
+    var predY = 0
+    Seq((0, 0), (1, 0), (0, 1), (1, 1)).foreach { case (bx, by) =>
+      predY = putBlock(plantedY(docId, bx, by) - 128, predY)
+    }
+    putBlock(plantedCb(docId) - 128, 0)
+    putBlock(plantedCr(docId) - 128, 0)
+    bw.flush()
+    b(0xff); b(0xd9)                                  // EOI
     out.toByteArray
   }
 
@@ -322,6 +442,376 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  // ----- baseline JPEG decoder (ITU T.81 sequential DCT, JDK-only) -----
+
+  /** Thrown internally on any malformation; callers convert to None. */
+  private final class JpegBad extends RuntimeException(null, null, false, false)
+  private def bad(): Nothing = throw new JpegBad
+
+  /** Canonical Huffman decode tables (T.81 §F.2.2.3 MINCODE/MAXCODE/
+    * VALPTR construction from the DHT BITS list). */
+  private final class JpegHuff(bits: Array[Int], val vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill[Int](17)(-1)
+    val valptr = new Array[Int](17)
+    private var code = 0
+    private var k = 0
+    (1 to 16).foreach { l =>
+      valptr(l) = k
+      mincode(l) = code
+      if (bits(l - 1) > 0) { k += bits(l - 1); code += bits(l - 1); maxcode(l) = code - 1 }
+      code <<= 1
+    }
+    if (k != vals.length) bad()
+  }
+
+  /** MSB-first entropy bit reader with 0xFF00 unstuffing. Hitting a
+    * real marker or the end of input mid-symbol is a decode error
+    * (RSTn handling happens at byte level between restart
+    * intervals, not here). */
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= bytes.length) bad()
+        var v = bytes(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= bytes.length || (bytes(pos) & 0xff) != 0x00) bad()
+          pos += 1 // stuffed zero byte
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def align(): Unit = n = 0
+    def decode(t: JpegHuff): Int = {
+      var l = 1
+      var code = bit()
+      while (code > t.maxcode(l)) {
+        if (l == 16) bad()
+        l += 1
+        code = (code << 1) | bit()
+      }
+      t.vals(t.valptr(l) + code - t.mincode(l))
+    }
+  }
+
+  /** Zigzag scan order → natural (row-major v*8+u) coefficient index,
+    * from the public JPEG spec. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** C(u)·cos((2x+1)uπ/16) basis table for the separable IDCT. */
+  private val JpegCosT: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        t(x * 8 + u) = c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Separable 2-D inverse DCT (T.81 §A.3.3) of one dequantized
+    * 8×8 block (natural order), level-shifted +128 and clamped to
+    * 0..255. For the planted DC-only blocks the result is exactly
+    * the planted constant (float error ~1e-13 ≪ the 0.5 rounding
+    * margin), which is what makes the fixture round trip lossless. */
+  private def jpegIdct(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // columns: tmp(u, y) = Σ_v ct(y,v)·F(u,v)
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += JpegCosT(y * 8 + v) * coef(v * 8 + u); v += 1 }
+        tmp(y * 8 + u) = s
+        y += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) { // rows: f(x,y) = 1/4 Σ_u ct(x,u)·tmp(u,y)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var uu = 0
+        while (uu < 8) { s += JpegCosT(x * 8 + uu) * tmp(y * 8 + uu); uu += 1 }
+        val px = math.floor(0.25 * s + 128.5).toInt
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** REAL dependency-free baseline JPEG pixel decode (JDK-only):
+    * full segment walk (multi-table DQT/DHT, DRI), canonical Huffman
+    * decode of the entropy-coded scan with byte unstuffing and
+    * restart-marker handling, differential DC prediction per
+    * component, run-length AC decode (EOB/ZRL), dequantization,
+    * separable IDCT, nearest-neighbor chroma upsampling for
+    * arbitrary sampling factors (4:2:0 / 4:2:2 / 4:4:4), and JFIF
+    * YCbCr→RGB via the exact integer [[yccToRgbE6]]. Grayscale
+    * (1-component) scans decode with R=G=B=Y. Progressive,
+    * arithmetic-coded, hierarchical, and 12-bit frames are rejected.
+    * Any malformation yields None, never an exception.
+    *
+    * @return Some((width, height, rgbPixels)) with `rgbPixels`
+    *         row-major w·h·3 bytes, or None. */
+  def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+      def u8(i: Int): Int = { if (i >= bytes.length) bad(); bytes(i) & 0xff }
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      val quant = new Array[Array[Int]](4)             // zigzag order, 8-bit
+      val huffs = new Array[JpegHuff](8)               // class*4 + id
+      var w = -1; var h = -1
+      // per component: id, hSamp, vSamp, quant table id, DC table, AC table
+      var compId: Array[Int] = null
+      var compH: Array[Int] = null
+      var compV: Array[Int] = null
+      var compTq: Array[Int] = null
+      var compTd: Array[Int] = null
+      var compTa: Array[Int] = null
+      var restartInterval = 0
+      var i = 2
+      while (true) {
+        // find the next marker, tolerating 0xFF fill bytes
+        if (u8(i) != 0xff) bad()
+        while (u8(i + 1) == 0xff) i += 1
+        val marker = u8(i + 1)
+        i += 2
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            val end = i + be16(i); i += 2
+            while (i < end) {
+              val pq = u8(i) >> 4; val tq = u8(i) & 15
+              if (pq != 0 || tq > 3) bad() // 8-bit tables only
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(k) = u8(i + 1 + k); k += 1 }
+              quant(tq) = t
+              i += 65
+            }
+            if (i != end) bad()
+          case 0xc4 => // DHT: one or more tables
+            val end = i + be16(i); i += 2
+            while (i < end) {
+              val tc = u8(i) >> 4; val th = u8(i) & 15
+              if (tc > 1 || th > 3) bad()
+              val bits = Array.tabulate(16)(k => u8(i + 1 + k))
+              val n = bits.sum
+              if (n > 256) bad()
+              val vals = Array.tabulate(n)(k => u8(i + 17 + k))
+              huffs(tc * 4 + th) = new JpegHuff(bits, vals)
+              i += 17 + n
+            }
+            if (i != end) bad()
+          case 0xc0 | 0xc1 => // SOF0/1: baseline (extended) sequential
+            val len = be16(i)
+            if (u8(i + 2) != 8) bad() // 8-bit precision only
+            h = be16(i + 3); w = be16(i + 5)
+            val nc = u8(i + 7)
+            if ((nc != 1 && nc != 3) || len != 8 + 3 * nc) bad()
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) bad()
+            compId = new Array[Int](nc); compH = new Array[Int](nc)
+            compV = new Array[Int](nc); compTq = new Array[Int](nc)
+            var c = 0
+            while (c < nc) {
+              compId(c) = u8(i + 8 + 3 * c)
+              val hv = u8(i + 9 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4) bad()
+              compTq(c) = u8(i + 10 + 3 * c)
+              if (compTq(c) > 3) bad()
+              c += 1
+            }
+            i += len
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            bad() // progressive / arithmetic / hierarchical frames unsupported
+          case 0xdd => // DRI
+            if (be16(i) != 4) bad()
+            restartInterval = be16(i + 2)
+            i += 4
+          case 0xda => // SOS → decode the scan and return
+            if (compId == null) bad()
+            val nc = compId.length
+            val ns = u8(i + 2)
+            if (ns != nc || be16(i) != 6 + 2 * ns) bad() // single interleaved scan only
+            compTd = new Array[Int](nc); compTa = new Array[Int](nc)
+            var s = 0
+            while (s < ns) {
+              val cs = u8(i + 3 + 2 * s)
+              val c = compId.indexOf(cs)
+              if (c < 0) bad()
+              compTd(c) = u8(i + 4 + 2 * s) >> 4
+              compTa(c) = u8(i + 4 + 2 * s) & 15
+              s += 1
+            }
+            i += be16(i)
+            return Some(decodeJpegScan(bytes, i, w, h, compH, compV, compTq, compTd,
+              compTa, quant, huffs, restartInterval))
+          case 0xd9 => bad() // EOI before any scan
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => () // standalone
+          case _ => i += be16(i) // APPn / COM / other: skip by length
+        }
+      }
+      None
+    } catch { case _: JpegBad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+  }
+
+  /** Entropy-decode the single interleaved scan into component
+    * planes, then upsample + color-convert + crop. */
+  private def decodeJpegScan(bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
+                             compH: Array[Int], compV: Array[Int], compTq: Array[Int],
+                             compTd: Array[Int], compTa: Array[Int],
+                             quant: Array[Array[Int]], huffs: Array[JpegHuff],
+                             restartInterval: Int): (Int, Int, Array[Byte]) = {
+    val nc = compH.length
+    val hmax = compH.max; val vmax = compV.max
+    val mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuH = (h + 8 * vmax - 1) / (8 * vmax)
+    // padded per-component planes (mcu grid × sampling factor blocks)
+    val planeW = Array.tabulate(nc)(c => mcuW * compH(c) * 8)
+    val planeH = Array.tabulate(nc)(c => mcuH * compV(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * planeH(c)))
+    var c = 0
+    while (c < nc) {
+      if (quant(compTq(c)) == null || huffs(compTd(c)) == null || huffs(4 + compTa(c)) == null) bad()
+      c += 1
+    }
+    val pred = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var br = new JpegBitReader(bytes, scanStart)
+    var mcusDone = 0
+    var nextRst = 0
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
+        if (restartInterval > 0 && mcusDone > 0 && mcusDone % restartInterval == 0) {
+          // byte-align and consume the RSTn marker; DC predictors reset
+          br.align()
+          var p = br.pos
+          while (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+            (bytes(p + 1) & 0xff) == 0xff) p += 1
+          if (p + 1 >= bytes.length || (bytes(p) & 0xff) != 0xff ||
+            (bytes(p + 1) & 0xff) != (0xd0 | nextRst)) bad()
+          nextRst = (nextRst + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+          br = new JpegBitReader(bytes, p + 2)
+        }
+        var ci = 0
+        while (ci < nc) {
+          val q = quant(compTq(ci))
+          val dcT = huffs(compTd(ci))
+          val acT = huffs(4 + compTa(ci))
+          var by = 0
+          while (by < compV(ci)) {
+            var bx = 0
+            while (bx < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              // DC: category + extend, differential per component
+              val cat = br.decode(dcT)
+              if (cat > 15) bad()
+              val diff = if (cat == 0) 0 else jpegExtend(br.bits(cat), cat)
+              pred(ci) += diff
+              coef(0) = pred(ci) * q(0)
+              // AC: run/size pairs until EOB or coefficient 63
+              var k = 1
+              while (k < 64) {
+                val rs = br.decode(acT)
+                val run = rs >> 4; val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else k = 64            // EOB
+                } else {
+                  k += run
+                  if (k > 63) bad()
+                  coef(JpegZigzag(k)) = jpegExtend(br.bits(size), size) * q(k)
+                  k += 1
+                }
+              }
+              jpegIdct(coef, block)
+              // place into the component plane
+              val px0 = (mx * compH(ci) + bx) * 8
+              val py0 = (my * compV(ci) + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(ci)((py0 + yy) * planeW(ci) + px0 + xx) = block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcusDone += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // upsample (nearest neighbor) + color convert + crop to w×h
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (nc == 1) {
+          val v = planes(0)(y * planeW(0) + x)
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+        } else {
+          val yv = planes(0)((y * compV(0) / vmax) * planeW(0) + (x * compH(0) / hmax))
+          val cb = planes(1)((y * compV(1) / vmax) * planeW(1) + (x * compH(1) / hmax))
+          val cr = planes(2)((y * compV(2) / vmax) * planeW(2) + (x * compH(2) / hmax))
+          val (r, g, b) = yccToRgbE6(yv, cb, cr)
+          px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** T.81 §F.2.2.1 EXTEND: map `size`-bit magnitude bits to the
+    * signed coefficient value. */
+  private def jpegExtend(v: Int, size: Int): Int =
+    if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  /** Format-dispatching pixel decode: PNG → [[decodePng]], JPEG →
+    * [[decodeJpeg]]; anything else (or any malformation) → None. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseImageHeader(bytes) match {
+      case ("png", _, _)  => decodePng(bytes)
+      case ("jpeg", _, _) => decodeJpeg(bytes)
+      case _              => None
+    }
+
   /** Fixture binary column with COMPLETE planted media: pixel-bearing
     * PNGs (even doc_ids) and header-planted JPEGs (odd). This is the
     * input [[decodeFeatures]]' codec is verified against end-to-end. */
@@ -335,14 +825,16 @@ object Multimodal {
   }
 
   /** Batched per-partition decode: binary column → typed features.
-    * Dimensions come from the real header parse; for PNGs the
-    * features are the REAL per-channel means of the inflate+unfilter
-    * decoded pixels (with exact integer channel sums alongside, so
-    * oracles can verify in exact fixed-point arithmetic); JPEGs
-    * (header-only decode) report empty features. `batchSize` models
-    * the Arrow batch shape — the decode sees a buffered group of
-    * records at a time (vectorized-codec-friendly), while Spark
-    * streams partitions without materializing them. */
+    * Dimensions come from the real header parse; the features are
+    * the REAL per-channel means of the decoded pixels — PNG via
+    * inflate+unfilter, JPEG via the baseline Huffman+IDCT path —
+    * with exact integer channel sums alongside, so oracles can
+    * verify in exact fixed-point arithmetic. Undecodable media
+    * reports empty features rather than failing the stage.
+    * `batchSize` models the Arrow batch shape — the decode sees a
+    * buffered group of records at a time (vectorized-codec-
+    * friendly), while Spark streams partitions without
+    * materializing them. */
   def decodeFeatures(withMedia: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
     val spark = withMedia.sparkSession
     import spark.implicits._
@@ -352,7 +844,7 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
             val (fmt, w, h) = parseImageHeader(bytes)
-            decodePng(bytes) match {
+            decodeImage(bytes) match {
               case Some((pw, ph, px)) =>
                 val sums = new Array[Long](3)
                 var i = 0
@@ -405,12 +897,12 @@ object Multimodal {
     out
   }
 
-  /** Batched per-partition resize to a fixed (w, h): decodes the PNG
-    * payload ([[decodePng]]) and nearest-neighbor-resamples the real
-    * pixels. Non-decodable media (JPEG header-only rows, corrupt
-    * blobs) yield empty pixels rather than failing the stage. Same
-    * contract as [[decodeFeatures]]: partition-parallel, no shuffle,
-    * fixed output schema. */
+  /** Batched per-partition resize to a fixed (w, h): decodes the
+    * media ([[decodeImage]] — PNG inflate+unfilter or baseline JPEG
+    * Huffman+IDCT) and nearest-neighbor-resamples the real pixels.
+    * Non-decodable media (corrupt blobs) yields empty pixels rather
+    * than failing the stage. Same contract as [[decodeFeatures]]:
+    * partition-parallel, no shuffle, fixed output schema. */
   def resizeTo(withMedia: DataFrame, w: Int = 32, h: Int = 32,
                batchSize: Int = 64): Dataset[Resized] = {
     val spark = withMedia.sparkSession
@@ -419,7 +911,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
-          decodePng(bytes) match {
+          decodeImage(bytes) match {
             case Some((pw, ph, px)) => Resized(id, w, h, resizePixels(px, pw, ph, w, h))
             case None => Resized(id, w, h, Array.emptyByteArray)
           }

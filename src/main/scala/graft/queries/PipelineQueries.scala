@@ -688,24 +688,27 @@ object PipelineQueries {
 
     // multimodal batched decode (mapPartitions plumbing path): REAL
     // codecs over planted valid media — PNG rows run the full chunk
-    // walk + CRC32 + zlib inflate + 5-filter unfilter pipeline and
-    // emit the decoded pixels' per-channel means (exact E6 fixed
-    // point via integer division); JPEG rows parse dims via the SOF0
-    // segment walk and honestly report no payload features. The
-    // oracle recomputes the planted pixel arithmetic independently,
-    // so any codec break (CRC, inflate bounds, filter math,
-    // endianness, segment walk) hash-mismatches
+    // walk + CRC32 + zlib inflate + 5-filter unfilter pipeline; JPEG
+    // rows run the full baseline-sequential pipeline (Huffman decode
+    // w/ byte unstuffing, DC prediction, dequant, IDCT, 4:2:0
+    // upsample, exact-integer JFIF YCbCr→RGB). Both emit the decoded
+    // pixels' per-channel means (exact E6 fixed point via integer
+    // division). The oracle recomputes the planted pixel arithmetic
+    // independently — per-pixel for PNG, per-8×8-block for JPEG (the
+    // planted blocks are DC-constant) — so any codec break (CRC,
+    // inflate bounds, filter math, Huffman tables, IDCT, color
+    // conversion, segment walk) hash-mismatches
     "q_multimodal_decode" -> ((s, d) => {
       Multimodal.decodeFeatures(Multimodal.withPlantedMedia(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          expr("CASE WHEN format = 'png' AND n_px > 0 THEN " +
+          expr("CASE WHEN n_px > 0 THEN " +
             "element_at(chan_sums, 1) * 1000000 div (n_px * 255) END").as("mean_r_e6"),
-          expr("CASE WHEN format = 'png' AND n_px > 0 THEN " +
+          expr("CASE WHEN n_px > 0 THEN " +
             "element_at(chan_sums, 2) * 1000000 div (n_px * 255) END").as("mean_g_e6"),
-          expr("CASE WHEN format = 'png' AND n_px > 0 THEN " +
+          expr("CASE WHEN n_px > 0 THEN " +
             "element_at(chan_sums, 3) * 1000000 div (n_px * 255) END").as("mean_b_e6"))
         .orderBy(col("doc_id"))
     }),
@@ -720,12 +723,12 @@ object PipelineQueries {
     }),
 
     // multimodal batched resize (resolution-normalize step) on REAL
-    // decoded pixels: PNG rows are fully decoded (inflate+unfilter)
-    // then nearest-neighbor-resampled to 16×16 RGB; the oracle
-    // replays the exact resample index arithmetic over the planted
-    // pixel formula, so the byte_sum check covers decode AND
-    // resample end to end (non-decodable JPEG rows yield empty
-    // pixels and are excluded symmetrically by parity)
+    // decoded pixels: PNG rows are fully decoded (inflate+unfilter),
+    // JPEG rows baseline-decoded (Huffman+IDCT+color convert), then
+    // nearest-neighbor-resampled to 16×16 RGB; the oracle replays
+    // the exact resample index arithmetic over the planted pixel /
+    // planted block formulas, so the byte_sum check covers decode
+    // AND resample end to end for BOTH formats
     "q_multimodal_resize" -> ((s, d) => {
       import s.implicits._
       Multimodal.resizeTo(Multimodal.withPlantedMedia(Tables.documents(s, d)),
@@ -1224,39 +1227,72 @@ object PipelineQueries {
         "CAST(len(string_split(text,' ')) - dup_tokens AS BIGINT) AS kept_tokens " +
         "FROM summ JOIN documents ON summ.doc_id = documents.doc_id ORDER BY 1"),
     // the oracle replays the nearest-neighbor resample index math
-    // over the planted-pixel formula: out i → (c = i%3, X = (i//3)%16,
-    // Y = i//48) sampled at (x = X·w//16, y = Y·h//16) — so the
-    // byte_sum verifies real inflate+unfilter+resample end to end
+    // over the planted content: out i → (c = i%3, X = (i//3)%16,
+    // Y = i//48) sampled at (x = X·w//16, y = Y·h//16). Even docs
+    // (PNG) use the per-pixel planted formula; odd docs (JPEG) use
+    // the per-8×8-block planted luma + constant chroma through the
+    // exact integer JFIF conversion — so the byte_sum verifies real
+    // inflate+unfilter resp. Huffman+IDCT+color-convert, plus the
+    // resample, end to end for both formats
     "q_multimodal_resize" ->
       ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
-        "(doc_id*17+3) % 11 + 3 AS h FROM documents WHERE doc_id % 2 = 0) " +
+        "(doc_id*17+3) % 11 + 3 AS h FROM documents) " +
         "SELECT doc_id, CAST(768 AS BIGINT) AS n_pixels, " +
         "CAST(list_aggregate(list_transform(range(768), i -> " +
+        "CASE WHEN doc_id % 2 = 0 THEN " +
         "(doc_id*7 + (((i//48) * h) // 16) * 31 + ((((i//3) % 16) * w) // 16) * 13 " +
-        "+ (i % 3) * 97) % 256), 'sum') AS BIGINT) AS byte_sum " +
+        "+ (i % 3) * 97) % 256 " +
+        "ELSE least(255, greatest(0, (1000000*((doc_id*11 " +
+        "+ (((((i//3) % 16) * w) // 16) // 8)*53 " +
+        "+ ((((i//48) * h) // 16) // 8)*29) % 256) " +
+        "+ CASE WHEN i % 3 = 0 THEN 1402000*((doc_id*23+71) % 256 - 128) " +
+        "WHEN i % 3 = 1 THEN -344136*((doc_id*19+35) % 256 - 128) " +
+        "- 714136*((doc_id*23+71) % 256 - 128) " +
+        "ELSE 1772000*((doc_id*19+35) % 256 - 128) END " +
+        "+ 500000 + 256000000) // 1000000 - 256)) END), 'sum') AS BIGINT) AS byte_sum " +
         "FROM d ORDER BY doc_id"),
     // independent arithmetic recomputation of the PLANTED media:
-    // format by parity, dims by the plant formulas, and for PNG rows
-    // the per-channel pixel means in exact E6 fixed point from the
+    // format by parity, dims by the plant formulas. PNG rows: the
+    // per-channel pixel means in exact E6 fixed point from the
     // planted pixel formula p(x,y,c) = (doc*7 + y*31 + x*13 + c*97) % 256.
-    // The Spark side recovers the same values by DECODING the bytes
-    // (chunk walk, CRC32, zlib inflate, 5-filter unfilter)
+    // JPEG rows: per-8×8-block planted luma (DC-constant blocks) ×
+    // in-crop block pixel counts, constant chroma, through the exact
+    // integer JFIF YCbCr→RGB (the same e6 fixed-point formula the
+    // decoder uses — no float drift possible). The Spark side
+    // recovers the same values by DECODING the bytes (PNG: chunk
+    // walk, CRC32, zlib inflate, 5-filter unfilter; JPEG: Huffman,
+    // DC prediction, dequant, IDCT, 4:2:0 upsample, color convert)
     "q_multimodal_decode" ->
       ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
-        "(doc_id*17+3) % 11 + 3 AS h FROM documents) " +
-        "SELECT doc_id, " +
-        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "(doc_id*17+3) % 11 + 3 AS h FROM documents), " +
+        "jb AS (SELECT doc_id, w, h, bx, by, " +
+        "(doc_id*11 + bx*53 + by*29) % 256 AS yv, " +
+        "(doc_id*19+35) % 256 AS cb, (doc_id*23+71) % 256 AS cr, " +
+        "(CASE WHEN bx = 0 THEN least(w, 8) ELSE greatest(w - 8, 0) END) * " +
+        "(CASE WHEN by = 0 THEN least(h, 8) ELSE greatest(h - 8, 0) END) AS npx " +
+        "FROM d CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) AS blk(bx, by) " +
+        "WHERE doc_id % 2 = 1), " +
+        "j AS (SELECT doc_id, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1402000*(cr-128) " +
+        "+ 500000 + 256000000) // 1000000 - 256))) AS sum_r, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv - 344136*(cb-128) " +
+        "- 714136*(cr-128) + 500000 + 256000000) // 1000000 - 256))) AS sum_g, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1772000*(cb-128) " +
+        "+ 500000 + 256000000) // 1000000 - 256))) AS sum_b " +
+        "FROM jb GROUP BY doc_id) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
         "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
-        "i -> (doc_id*7 + (i//w)*31 + (i%w)*13) % 256), 'sum') " +
-        "* 1000000 // (w*h*255) AS BIGINT) END AS mean_r_e6, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
-        "i -> (doc_id*7 + (i//w)*31 + (i%w)*13 + 97) % 256), 'sum') " +
-        "* 1000000 // (w*h*255) AS BIGINT) END AS mean_g_e6, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(list_aggregate(list_transform(range(w*h), " +
-        "i -> (doc_id*7 + (i//w)*31 + (i%w)*13 + 194) % 256), 'sum') " +
-        "* 1000000 // (w*h*255) AS BIGINT) END AS mean_b_e6 " +
-        "FROM d ORDER BY doc_id"),
+        "CAST((CASE WHEN d.doc_id % 2 = 0 THEN list_aggregate(list_transform(range(w*h), " +
+        "i -> (d.doc_id*7 + (i//w)*31 + (i%w)*13) % 256), 'sum') " +
+        "ELSE sum_r END) * 1000000 // (w*h*255) AS BIGINT) AS mean_r_e6, " +
+        "CAST((CASE WHEN d.doc_id % 2 = 0 THEN list_aggregate(list_transform(range(w*h), " +
+        "i -> (d.doc_id*7 + (i//w)*31 + (i%w)*13 + 97) % 256), 'sum') " +
+        "ELSE sum_g END) * 1000000 // (w*h*255) AS BIGINT) AS mean_g_e6, " +
+        "CAST((CASE WHEN d.doc_id % 2 = 0 THEN list_aggregate(list_transform(range(w*h), " +
+        "i -> (d.doc_id*7 + (i//w)*31 + (i%w)*13 + 194) % 256), 'sum') " +
+        "ELSE sum_b END) * 1000000 // (w*h*255) AS BIGINT) AS mean_b_e6 " +
+        "FROM d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"),
     // BM25: same float parenthesization as Retrieval.bm25TopK, the
     // per-(doc,term) contribution e6-floored before the integer sum
     "q_bm25_topk" ->

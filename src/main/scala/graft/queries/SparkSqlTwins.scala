@@ -260,19 +260,34 @@ object SparkSqlTwins {
         "CAST(sum(tk) AS BIGINT) AS est_tokens FROM kept GROUP BY 1, 2 ORDER BY 1"),
 
     "q_multimodal_decode" ->
-      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h FROM documents) " +
-        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h FROM documents), " +
+        "jb AS (SELECT doc_id, w, h, bx, by, " +
+        "(doc_id*11 + bx*53 + by*29) % 256 AS yv, " +
+        "(doc_id*19+35) % 256 AS cb, (doc_id*23+71) % 256 AS cr, " +
+        "(CASE WHEN bx = 0 THEN least(w, 8) ELSE greatest(w - 8, 0) END) * " +
+        "(CASE WHEN by = 0 THEN least(h, 8) ELSE greatest(h - 8, 0) END) AS npx " +
+        "FROM d CROSS JOIN (SELECT * FROM VALUES (0,0),(0,1),(1,0),(1,1) AS t(bx, by)) blk " +
+        "WHERE doc_id % 2 = 1), " +
+        "j AS (SELECT doc_id, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1402000*(cr-128) " +
+        "+ 500000 + 256000000) div 1000000 - 256))) AS sum_r, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv - 344136*(cb-128) " +
+        "- 714136*(cr-128) + 500000 + 256000000) div 1000000 - 256))) AS sum_g, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1772000*(cb-128) " +
+        "+ 500000 + 256000000) div 1000000 - 256))) AS sum_b " +
+        "FROM jb GROUP BY doc_id) " +
+        "SELECT d.doc_id, CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
         "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(aggregate(transform(sequence(0, w*h - 1), " +
-        "i -> (doc_id*7 + (i div w)*31 + (i % w)*13) % 256), 0L, (a, x) -> a + x) " +
-        "* 1000000 div (w*h*255) AS BIGINT) END AS mean_r_e6, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(aggregate(transform(sequence(0, w*h - 1), " +
-        "i -> (doc_id*7 + (i div w)*31 + (i % w)*13 + 97) % 256), 0L, (a, x) -> a + x) " +
-        "* 1000000 div (w*h*255) AS BIGINT) END AS mean_g_e6, " +
-        "CASE WHEN doc_id % 2 = 0 THEN CAST(aggregate(transform(sequence(0, w*h - 1), " +
-        "i -> (doc_id*7 + (i div w)*31 + (i % w)*13 + 194) % 256), 0L, (a, x) -> a + x) " +
-        "* 1000000 div (w*h*255) AS BIGINT) END AS mean_b_e6 " +
-        "FROM d ORDER BY doc_id"),
+        "CAST((CASE WHEN d.doc_id % 2 = 0 THEN aggregate(transform(sequence(0, w*h - 1), " +
+        "i -> (d.doc_id*7 + (i div w)*31 + (i % w)*13) % 256), 0L, (a, x) -> a + x) " +
+        "ELSE sum_r END) * 1000000 div (w*h*255) AS BIGINT) AS mean_r_e6, " +
+        "CAST((CASE WHEN d.doc_id % 2 = 0 THEN aggregate(transform(sequence(0, w*h - 1), " +
+        "i -> (d.doc_id*7 + (i div w)*31 + (i % w)*13 + 97) % 256), 0L, (a, x) -> a + x) " +
+        "ELSE sum_g END) * 1000000 div (w*h*255) AS BIGINT) AS mean_g_e6, " +
+        "CAST((CASE WHEN d.doc_id % 2 = 0 THEN aggregate(transform(sequence(0, w*h - 1), " +
+        "i -> (d.doc_id*7 + (i div w)*31 + (i % w)*13 + 194) % 256), 0L, (a, x) -> a + x) " +
+        "ELSE sum_b END) * 1000000 div (w*h*255) AS BIGINT) AS mean_b_e6 " +
+        "FROM d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"),
 
     "q_multimodal_frames" ->
       ("SELECT doc_id, CAST(ceil(octet_length(text)/256.0) AS BIGINT) AS n_frames, " +
@@ -287,11 +302,20 @@ object SparkSqlTwins {
 
     "q_multimodal_resize" ->
       ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h " +
-        "FROM documents WHERE doc_id % 2 = 0) " +
+        "FROM documents) " +
         "SELECT doc_id, CAST(768 AS BIGINT) AS n_pixels, " +
         "CAST(aggregate(transform(sequence(0, 767), i -> " +
+        "CASE WHEN doc_id % 2 = 0 THEN " +
         "(doc_id*7 + (((i div 48) * h) div 16) * 31 + ((((i div 3) % 16) * w) div 16) * 13 " +
-        "+ (i % 3) * 97) % 256), 0L, (a, x) -> a + x) AS BIGINT) AS byte_sum " +
+        "+ (i % 3) * 97) % 256 " +
+        "ELSE least(255, greatest(0, (1000000*((doc_id*11 " +
+        "+ (((((i div 3) % 16) * w) div 16) div 8)*53 " +
+        "+ ((((i div 48) * h) div 16) div 8)*29) % 256) " +
+        "+ CASE WHEN i % 3 = 0 THEN 1402000*((doc_id*23+71) % 256 - 128) " +
+        "WHEN i % 3 = 1 THEN -344136*((doc_id*19+35) % 256 - 128) " +
+        "- 714136*((doc_id*23+71) % 256 - 128) " +
+        "ELSE 1772000*((doc_id*19+35) % 256 - 128) END " +
+        "+ 500000 + 256000000) div 1000000 - 256)) END), 0L, (a, x) -> a + x) AS BIGINT) AS byte_sum " +
         "FROM d ORDER BY doc_id"),
 
     "q_ngram_jaccard" ->

@@ -390,11 +390,13 @@ object Plans {
     "q_multimodal_decode" ->
       ("mapPartitions-batched decode, zero shuffle: each partition " +
         "streams (doc_id, media) batches through the dependency-free " +
-        "PNG-IHDR / JPEG-SOF0 header parser (magic + CRC32 + " +
-        "length-prefixed segment walk). Per-row CPU, partition- " +
-        "parallel, no driver involvement — the multimodal plumbing " +
-        "shape; only the stub payload featurizer awaits a real " +
-        "codec."),
+        "full-pixel codecs — PNG via chunk walk + CRC32 + zlib " +
+        "inflate + 5-filter unfilter, JPEG via the baseline-" +
+        "sequential pipeline (Huffman decode, DC prediction, " +
+        "dequant, IDCT, 4:2:0 upsample, exact-integer JFIF " +
+        "YCbCr-to-RGB). Per-row CPU, partition-parallel, no driver " +
+        "involvement — the multimodal plumbing shape with both " +
+        "payload featurizers real."),
     "q_embed_centroid" ->
       ("posexplode → per-(label, pos) mean with map-side partial " +
         "aggregation: the corpus is read once and the one shuffle " +

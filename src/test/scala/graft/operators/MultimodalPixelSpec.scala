@@ -134,4 +134,66 @@ class MultimodalPixelSpec extends AnyFunSuite {
     val eoi = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
     assert(Multimodal.parseImageHeader(eoi) == (("corrupt", -1, -1)))
   }
+
+  /** Independent recomputation of the planted JPEG's decoded RGB:
+    * per-pixel luma from the 8×8 block grid, constant chroma, and
+    * the exact integer JFIF conversion. */
+  private def expectedJpegRgb(docId: Long): Array[Byte] = {
+    val w = Multimodal.plantedWidth(docId)
+    val h = Multimodal.plantedHeight(docId)
+    val cb = Multimodal.plantedCb(docId)
+    val cr = Multimodal.plantedCr(docId)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = Multimodal.plantedY(docId, x / 8, y / 8)
+      val (r, g, b) = Multimodal.yccToRgbE6(yv, cb, cr)
+      px((y * w + x) * 3) = r.toByte
+      px((y * w + x) * 3 + 1) = g.toByte
+      px((y * w + x) * 3 + 2) = b.toByte
+    }
+    px
+  }
+
+  test("planted JPEGs decode to the exact planted content (baseline 4:2:0)") {
+    // span the width/height moduli so both 1- and 2-block-wide/tall
+    // crops (and every APP0 pad length) are exercised
+    ((1L until 32L by 2) ++ Seq(101L, 999L, 123457L)).foreach { docId =>
+      val jpeg = Multimodal.plantJpeg(docId)
+      val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+      assert(w == Multimodal.plantedWidth(docId))
+      assert(h == Multimodal.plantedHeight(docId))
+      assert(px.toSeq == expectedJpegRgb(docId).toSeq, s"pixels differ for doc $docId")
+      // decodeImage dispatches by magic bytes to the same result
+      assert(Multimodal.decodeImage(jpeg).map(_._3.toSeq) == Some(px.toSeq))
+    }
+  }
+
+  test("JPEG decoder rejects unsupported frames and malformed streams") {
+    val good = Multimodal.plantJpeg(7L)
+    // progressive SOF2 is honestly unsupported, not mis-decoded
+    val sof = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(sof > 0)
+    val progressive = good.clone(); progressive(sof + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpeg(progressive).isEmpty)
+    // truncated entropy stream → None, never a throw or a short image
+    assert(Multimodal.decodeJpeg(good.take(good.length - 4)).isEmpty)
+    // a marker byte not followed by a stuffed zero inside the scan → None
+    assert(Multimodal.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+
+  test("JPEG entropy data is genuinely Huffman-coded (DC bits present)") {
+    // two docs with different planted luma must differ in the entropy
+    // payload, not only in headers — and corrupting one entropy byte
+    // must change or kill the decode, proving the bits are read
+    val a = Multimodal.plantJpeg(1L)
+    val scanA = a.indexOfSlice(Seq(0xff.toByte, 0xda.toByte))
+    assert(scanA > 0)
+    val first = scanA + 14 // SOS segment is 14 bytes; first entropy byte after it
+    val mutated = a.clone()
+    mutated(first) = (mutated(first) ^ 0x55).toByte
+    val orig = Multimodal.decodeJpeg(a)
+    val got = Multimodal.decodeJpeg(mutated)
+    assert(got.isEmpty || got.map(_._3.toSeq) != orig.map(_._3.toSeq),
+      "flipping entropy bits changed nothing — the payload is not being decoded")
+  }
 }

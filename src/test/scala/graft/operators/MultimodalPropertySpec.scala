@@ -59,6 +59,24 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decodeJpeg is total on arbitrary bytes and corrupted valid JPEGs") {
+    forAll(bytesGen) { bytes =>
+      Multimodal.decodeJpeg(bytes).foreach { case (w, h, px) =>
+        assert(px.length == w * h * 3)
+      }
+    }
+    val base = Multimodal.plantJpeg(1L)
+    forAll(Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(1, 255)), 200) {
+      case (pos, mask) =>
+        val mutated = base.clone()
+        mutated(pos) = (mutated(pos) ^ mask).toByte
+        // must not throw; if it still decodes, the shape contract holds
+        Multimodal.decodeJpeg(mutated).foreach { case (w, h, px) =>
+          assert(px.length == w * h * 3)
+        }
+    }
+  }
+
   test("streaming signatureOf is total on arbitrary strings") {
     forAll(Gen.asciiPrintableStr) { s =>
       val sig = graft.streaming.StreamingNearDupAdmission

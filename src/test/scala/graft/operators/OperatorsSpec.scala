@@ -421,8 +421,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2L).height == Multimodal.plantedHeight(2L))
     assert(out(7L).width == Multimodal.plantedWidth(7L))
     assert(out(7L).height == Multimodal.plantedHeight(7L))
-    // JPEG n_bytes = header (39 + pad) + payload; PNG carries IDAT
-    assert(out(7L).n_bytes == 3 + 39 + 7)
+    // both formats now carry complete planted media
+    assert(out(7L).n_bytes == Multimodal.plantJpeg(7L).length)
     // PNG features are the REAL channel means of the decoded pixels:
     // recompute from the planted formula independently
     val (w, h) = (Multimodal.plantedWidth(2L), Multimodal.plantedHeight(2L))
@@ -436,8 +436,20 @@ class OperatorsSpec extends SparkTestBase {
     (0 until 3).foreach { c =>
       assert(math.abs(out(2L).features(c) - expectSums(c) / (w * h * 255.0)) < 1e-6)
     }
-    // JPEG = header-only decode: honestly no payload features
-    assert(out(7L).features.isEmpty && out(7L).n_px == 0L)
+    // JPEG rows run the REAL baseline decode: channel sums equal the
+    // planted block luma/chroma through the exact integer JFIF
+    // conversion, recomputed here independently of the codec
+    val (jw, jh) = (Multimodal.plantedWidth(7L), Multimodal.plantedHeight(7L))
+    val jpegSums = new Array[Long](3)
+    for (y <- 0 until jh; x <- 0 until jw) {
+      val (r, g, b) = Multimodal.yccToRgbE6(
+        Multimodal.plantedY(7L, x / 8, y / 8),
+        Multimodal.plantedCb(7L), Multimodal.plantedCr(7L))
+      jpegSums(0) += r; jpegSums(1) += g; jpegSums(2) += b
+    }
+    assert(out(7L).n_px == jw.toLong * jh)
+    assert(out(7L).chan_sums.toSeq == jpegSums.toSeq)
+    assert(out(7L).features.length == 3)
   }
 
   test("image header parser rejects corrupt and unknown bytes without throwing") {
@@ -477,14 +489,24 @@ class OperatorsSpec extends SparkTestBase {
     val docs = docsDf(Seq(2L -> "png doc", 7L -> "jpeg doc"))
     val out = Multimodal.resizeTo(Multimodal.withPlantedMedia(docs), w = 4, h = 3)
       .collect().map(r => r.doc_id -> r).toMap
-    // PNG decodes → exactly tw·th·3 bytes; JPEG (header-only) → empty
+    // both formats decode → exactly tw·th·3 bytes each
     assert(out(2L).pixels.length == 4 * 3 * 3)
-    assert(out(7L).pixels.isEmpty)
+    assert(out(7L).pixels.length == 4 * 3 * 3)
     // every output byte equals the planted pixel at the NN source index
     val (w, h) = (Multimodal.plantedWidth(2L), Multimodal.plantedHeight(2L))
     for (yy <- 0 until 3; xx <- 0 until 4; c <- 0 until 3) {
       val expected = Multimodal.plantedPixel(2L, xx * w / 4, yy * h / 3, c)
       assert((out(2L).pixels((yy * 4 + xx) * 3 + c) & 0xff) == expected)
+    }
+    // JPEG rows resample the REAL baseline-decoded pixels
+    val (jw, jh) = (Multimodal.plantedWidth(7L), Multimodal.plantedHeight(7L))
+    for (yy <- 0 until 3; xx <- 0 until 4; c <- 0 until 3) {
+      val (sx, sy) = (xx * jw / 4, yy * jh / 3)
+      val rgb = Multimodal.yccToRgbE6(
+        Multimodal.plantedY(7L, sx / 8, sy / 8),
+        Multimodal.plantedCb(7L), Multimodal.plantedCr(7L))
+      val expected = Seq(rgb._1, rgb._2, rgb._3)(c)
+      assert((out(7L).pixels((yy * 4 + xx) * 3 + c) & 0xff) == expected)
     }
   }
 
