@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     DotProduct.register(spark)
+    DotProductInt8.register(spark)
     CentroidCosines.register(spark)
     SketchGradientSum.register(spark)
     HeavyHitters.register(spark)

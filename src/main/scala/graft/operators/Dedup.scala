@@ -540,9 +540,27 @@ object Dedup {
     * pass; the pair search is a cid-keyed self equi-join, so pair
     * cost is bounded by Σ|cell|² — `nlist` grows with the corpus to
     * hold |cell| roughly constant (the paper's configuration), and
-    * the join never materializes cross-cluster pairs. */
+    * the join never materializes cross-cluster pairs.
+    *
+    * The pair scan itself is TWO-STAGE (the IVF×int8 pattern of
+    * [[Similarity.ivfTopKQuantized]] applied to dedup): the
+    * cid-keyed self-join shuffles and scores the int8-quantized
+    * vectors only — 4× narrower shuffle rows, exact-integer
+    * [[graft.functions.DotProductInt8]] per pair — keeping pairs
+    * whose approximate cosine clears `threshold − prefilterMargin`;
+    * only those survivors (near-dups are a vanishing fraction of
+    * all within-cell pairs) join back BY KEY to the float vectors
+    * for the exact-cosine verdict. Every emitted drop is verified
+    * at full precision, so the pre-filter cannot un-sound the
+    * result; it can only miss a pair whose int8 cosine distortion
+    * exceeds the margin (per-vector reconstruction cosine ≥ 0.995
+    * is a checked contract in `EmbeddingQuant.quantReport`, making
+    * 0.05 a ≳10× cushion over observed distortion; recall stays
+    * gated end-to-end by the `q_dedup_semantic` contract). */
   def semanticDedup(corpus: DataFrame, nlist: Int, threshold: Double,
-                    seed: Long = 42L, sampleMod: Int = 1): DataFrame = {
+                    seed: Long = 42L, sampleMod: Int = 1,
+                    prefilterMargin: Double = 0.05): DataFrame = {
+    import graft.functions.DotProductInt8
     // random init: deterministic under the seed and O(k) — k-means||
     // runs a driver-local clustering over ~2·rounds·k candidates
     // that dominates once nlist reaches the hundreds, and cell
@@ -551,15 +569,35 @@ object Dedup {
     val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
       sampleMod = sampleMod, initMode = "random")
     val assigned = Similarity.assignCells(corpus, centroids)
-      .select(col("vec_id"),
-        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+      .select(col("vec_id"), col("cid"))
+    // stage 1: int8-only bulk pair scan (cosine is scale-invariant,
+    // so the per-vector scale never enters; the int8 self-norm is
+    // precomputed per ROW, not per pair)
+    val quant = Similarity.quantizedCorpus(corpus)
+      .select(col("vec_id"), col("qv"))
+      .withColumn("qn", sqrt(DotProductInt8.dot(col("qv"), col("qv"))
+        .cast("double")))
+    val qside = assigned.join(quant, Seq("vec_id"))
+    val x = qside.select(col("cid"), col("vec_id").as("xid"),
+      col("qv").as("xqv"), col("qn").as("xqn"))
+    val y = qside.select(col("cid"), col("vec_id").as("yid"),
+      col("qv").as("yqv"), col("qn").as("yqn"))
+    val candPairs = x.join(y, Seq("cid"))
+      .filter(col("xid") < col("yid") && col("xqn") * col("yqn") > 0 &&
+        DotProductInt8.dot(col("xqv"), col("yqv")).cast("double")
+          / (col("xqn") * col("yqn")) > threshold - prefilterMargin)
+      .select(col("xid"), col("yid"))
+    // stage 2: exact-cosine verdict on the surviving pairs only —
+    // two id-keyed point-lookup joins into the float vectors
+    val exact = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    val x = assigned.select(col("cid"), col("vec_id").as("xid"),
-      col("cv").as("xv"), col("cn").as("xn"))
-    val y = assigned.select(col("cid"), col("vec_id").as("yid"),
-      col("cv").as("yv"), col("cn").as("yn"))
-    val drops = x.join(y, Seq("cid"))
-      .filter(col("xid") < col("yid") && col("xn") * col("yn") > 0 &&
+    val drops = candPairs
+      .join(exact.select(col("vec_id").as("xid"), col("cv").as("xv"),
+        col("cn").as("xn")), Seq("xid"))
+      .join(exact.select(col("vec_id").as("yid"), col("cv").as("yv"),
+        col("cn").as("yn")), Seq("yid"))
+      .filter(col("xn") * col("yn") > 0 &&
         VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn"))
           > threshold)
       .select(col("yid").as("vec_id")).distinct()
