@@ -426,6 +426,187 @@ object Similarity {
         avg(col("n_hit").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Approximate k-NN GRAPH over the corpus — the index half of the
+    * graph-ANN family (NN-Descent, Dong et al. WWW'11; the flat
+    * single-layer analogue of HNSW's bottom layer). Output: directed
+    * edges (src, dst, score), top `g` per src by exact cosine.
+    *
+    * Build = one bounded candidate generation + `refineRounds`
+    * NN-Descent rounds, every step an equi-join:
+    *  - init candidates are within-cell pairs (cid-keyed self-join,
+    *    Σ|cell|² bounded like [[graft.operators.Dedup.semanticDedup]])
+    *    UNION deterministic random cross-partner pairs (xxhash64
+    *    bucket join, ~`randPerVec` partners each) — the random edges
+    *    are what lets refinement escape cell boundaries; a
+    *    within-cell-only graph could never grow a cross-cell edge.
+    *  - each refinement round joins the graph to itself through the
+    *    shared endpoint (neighbor-of-neighbor candidates, ≤ n·(2g)²
+    *    pairs), scores the fresh pairs exactly, and re-ranks to top
+    *    g per src — the NN-Descent "neighbors of neighbors are
+    *    likely neighbors" step.
+    * At 100 TB: nlist grows with n to hold |cell| constant, so every
+    * stage is O(n·poly(g)) rows through hash joins — no stage is
+    * quadratic in the corpus. */
+  def knnGraph(corpus: DataFrame, g: Int = 8, nlist: Int = 16,
+               refineRounds: Int = 1, randPerVec: Int = 4,
+               seed: Long = 42L, initMode: String = "k-means||"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
+    val assigned = assignCells(corpus, centroids)
+      .select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    knnGraphFrom(assigned, corpus.count(), g, refineRounds, randPerVec, seed)
+  }
+
+  /** [[knnGraph]] over an already-assigned corpus (vec_id, cv, cn,
+    * cid) — split out so [[graphTopK]] shares one k-means fit and
+    * one cell-assignment pass between index build and query seeding.
+    * `n` is the corpus row count (a column-pruned parquet-footer
+    * count job at the caller, the bounded-probe house pattern). */
+  private def knnGraphFrom(assigned: DataFrame, n: Long, g: Int,
+                           refineRounds: Int, randPerVec: Int,
+                           seed: Long): DataFrame = {
+    val c = assigned.select(col("vec_id"), col("cv"), col("cn"))
+    def topG(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))))
+        .filter(col("rank") <= g)
+        .select(col("src"), col("dst"), col("score"))
+    // Shuffle-shape invariant (the semanticDedup rule): vectors ride
+    // the O(n·g)-row JOIN SIDES, never the pair-level rows — every
+    // scored pair exists only inside a join's output projection
+    // (dot + filter + 3-column select), so no shuffle in the build
+    // ever carries pair-count × vector-width bytes.
+    def scoreJoin(l: DataFrame, r: DataFrame, key: String): DataFrame =
+      l.join(r, Seq(key))
+        .filter(col("src") =!= col("dst") && col("xn") * col("yn") > 0)
+        .withColumn("score",
+          VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn")))
+        .select(col("src"), col("dst"), col("score"))
+    def asSrc(d: DataFrame, key: String) = d.select(col(key),
+      col("vec_id").as("src"), col("cv").as("xv"), col("cn").as("xn"))
+    def asDst(d: DataFrame, key: String) = d.select(col(key),
+      col("vec_id").as("dst"), col("cv").as("yv"), col("cn").as("yn"))
+    // init candidates: within-cell pairs (cid-keyed self-join,
+    // Σ|cell|² bounded) + random cross-partner pairs — the buckets
+    // hold ~randPerVec+1 vectors each (hash-uniform), contributing
+    // ~n·randPerVec pairs and the cross-cell shortcut seeds.
+    val cellScored = scoreJoin(asSrc(assigned, "cid"), asDst(assigned, "cid"), "cid")
+    val nBuckets = math.max(1L, n / (randPerVec + 1))
+    val bucketed = assigned
+      .withColumn("b", pmod(xxhash64(col("vec_id"), lit(seed)), lit(nBuckets)))
+    val randScored = scoreJoin(asSrc(bucketed, "b"), asDst(bucketed, "b"), "b")
+    var graph = topG(cellScored.unionByName(randScored)
+      .dropDuplicates("src", "dst"))
+    // NN-Descent rounds: neighbor-of-neighbor candidates through the
+    // shared endpoint, in both edge directions. Endpoint vectors are
+    // pre-attached to the n·g-row edge tables BEFORE the mid-join,
+    // keeping the invariant; duplicate candidates cost a redundant
+    // (codegen'd) dot each, then dedupe on the narrow scored rows.
+    (1 to refineRounds).foreach { _ =>
+      val left = graph.select(col("src"), col("dst").as("mid"))
+        .join(c.select(col("vec_id").as("src"), col("cv").as("xv"),
+          col("cn").as("xn")), Seq("src"))
+      val right = graph.select(col("src").as("mid"), col("dst"))
+        .unionByName(graph.select(col("dst").as("mid"), col("src").as("dst")))
+        .join(c.select(col("vec_id").as("dst"), col("cv").as("yv"),
+          col("cn").as("yn")), Seq("dst"))
+      val nonScored = left.join(right, Seq("mid"))
+        .filter(col("src") =!= col("dst") && col("xn") * col("yn") > 0)
+        .withColumn("score",
+          VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn")))
+        .select(col("src"), col("dst"), col("score"))
+        .dropDuplicates("src", "dst")
+      graph = topG(nonScored.unionByName(graph)
+        .dropDuplicates("src", "dst"))
+    }
+    graph
+  }
+
+  /** Graph-traversal ANN (the DiskANN/HNSW-search shape, batched
+    * over all queries at once): seed each query with the scored
+    * members of its `seedProbe` nearest IVF cells, then expand
+    * `hops` rounds of best-first beam search over the [[knnGraph]]
+    * edges — every hop is (frontier ⋈ edges) on the candidate id
+    * followed by a per-query beam re-rank, so a hop costs
+    * |Q|·beam·2g scored rows regardless of corpus size. Recall
+    * comes from the graph's shortcut edges, not from widening the
+    * seed cells (the IVF answer is the hop-0 special case).
+    * Output schema matches [[ivfTopK]]: (qid, rank, neighbor_id,
+    * score). */
+  def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                g: Int = 8, beam: Int = 24, hops: Int = 2,
+                nlist: Int = 16, seedProbe: Int = 2,
+                seed: Long = 42L, initMode: String = "k-means||"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
+    // ONE cell-assignment pass feeds the graph build, the seed join,
+    // and candidate scoring; cached because the graph build alone
+    // reads it from several join sides
+    val assigned = assignCells(corpus, centroids)
+      .select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+      .cache()
+    val graph = knnGraphFrom(assigned, corpus.count(), g,
+      refineRounds = 1, randPerVec = 4, seed = seed)
+    // traversal uses edges in both directions (an in-edge is as good
+    // a shortcut as an out-edge). Cached: every hop joins the edge
+    // table, and without the cache each hop's lineage would re-run
+    // the whole index build — the production shape is a STORED edge
+    // table built once, this is its in-session stand-in
+    val edges = graph.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(graph.select(col("dst").as("u"), col("src").as("v")))
+      .dropDuplicates("u", "v")
+      .cache()
+    val c = assigned.select(col("vec_id"), col("cv"), col("cn"))
+    def centroidScores(vecCol: org.apache.spark.sql.Column) =
+      graft.functions.CentroidCosines.of(vecCol, centroids)
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv"))))
+    def scoreCands(cands: DataFrame): DataFrame = cands
+      .join(c, Seq("vec_id"))
+      .join(q, Seq("qid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("score",
+        when(col("qn") * col("cn") > 0,
+          VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .select(col("qid"), col("vec_id"), col("score"))
+    def topBeam(scored: DataFrame, b: Int): DataFrame =
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= b)
+        .select(col("qid"), col("vec_id"), col("score"))
+    // seeds: members of each query's seedProbe nearest cells
+    val qCells = broadcast(q
+      .withColumn("cs", centroidScores(col("qv")))
+      .select(col("qid"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
+      .filter(col("crank") <= seedProbe)
+      .select(col("qid"), (col("cpos") + 1).cast("int").as("cid")))
+    val seeds = assigned.select(col("cid"), col("vec_id"))
+      .join(qCells, Seq("cid"))
+      .select(col("qid"), col("vec_id"))
+    // each hop's beam is cached — |Q|·beam rows — so hop h+1 (and
+    // the final top-k) extends a materialized frontier instead of
+    // replaying hops 0..h
+    var cand = topBeam(scoreCands(seeds), beam).cache()
+    (1 to hops).foreach { _ =>
+      val expanded = cand.select(col("qid"), col("vec_id").as("u"))
+        .join(edges, Seq("u"))
+        .select(col("qid"), col("v").as("vec_id"))
+        .dropDuplicates("qid", "vec_id")
+      cand = topBeam(scoreCands(expanded)
+        .unionByName(cand).dropDuplicates("qid", "vec_id"), beam).cache()
+    }
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Candidate (qid, vec_id) pairs from multi-table hyperplane LSH:
     * `numTables` independent `bits`-plane sign buckets; a candidate is
     * any corpus vector sharing ≥1 (table, bucket) cell with the query

@@ -664,6 +664,32 @@ object PipelineQueries {
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
+    // graph-traversal ANN (the NN-Descent index + DiskANN-style
+    // seed-and-walk search — the remaining major ANN family next to
+    // LSH/IVF/JL): k-NN graph from within-cell + random-partner
+    // candidates refined one NN-Descent round, queries seeded from
+    // their 2 nearest cells and expanded 2 beam-search hops over the
+    // cached edge table; same checked recall contract (measured
+    // 0.80-0.84 vs exact top-5)
+    "q_similarity_graph" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
+      // nlist grows with the corpus to hold |cell| (and the graph
+      // build's within-cell pair cost) constant — the semanticDedup
+      // scaling rule; random init once cells reach the hundreds
+      // (k-means||'s driver-local final step dominates there)
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val initMode = if (nlist > 64) "random" else "k-means||"
+      val ann = Similarity.graphTopK(emb, queries, k = 5, g = 12,
+        beam = 24, hops = 2, nlist = nlist, seedProbe = 2,
+        initMode = initMode)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      Similarity.meanRecall(ann, exact)
+        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+    }),
+
     // cross-doc duplicated-substring spans (Lee et al. exact-substring
     // dedup, span granularity): per-doc count of maximal duplicated
     // 8-gram spans + duplicated/kept token totals — the trim-don't-drop
@@ -1184,6 +1210,9 @@ object PipelineQueries {
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     "q_similarity_proj" ->
+      ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
+    "q_similarity_graph" ->
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     "q_multimodal_frames" ->

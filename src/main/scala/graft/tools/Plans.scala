@@ -467,6 +467,20 @@ object Plans {
         "(the SGD-loop pattern). At 100 TB rounds cost vocab-table " +
         "jobs, not corpus scans — the subword-nmt/SentencePiece " +
         "scaling shape."),
+    "q_similarity_graph" ->
+      ("Graph-ANN (NN-Descent index + seed-and-walk search), every " +
+        "stage an equi-join: the k-NN graph builds from within-cell " +
+        "pairs (cid-keyed, sum-of-cell-squared bounded) plus " +
+        "hash-bucket random partners — the cross-cell shortcut " +
+        "seeds — refined one neighbor-of-neighbor round (<= n*(2g)^2 " +
+        "pairs); queries seed from their 2 nearest cells and each of " +
+        "the 2 beam-search hops is frontier-join-edges on the " +
+        "candidate id + a per-query beam re-rank, so a hop costs " +
+        "|Q|*beam*2g scored rows REGARDLESS of corpus size. The " +
+        "edge table and per-hop beams are cached (production stores " +
+        "the edge table like the IVF/proj indexes). No stage is " +
+        "quadratic in the corpus; nlist grows with n to hold cells " +
+        "constant."),
     "q_similarity_proj" ->
       ("Stage 1 never touches a float vector: the (vec_id, cid, " +
         "16-long projection) index — pre-materializable cid-bucketed, " +
