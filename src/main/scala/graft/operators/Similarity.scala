@@ -163,11 +163,12 @@ object Similarity {
     * [[graft.functions.CentroidCosines]] pass — constant codegen
     * size, so nlist can grow to thousands of cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+              nlist: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              initMode: String = "k-means||"): DataFrame = {
     val c = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    val centroids = kmeansCentroids(corpus, nlist, seed)
+    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
     def centroidScores(vecCol: org.apache.spark.sql.Column) =
       graft.functions.CentroidCosines.of(vecCol, centroids)
     // corpus side: assign to argmax-cosine centroid

@@ -664,6 +664,31 @@ object PipelineQueries {
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
+    // sf-SCALED probe panel (round-9 advice): every other ANN key
+    // pins its probe set for bench comparability, so this key alone
+    // retains QUERY-COUNT scaling coverage — probes are the UNCAPPED
+    // 1% vec_id stratum, answered by IVF with corpus-scaled nlist
+    // (|cell| ≈ 256 constant). The contract is coverage (≥95% of
+    // probes fill their top-k) rather than recall, because an
+    // exact-truth branch over a probe set that grows with the corpus
+    // is quadratic at scale — precisely what the pinned-panel keys'
+    // recall contracts exist to avoid
+    "q_similarity_scaled" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val n = emb.count()
+      val nlist = math.max(16L, n / 256L).toInt
+      val initMode = if (nlist > 64) "random" else "k-means||"
+      val ann = Similarity.ivfTopK(emb, queries, k = 5, nlist = nlist,
+        nProbe = 4, initMode = initMode)
+      val perQ = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
+      queries.select(col("vec_id").as("qid"))
+        .join(perQ, Seq("qid"), "left").na.fill(0L, Seq("n_found"))
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(when(col("n_found") >= 5, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)) >= 0.95).as("coverage_ok"))
+    }),
+
     // graph-traversal ANN (the NN-Descent index + DiskANN-style
     // seed-and-walk search — the remaining major ANN family next to
     // LSH/IVF/JL): k-NN graph from within-cell + random-partner
@@ -1215,6 +1240,9 @@ object PipelineQueries {
     "q_similarity_graph" ->
       ("SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings " +
         "WHERE vec_id % 100 = 0 AND vec_id < 2000"),
+    "q_similarity_scaled" ->
+      ("SELECT count(*) AS n_queries, TRUE AS coverage_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +

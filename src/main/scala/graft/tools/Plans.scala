@@ -467,6 +467,15 @@ object Plans {
         "(the SGD-loop pattern). At 100 TB rounds cost vocab-table " +
         "jobs, not corpus scans — the subword-nmt/SentencePiece " +
         "scaling shape."),
+    "q_similarity_scaled" ->
+      ("The one ANN key whose probe set GROWS with the corpus (the " +
+        "uncapped 1% vec_id stratum): IVF with corpus-scaled nlist " +
+        "holds |cell| ~ 256 constant, so the candidate join costs " +
+        "|Q| * nProbe * 256 scored rows — linear in |Q|, never " +
+        "|Q| * n. The contract is top-k coverage, not recall: an " +
+        "exact-truth branch over a growing probe set would be the " +
+        "quadratic scan the pinned-panel keys' contracts exist to " +
+        "avoid."),
     "q_similarity_graph" ->
       ("Graph-ANN (NN-Descent index + seed-and-walk search), every " +
         "stage an equi-join: the k-NN graph builds from within-cell " +
