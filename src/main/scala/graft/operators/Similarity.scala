@@ -164,11 +164,12 @@ object Similarity {
     * size, so nlist can grow to thousands of cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              initMode: String = "k-means||"): DataFrame = {
+              initMode: String = "k-means||", sampleMod: Int = 1): DataFrame = {
     val c = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
+    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode,
+      sampleMod = sampleMod)
     def centroidScores(vecCol: org.apache.spark.sql.Column) =
       graft.functions.CentroidCosines.of(vecCol, centroids)
     // corpus side: assign to argmax-cosine centroid
@@ -197,27 +198,27 @@ object Similarity {
   }
 
   /** Bulk symmetric-int8 quantization of the corpus: (vec_id, qv
-    * array<tinyint>, scale double). Explode shape, NOT nested HOFs —
-    * Spark HOF lambdas are interpreted and have no let-binding, so a
-    * transform referencing the scale column re-derives array_max per
-    * ELEMENT (see [[EmbeddingQuant.quantReport]]); exploded, every
-    * step is a codegen'd scalar and the rebuild is one vec_id
-    * shuffle. A 100 TB deployment runs this ONCE at ingest and
-    * stores (qv, scale, cid) as the ANN index's disk layout — see
+    * array<tinyint>, scale double). ZERO-shuffle: the scale is
+    * LET-BOUND as its own projected column (one interpreted
+    * array_max+transform pass per row), so the quantizing transform's
+    * lambda reads an attribute instead of re-deriving array_max per
+    * ELEMENT — the nested-HOF trap [[EmbeddingQuant.quantReport]]
+    * documents. (An earlier explode+window+collect_list shape
+    * avoided the trap at the price of shuffling n·dim element rows
+    * twice — ~25 s of pure shuffle at the sf10 bench; this form is a
+    * narrow per-row map producing bitwise-identical output.) A
+    * 100 TB deployment runs this ONCE at ingest and stores (qv,
+    * scale, cid) as the ANN index's disk layout — see
     * `IvfqLayoutSpec` for the stored form and its pruned scan. */
-  def quantizedCorpus(corpus: DataFrame): DataFrame = {
-    val ex = corpus.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-    val w = Window.partitionBy(col("vec_id"))
-    ex.withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
-      .withColumn("q",
-        when(col("scale") === 0, lit(0.0))
-          .otherwise(round(col("x") / col("scale"))).cast("tinyint"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("scale")).as("scale"),
-        transform(array_sort(collect_list(struct(col("pos"), col("q")))),
-          s => s.getField("q")).as("qv"))
-  }
+  def quantizedCorpus(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      .withColumn("scale",
+        array_max(transform(col("x"), e => abs(e))) / 127.0)
+      .select(col("vec_id"), col("scale"),
+        transform(col("x"), e =>
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(round(e / col("scale"))).cast("tinyint")).as("qv"))
 
   /** IVF + int8 two-stage ANN: stage 1 scans ONLY the quantized
     * corpus — cell assignment and candidate scoring both run on the
@@ -538,8 +539,10 @@ object Similarity {
   def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 g: Int = 8, beam: Int = 24, hops: Int = 2,
                 nlist: Int = 16, seedProbe: Int = 2,
-                seed: Long = 42L, initMode: String = "k-means||"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
+                seed: Long = 42L, initMode: String = "k-means||",
+                sampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode,
+      sampleMod = sampleMod)
     // ONE cell-assignment pass feeds the graph build, the seed join,
     // and candidate scoring; cached because the graph build alone
     // reads it from several join sides

@@ -679,8 +679,12 @@ object PipelineQueries {
       val n = emb.count()
       val nlist = math.max(16L, n / 256L).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
+      // centroid fit on a ~16·nlist hash sample (the semanticDedup
+      // rule): without it the KMeans fit alone scans the full corpus
+      // × maxIter at large nlist (~30 s of the sf10 bench)
+      val sampleMod = math.max(1L, n / (16L * nlist)).toInt
       val ann = Similarity.ivfTopK(emb, queries, k = 5, nlist = nlist,
-        nProbe = 4, initMode = initMode)
+        nProbe = 4, initMode = initMode, sampleMod = sampleMod)
       val perQ = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
       queries.select(col("vec_id").as("qid"))
         .join(perQ, Seq("qid"), "left").na.fill(0L, Seq("n_found"))
@@ -707,9 +711,11 @@ object PipelineQueries {
       val n = emb.count()
       val nlist = math.max(16L, n / 256L).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
+      // fit on a ~16·nlist hash sample — see q_similarity_scaled
+      val sampleMod = math.max(1L, n / (16L * nlist)).toInt
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = 12,
         beam = 24, hops = 2, nlist = nlist, seedProbe = 2,
-        initMode = initMode)
+        initMode = initMode, sampleMod = sampleMod)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       Similarity.meanRecall(ann, exact)
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))

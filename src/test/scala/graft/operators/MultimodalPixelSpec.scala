@@ -181,6 +181,110 @@ class MultimodalPixelSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  /** Test-local MSB-first entropy bit writer with byte stuffing —
+    * independent of the production encoder. */
+  private class Bw(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var n = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBit((bits >>> i) & 1); i -= 1 }
+    }
+    private def putBit(v: Int): Unit = {
+      acc = (acc << 1) | v; n += 1
+      if (n == 8) { out.write(acc); if (acc == 0xff) out.write(0); acc = 0; n = 0 }
+    }
+    def flush(): Unit = while (n != 0) putBit(1)
+  }
+
+  /** Hand-built GRAYSCALE baseline JPEG header (1 component, 4:4:4,
+    * Q(0,0)=8 / rest 16, canonical DC table for categories 0-8 at
+    * length 4, AC table {EOB, (0,1), ZRL} at length 2, optional DRI).
+    * Exercises paths the planted fixtures never reach: single-
+    * component scans, multi-MCU images, restart markers, and real
+    * AC run-length coefficients. */
+  private def grayHeader(w: Int, h: Int, dri: Int): java.io.ByteArrayOutputStream = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >>> 8); b(v) }
+    b(0xff); b(0xd8)
+    b(0xff); b(0xdb); be16(2 + 65); b(0); b(8); (1 until 64).foreach(_ => b(16))
+    b(0xff); b(0xc0); be16(8 + 3); b(8); be16(h); be16(w); b(1); b(1); b(0x11); b(0)
+    b(0xff); b(0xc4); be16(2 + (17 + 9) + (17 + 3))
+    b(0x00); val bits = new Array[Int](16); bits(3) = 9
+    bits.foreach(b); (0 to 8).foreach(b)
+    b(0x10); val ab = new Array[Int](16); ab(1) = 3
+    ab.foreach(b); Seq(0x00, 0x01, 0xf0).foreach(b) // codes 00, 01, 10
+    if (dri > 0) { b(0xff); b(0xdd); be16(4); be16(dri) }
+    b(0xff); b(0xda); be16(6 + 2); b(1); b(1); b(0x00); b(0); b(63); b(0)
+    bos
+  }
+
+  private def putDc(bw: Bw, diff: Int): Unit = {
+    val mag = math.abs(diff)
+    var cat = 0
+    while ((1 << cat) <= mag) cat += 1
+    bw.put(cat, 4)
+    if (cat > 0) {
+      val v = if (diff >= 0) diff else diff + (1 << cat) - 1
+      bw.put(v & ((1 << cat) - 1), cat)
+    }
+  }
+
+  test("grayscale multi-MCU JPEG with restart markers decodes (DRI/RSTn + DC reset)") {
+    // 16x8 grayscale: two 8x8 MCUs, DRI=1 -> RST0 between them and the
+    // DC predictor must reset (the second block's diff is from 0, not
+    // from the first block's DC)
+    val bos = grayHeader(16, 8, dri = 1)
+    val bw = new Bw(bos)
+    putDc(bw, 40 - 128); bw.put(0, 2)  // MCU0: DC-only, EOB (code 00)
+    bw.flush()
+    bos.write(0xff); bos.write(0xd0)   // RST0
+    val bw2 = new Bw(bos)
+    putDc(bw2, 200 - 128); bw2.put(0, 2) // MCU1 after predictor reset
+    bw2.flush()
+    bos.write(0xff); bos.write(0xd9)
+    val Some((w, h, px)) = Multimodal.decodeJpeg(bos.toByteArray)
+    assert(w == 16 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 16; c <- 0 until 3) {
+      val expect = if (x < 8) 40 else 200
+      assert((px((y * 16 + x) * 3 + c) & 0xff) == expect,
+        s"($x,$y,$c) = ${px((y * 16 + x) * 3 + c) & 0xff}, want $expect")
+    }
+  }
+
+  test("AC run-length path: zigzag placement, ZRL, dequant, IDCT of non-DC blocks") {
+    // single 8x8 grayscale block: DC=0, AC at zigzag k=1 -> +1, then
+    // ZRL (16 zeros), AC at zigzag k=18 -> -1, EOB
+    val bos = grayHeader(8, 8, dri = 0)
+    val bw = new Bw(bos)
+    putDc(bw, 0)
+    bw.put(1, 2); bw.put(1, 1) // (run 0, size 1) code 01, value bit 1 -> +1
+    bw.put(2, 2)               // ZRL code 10
+    bw.put(1, 2); bw.put(0, 1) // (run 0, size 1), value bit 0 -> extend = -1
+    bw.put(0, 2)               // EOB code 00
+    bw.flush()
+    bos.write(0xff); bos.write(0xd9)
+    val Some((w, h, px)) = Multimodal.decodeJpeg(bos.toByteArray)
+    assert(w == 8 && h == 8)
+    // independent expected pixels: dequantized natural-order coefs
+    // (zigzag 1 -> natural 1; after ZRL, zigzag 18 -> natural 26),
+    // direct double IDCT, +128 level shift, round, clamp
+    val coef = new Array[Double](64)
+    coef(1) = 1 * 16.0   // q[k>=1] = 16
+    coef(26) = -1 * 16.0
+    def c0(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8; ch <- 0 until 3) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += c0(u) * c0(v) * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      val expect = math.max(0, math.min(255, math.floor(0.25 * s + 128.5).toInt))
+      assert((px((y * 8 + x) * 3 + ch) & 0xff) == expect,
+        s"($x,$y) = ${px((y * 8 + x) * 3 + ch) & 0xff}, want $expect")
+    }
+  }
+
   test("JPEG entropy data is genuinely Huffman-coded (DC bits present)") {
     // two docs with different planted luma must differ in the entropy
     // payload, not only in headers — and corrupting one entropy byte

@@ -126,4 +126,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final aggregation keyed by vec_id:\n$p")
   }
+
+  test("semanticDedup's bulk pair scan scores int8 — exact cosine only on survivors") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(((i * 7 + 3) % 11).toFloat - 5f))).toDF("vec_id", "embedding")
+    val p = plan(Dedup.semanticDedup(emb, nlist = 4, threshold = 0.9))
+    assert(p.contains("dot_product_int8"),
+      s"the cid-keyed self-join must score the quantized vectors:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"every stage must be a keyed equi-join:\n$p")
+  }
+
+  test("graph ANN: keyed joins only, beam re-rank prunes map-side") {
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(((i * 13 + 5) % 17).toFloat - 8f))).toDF("vec_id", "embedding")
+    val p = plan(Similarity.graphTopK(emb, emb.filter(col("vec_id") % 20 === 0),
+      k = 3, g = 4, beam = 8, hops = 1, nlist = 4, seedProbe = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"graph build and traversal must be equi-joins, never pair cross products:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-query beam (rank <= beam) must prune map-side:\n$p")
+  }
 }
