@@ -606,6 +606,41 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("__drop").isNull.as("keep"))
   }
 
+  /** Incremental EMBEDDING admission — the vector-space sibling of
+    * [[incrementalNearDup]]: each batch vector is admitted unless
+    * some stored-corpus vector is closer than `threshold` cosine.
+    * Candidates come from the multi-table hyperplane-LSH bucket join
+    * ([[Similarity.lshCandidates]] with the batch as the probe side),
+    * the exact cosine runs on candidates only, and the verdict per
+    * batch vector is the MIN matching index id (deterministic) or
+    * novel. O(batch + candidates) per ingest, never O(corpus) —
+    * the same scale shape as the text-side admission.
+    * Output: (vec_id, status, match_id, keep). */
+  def incrementalEmbeddingAdmission(batch: DataFrame, index: DataFrame,
+                                    threshold: Double = 0.9, bits: Int = 2,
+                                    numTables: Int = 8, seed: Long = 42L,
+                                    dim: Int = 0): DataFrame = {
+    val cand = Similarity.lshCandidates(index, batch, bits, seed, numTables, dim)
+    val iv = index.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    val bv = batch.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+    val matched = cand.join(iv, Seq("vec_id")).join(bv, Seq("qid"))
+      .filter(col("qn") * col("cn") > 0 &&
+        VectorOps.dotArr(col("qv"), col("cv")) / (col("qn") * col("cn"))
+          > threshold)
+      .groupBy(col("qid")).agg(min(col("vec_id")).as("match_id"))
+    batch.select(col("vec_id"))
+      .join(matched.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("match_id").isNotNull, lit("near_dup")).otherwise(lit("novel"))
+          .as("status"),
+        col("match_id"),
+        col("match_id").isNull.as("keep"))
+  }
+
   def embeddingNearDupLsh(corpus: DataFrame, probes: DataFrame, threshold: Double,
                           bits: Int = 2, seed: Long = 42L, numTables: Int = 8,
                           dim: Int = 0): DataFrame = {

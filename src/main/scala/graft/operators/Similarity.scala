@@ -198,27 +198,51 @@ object Similarity {
   }
 
   /** Bulk symmetric-int8 quantization of the corpus: (vec_id, qv
-    * array<tinyint>, scale double). ZERO-shuffle: the scale is
-    * LET-BOUND as its own projected column (one interpreted
-    * array_max+transform pass per row), so the quantizing transform's
-    * lambda reads an attribute instead of re-deriving array_max per
-    * ELEMENT — the nested-HOF trap [[EmbeddingQuant.quantReport]]
-    * documents. (An earlier explode+window+collect_list shape
-    * avoided the trap at the price of shuffling n·dim element rows
-    * twice — ~25 s of pure shuffle at the sf10 bench; this form is a
-    * narrow per-row map producing bitwise-identical output.) A
-    * 100 TB deployment runs this ONCE at ingest and stores (qv,
-    * scale, cid) as the ANN index's disk layout — see
-    * `IvfqLayoutSpec` for the stored form and its pruned scan. */
-  def quantizedCorpus(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-      .withColumn("scale",
-        array_max(transform(col("x"), e => abs(e))) / 127.0)
-      .select(col("vec_id"), col("scale"),
-        transform(col("x"), e =>
-          when(col("scale") === 0, lit(0.0))
-            .otherwise(round(e / col("scale"))).cast("tinyint")).as("qv"))
+    * array<tinyint>, scale double). A ZERO-shuffle typed
+    * per-partition map: Spark SQL's higher-order functions have no
+    * let-binding, so a `transform` whose lambda references a
+    * separately-projected scale column gets its projection COLLAPSED
+    * back into the lambda by Catalyst and re-derives array_max per
+    * ELEMENT (the nested-HOF trap [[EmbeddingQuant.quantReport]]
+    * documents — measured 2.3× the whole semantic-dedup query at
+    * sf1), while the earlier explode+window+collect_list shape paid
+    * ~25 s of pure n·dim-row shuffle at sf10. A plain per-row loop
+    * is the honest shape for this genuinely element-imperative step:
+    * one pass for max|x|, one for the rounded ratios, no shuffle, no
+    * interpreted lambdas. Rounding matches Spark's `round`
+    * (HALF_UP, away from zero). A 100 TB deployment runs this ONCE
+    * at ingest and stores (qv, scale, cid) as the ANN index's disk
+    * layout — see `IvfqLayoutSpec` for the stored form and its
+    * pruned scan. */
+  def quantizedCorpus(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, xs) =>
+        val x = if (xs == null) Array.empty[Double] else xs
+        var mx = 0.0
+        var i = 0
+        while (i < x.length) {
+          val a = math.abs(x(i)); if (a > mx) mx = a; i += 1
+        }
+        val scale = mx / 127.0
+        val qv = new Array[Byte](x.length)
+        if (scale > 0) {
+          i = 0
+          while (i < x.length) {
+            val v = x(i) / scale
+            qv(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toByte
+            i += 1
+          }
+        }
+        // Seq[Byte], not Array[Byte]: the encoder maps Array[Byte]
+        // to BINARY; Seq[Byte] keeps the array<tinyint> schema the
+        // stored index and dot_product_int8 expect
+        (id, scale, qv.toSeq)
+      })
+      .toDF("vec_id", "scale", "qv")
+  }
 
   /** IVF + int8 two-stage ANN: stage 1 scans ONLY the quantized
     * corpus — cell assignment and candidate scoring both run on the

@@ -664,6 +664,47 @@ object PipelineQueries {
         .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
     }),
 
+    // vector-space incremental admission as a checked contract (the
+    // embedding sibling of q_dedup_incr_near): a pinned batch of
+    // planted near-copies (cos≈0.9999, must be flagged) and far
+    // variants (cos«0.9) is admitted against the full corpus through
+    // the LSH bucket index + exact-cosine verify on candidates only.
+    // flagged ⊆ exact bipartite truth (soundness; truth = broadcast
+    // of the ≤200-row pinned batch against the corpus, linear) and
+    // recall ≥0.8 of the truth — contract booleans must come out TRUE
+    "q_dedup_incr_embed" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("embedding"))
+      val stratum = emb.filter(pmod(col("vec_id"), lit(20)) === 0
+        && col("vec_id") < 2000)
+      def planted(offset: Long, eps: Double) = stratum
+        .select((col("vec_id") + lit(offset)).as("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            v + (pmod(col("vec_id") * 7 + i, lit(5)) - lit(2)).cast("double")
+              * lit(eps)).as("embedding"))
+      val batch = planted(1000000L, 0.004).unionByName(planted(2000000L, 0.8))
+      val res = Dedup.incrementalEmbeddingAdmission(batch, emb,
+        threshold = 0.9, dim = 64)
+      val flagged = res.filter(col("status") === "near_dup")
+        .select(col("vec_id"), lit(1).as("f"))
+      val truth = Dedup.embeddingNearDup(batch, emb, threshold = 0.9)
+        .filter(col("n_near") > 0)
+        .select(col("qid").as("vec_id"), lit(1).as("t"))
+      batch.select(col("vec_id"))
+        .join(flagged, Seq("vec_id"), "left")
+        .join(truth, Seq("vec_id"), "left")
+        .agg(
+          count(lit(1)).as("n_batch"),
+          coalesce(max(when(col("f") === 1 && col("t").isNull, 1).otherwise(0)),
+            lit(0)).as("unsound"),
+          coalesce(sum(coalesce(col("t"), lit(0))), lit(0)).cast("double").as("n_exact"),
+          coalesce(sum(when(col("f") === 1 && col("t") === 1, 1).otherwise(0)),
+            lit(0)).cast("double").as("n_hit"))
+        .select(col("n_batch"), (col("unsound") === 0).as("sound"),
+          (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"))
+    }),
+
     // sf-SCALED probe panel (round-9 advice): every other ANN key
     // pins its probe set for bench comparability, so this key alone
     // retains QUERY-COUNT scaling coverage — probes are the UNCAPPED
@@ -1249,6 +1290,9 @@ object PipelineQueries {
     "q_similarity_scaled" ->
       ("SELECT count(*) AS n_queries, TRUE AS coverage_ok FROM embeddings " +
         "WHERE vec_id % 100 = 0"),
+    "q_dedup_incr_embed" ->
+      ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
+        "TRUE AS recall_ok FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +

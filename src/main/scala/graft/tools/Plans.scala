@@ -467,6 +467,15 @@ object Plans {
         "(the SGD-loop pattern). At 100 TB rounds cost vocab-table " +
         "jobs, not corpus scans — the subword-nmt/SentencePiece " +
         "scaling shape."),
+    "q_dedup_incr_embed" ->
+      ("Vector-space incremental admission: the pinned planted batch " +
+        "joins the corpus's LSH bucket table on (tbl, bucket) — " +
+        "candidates only, never O(corpus) — and the exact cosine " +
+        "runs on candidates alone. The truth branch broadcasts the " +
+        "<=200-row batch against the corpus (linear, bounded panel). " +
+        "At 100 TB the bucket table is the persisted index; ingest " +
+        "is a stream-static join (StreamingEmbeddingAdmission is the " +
+        "verdict-identical streaming twin with zero state rows)."),
     "q_similarity_scaled" ->
       ("The one ANN key whose probe set GROWS with the corpus (the " +
         "uncapped 1% vec_id stratum): IVF with corpus-scaled nlist " +
