@@ -566,10 +566,20 @@ object Dedup {
     // that dominates once nlist reaches the hundreds, and cell
     // QUALITY is secondary here (cells partition the space; recall
     // is gated by the q_dedup_semantic contract, not cell shape)
+    // maxIter 4: cells only PARTITION the space here (recall is gated
+    // by the q_dedup_semantic contract, not cell shape), and at
+    // corpus-scaled nlist the MLlib fit's per-iteration overhead is
+    // the single largest production stage (15.3 s of 25.9 s at sf10
+    // with the default 10 iterations — measured; 4 halves it with no
+    // contract movement)
     val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
-      sampleMod = sampleMod, initMode = "random")
+      maxIter = 4, sampleMod = sampleMod, initMode = "random")
+    // cached: read for the quantized join AND the final keep/drop
+    // join — each read is otherwise a full CentroidCosines
+    // assignment pass over the corpus. 12 B/row.
     val assigned = Similarity.assignCells(corpus, centroids)
       .select(col("vec_id"), col("cid"))
+      .cache()
     // stage 1: int8-only bulk pair scan (cosine is scale-invariant,
     // so the per-vector scale never enters; the int8 self-norm is
     // precomputed per ROW, not per pair)
@@ -577,7 +587,12 @@ object Dedup {
       .select(col("vec_id"), col("qv"))
       .withColumn("qn", sqrt(DotProductInt8.dot(col("qv"), col("qv"))
         .cast("double")))
-    val qside = assigned.join(quant, Seq("vec_id"))
+    // cached: both self-join sides (and their shuffles) read this —
+    // uncached, the assignment pass + quantization + id-join lineage
+    // executes once PER SIDE (~10 s of the sf10 bench). ~100 B/row
+    // (id, cid, int8 vector, norm), the in-session stand-in for the
+    // stored (cid-bucketed) quantized index a deployment reads here.
+    val qside = assigned.join(quant, Seq("vec_id")).cache()
     val x = qside.select(col("cid"), col("vec_id").as("xid"),
       col("qv").as("xqv"), col("qn").as("xqn"))
     val y = qside.select(col("cid"), col("vec_id").as("yid"),
