@@ -577,13 +577,49 @@ object Similarity {
       .cache()
     val graph = knnGraphFrom(assigned, corpus.count(), g,
       refineRounds = 1, randPerVec = 4, seed = seed)
+    searchOverEdges(assigned, graph.select(col("src"), col("dst")),
+      queries, k, centroids, beam, hops, seedProbe)
+  }
+
+  /** Graph search over an ALREADY-BUILT edge table — the stored-index
+    * serving path (the [[ivfqRerank]] analogue for the graph family):
+    * a deployment persists [[knnGraph]]'s (src, dst, score) edges
+    * once and answers queries against the stored table. The
+    * traversal needs ONLY (src, dst) — `GraphLayoutSpec` proves the
+    * stored-edge scan's read schema carries no score column — and
+    * returns answers identical to the in-session [[graphTopK]] for
+    * the same parameters. `centroids` are the seed cells' fit
+    * (persisted next to the index in a deployment, like the IVF
+    * family's). */
+  def graphTopKFromIndex(edges: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, k: Int,
+                         centroids: Array[Array[Double]],
+                         beam: Int = 24, hops: Int = 2,
+                         seedProbe: Int = 2): DataFrame = {
+    val assigned = assignCells(corpus, centroids)
+      .select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+      .cache()
+    searchOverEdges(assigned, edges.select(col("src"), col("dst")),
+      queries, k, centroids, beam, hops, seedProbe)
+  }
+
+  /** The traversal half shared by [[graphTopK]] and
+    * [[graphTopKFromIndex]]: seed from the `seedProbe` nearest cells,
+    * then `hops` rounds of best-first beam expansion over the
+    * (symmetrized, cached) edge table. */
+  private def searchOverEdges(assigned: DataFrame, directed: DataFrame,
+                              queries: DataFrame, k: Int,
+                              centroids: Array[Array[Double]],
+                              beam: Int, hops: Int,
+                              seedProbe: Int): DataFrame = {
     // traversal uses edges in both directions (an in-edge is as good
     // a shortcut as an out-edge). Cached: every hop joins the edge
     // table, and without the cache each hop's lineage would re-run
-    // the whole index build — the production shape is a STORED edge
-    // table built once, this is its in-session stand-in
-    val edges = graph.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(graph.select(col("dst").as("u"), col("src").as("v")))
+    // the whole upstream build
+    val edges = directed.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(directed.select(col("dst").as("u"), col("src").as("v")))
       .dropDuplicates("u", "v")
       .cache()
     val c = assigned.select(col("vec_id"), col("cv"), col("cn"))

@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.CorpusSink
+
+/** The graph-ANN stored-index claim made concrete (the
+  * `IvfqLayoutSpec` analogue for the graph family): build the k-NN
+  * graph once ([[Similarity.knnGraph]]), persist its edges through
+  * [[CorpusSink]], and prove that serving queries from the stored
+  * table ([[Similarity.graphTopKFromIndex]]) reads only the (src,
+  * dst) columns — the score column exists for index maintenance, not
+  * for traversal — and returns answers identical to the in-session
+  * build. */
+class GraphLayoutSpec extends SparkTestBase {
+
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    (for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val id = (c * perCluster + i).toLong
+      (id, centers(c).map(v => (v + rnd.nextGaussian() * 0.2).toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+  }
+
+  test("stored edge table: traversal reads (src, dst) only and serves identical answers") {
+    val emb = clustered(4, 30, 16, seed = 17)
+    val queries = emb.filter(col("vec_id").isin(5L, 35L, 65L, 95L))
+    val centroids = Similarity.kmeansCentroids(emb, nlist = 8, seed = 42L)
+    val graph = Similarity.knnGraph(emb, g = 8, nlist = 8)
+    val dir = Files.createTempDirectory("graph_layout").toString
+    try {
+      // persist src-hash-bucketed, in-file sorted by src (row-group
+      // min/max stats then prune src point lookups)
+      CorpusSink.writeParquet(
+        graph.withColumn("bucket", pmod(hash(col("src")), lit(4))),
+        dir, shardCol = "bucket", sortCol = "src", filesPerShard = 2)
+      val stored = spark.read.parquet(dir)
+      assert(stored.columns.toSet == Set("src", "dst", "score", "bucket"))
+
+      // plan evidence: the traversal's first (and only) touch of the
+      // stored table is a (src, dst) projection — parquet column
+      // pruning drops the score column from the read schema
+      val edgeScan = stored.select(col("src"), col("dst"))
+      val scanLines = edgeScan.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("FileScan")).toList
+      assert(scanLines.nonEmpty, "expected a parquet FileScan of the edges")
+      assert(scanLines.exists(_.contains("ReadSchema: struct<src:bigint,dst:bigint>")),
+        s"edge scan must read src/dst only: $scanLines")
+      assert(!scanLines.exists(_.contains("score")),
+        s"traversal scanned the score column: $scanLines")
+
+      // serving parity: the stored index answers EXACTLY like the
+      // in-session build with the same parameters (the edge rows are
+      // the same table, so only (src, dst) can matter)
+      val fromIndex = Similarity.graphTopKFromIndex(stored, emb, queries,
+        k = 3, centroids, beam = 16, hops = 2, seedProbe = 2)
+      val inSession = Similarity.graphTopK(emb, queries, k = 3, g = 8,
+        beam = 16, hops = 2, nlist = 8, seedProbe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toList
+      assert(rows(fromIndex) == rows(inSession),
+        "stored-index serving diverged from the in-session build")
+
+      // and the served answers still honor the recall contract
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      val recall = Similarity.meanRecall(fromIndex, exact)
+        .head().getAs[Double]("recall")
+      assert(recall >= 0.6, s"graph-from-index recall $recall below contract")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(Paths.get(dir).toFile)
+    }
+  }
+}
