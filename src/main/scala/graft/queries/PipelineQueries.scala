@@ -754,8 +754,16 @@ object PipelineQueries {
       val initMode = if (nlist > 64) "random" else "k-means||"
       // fit on a ~16·nlist hash sample — see q_similarity_scaled
       val sampleMod = math.max(1L, n / (16L * nlist)).toInt
+      // seed width scales WITH the cell count (a fixed 2-cell seed
+      // covers a vanishing corpus fraction as nlist grows — the
+      // round-10 sf1 oracle re-check caught recall decaying 0.80 →
+      // 0.26 under fixed seeding; nlist/32 cells ≈ a constant ~3% of
+      // the corpus restores the contract, measured 0.53 at sf1 with
+      // beam 48 / 3 hops). Search cost stays o(n): seeds are
+      // |seedProbe|·~256 rows and each hop is |Q|·beam·2g.
+      val seedProbe = math.max(2, nlist / 32)
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = 12,
-        beam = 24, hops = 2, nlist = nlist, seedProbe = 2,
+        beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
         initMode = initMode, sampleMod = sampleMod)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       Similarity.meanRecall(ann, exact)
