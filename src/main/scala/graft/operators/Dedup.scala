@@ -561,38 +561,42 @@ object Dedup {
                     seed: Long = 42L, sampleMod: Int = 1,
                     prefilterMargin: Double = 0.05): DataFrame = {
     import graft.functions.DotProductInt8
-    // random init: deterministic under the seed and O(k) — k-means||
-    // runs a driver-local clustering over ~2·rounds·k candidates
-    // that dominates once nlist reaches the hundreds, and cell
-    // QUALITY is secondary here (cells partition the space; recall
-    // is gated by the q_dedup_semantic contract, not cell shape)
-    // maxIter 4: cells only PARTITION the space here (recall is gated
-    // by the q_dedup_semantic contract, not cell shape), and at
-    // corpus-scaled nlist the MLlib fit's per-iteration overhead is
-    // the single largest production stage (15.3 s of 25.9 s at sf10
-    // with the default 10 iterations — measured; 4 halves it with no
-    // contract movement)
-    val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
-      maxIter = 4, sampleMod = sampleMod, initMode = "random")
-    // cached: read for the quantized join AND the final keep/drop
-    // join — each read is otherwise a full CentroidCosines
-    // assignment pass over the corpus. 12 B/row.
-    val assigned = Similarity.assignCells(corpus, centroids)
-      .select(col("vec_id"), col("cid"))
-      .cache()
-    // stage 1: int8-only bulk pair scan (cosine is scale-invariant,
-    // so the per-vector scale never enters; the int8 self-norm is
-    // precomputed per ROW, not per pair)
+    // QUANTIZE FIRST: one typed zero-shuffle pass over the float
+    // corpus produces the int8 index, and every bulk stage after it —
+    // centroid-fit sample, cell assignment, pair scan — reads the
+    // cached 4×-narrower int8 rows instead of re-scanning the float
+    // parquet (the pre-round-11 shape paid three separate full float
+    // scans: fit, quantize, assign). Floats are touched again only by
+    // the bounded exact verify of stage-2 survivors.
     val quant = Similarity.quantizedCorpus(corpus)
-      .select(col("vec_id"), col("qv"))
+      .select(col("vec_id"), col("qv")).cache()
+    val qAsEmb = quant.select(col("vec_id"), col("qv").as("embedding"))
+    // fit on the int8 vectors: cosine is scale-invariant, so the
+    // per-vector quantization scale drops out of every distance, and
+    // per-vector reconstruction cosine ≥ 0.995 is a checked contract
+    // (EmbeddingQuant.quantReport) — cell boundaries move by less
+    // than the prefilter margin absorbs. random init: deterministic
+    // under the seed and O(k) — k-means||'s driver-local final step
+    // dominates once nlist reaches the hundreds, and cell QUALITY is
+    // secondary (cells partition the space; recall is gated by the
+    // q_dedup_semantic contract, not cell shape). maxIter 4: at
+    // corpus-scaled nlist the MLlib fit is the single largest
+    // production stage (15.3 s of 25.9 s at sf10 with the default 10
+    // iterations — measured; 4 halves it with no contract movement).
+    val centroids = Similarity.kmeansCentroids(qAsEmb, nlist, seed,
+      maxIter = 4, sampleMod = sampleMod, initMode = "random")
+    // the in-session stand-in for the stored cid-bucketed quantized
+    // index a deployment reads here: (id, cid, int8 vector, norm),
+    // ~100 B/row, cached because both self-join sides read it. The
+    // int8 self-norm is precomputed per ROW, not per pair.
+    val qside = Similarity.assignCells(qAsEmb, centroids)
+      .select(col("vec_id"), col("embedding").as("qv"), col("cid"))
       .withColumn("qn", sqrt(DotProductInt8.dot(col("qv"), col("qv"))
         .cast("double")))
-    // cached: both self-join sides (and their shuffles) read this —
-    // uncached, the assignment pass + quantization + id-join lineage
-    // executes once PER SIDE (~10 s of the sf10 bench). ~100 B/row
-    // (id, cid, int8 vector, norm), the in-session stand-in for the
-    // stored (cid-bucketed) quantized index a deployment reads here.
-    val qside = assigned.join(quant, Seq("vec_id")).cache()
+      .cache()
+    // narrow (vec_id, cid) twin for the final verdict join — 12 B/row
+    val assigned = qside.select(col("vec_id"), col("cid")).cache()
+    // stage 1: int8-only bulk pair scan (cid-keyed self equi-join)
     val x = qside.select(col("cid"), col("vec_id").as("xid"),
       col("qv").as("xqv"), col("qn").as("xqn"))
     val y = qside.select(col("cid"), col("vec_id").as("yid"),
@@ -616,7 +620,20 @@ object Dedup {
         VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn"))
           > threshold)
       .select(col("yid").as("vec_id")).distinct()
-    assigned.select(col("vec_id"), col("cid"))
+      .cache()
+    // EAGER finish (the kmeansCentroids try/finally discipline): the
+    // drop set and the narrow assignment are materialized here so the
+    // wide working caches (int8 vectors ×2) can be released instead
+    // of accumulating across calls. The two blocks a call leaves
+    // cached are the narrow assignment (12 B/row) and the small drop
+    // set the returned lazy verdict joins; an evicted block
+    // recomputes through the released lineage — correct, slower.
+    try { drops.count(); assigned.count() }
+    finally {
+      qside.unpersist(blocking = false)
+      quant.unpersist(blocking = false)
+    }
+    assigned
       .join(drops.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("__drop").isNull.as("keep"))
   }
@@ -628,11 +645,17 @@ object Dedup {
     * ([[Similarity.lshCandidates]] with the batch as the probe side),
     * the exact cosine runs on candidates only, and the verdict per
     * batch vector is the MIN matching index id (deterministic) or
-    * novel. O(batch + candidates) per ingest, never O(corpus) —
-    * the same scale shape as the text-side admission.
+    * novel. Per-ingest cost is O(batch + candidates), and the
+    * candidate count is PARAMETER-DEPENDENT: each table contributes
+    * ~|batch|·|corpus|/2^bits expected pairs, so the never-O(corpus)
+    * claim holds only when `bits` scales with the corpus —
+    * 2^bits ≳ corpus / (target bucket size). The default (8 bits ×
+    * 8 tables, matching [[Similarity.lshCandidates]]) keeps buckets
+    * ≈|corpus|/256 per table; a 100 TB deployment raises `bits`
+    * further as the stored index grows.
     * Output: (vec_id, status, match_id, keep). */
   def incrementalEmbeddingAdmission(batch: DataFrame, index: DataFrame,
-                                    threshold: Double = 0.9, bits: Int = 2,
+                                    threshold: Double = 0.9, bits: Int = 8,
                                     numTables: Int = 8, seed: Long = 42L,
                                     dim: Int = 0): DataFrame = {
     val cand = Similarity.lshCandidates(index, batch, bits, seed, numTables, dim)

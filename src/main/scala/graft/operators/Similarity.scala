@@ -419,8 +419,10 @@ object Similarity {
     * which outDim=32 would forfeit). */
   def projTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                outDim: Int = 16, rerank: Int = 8, keepDenom: Int = 2,
-               nlist: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nlist, seed)
+               nlist: Int = 16, nProbe: Int = 8, seed: Long = 42L,
+               initMode: String = "k-means||", sampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode,
+      sampleMod = sampleMod)
     val index = projIndex(corpus, centroids, outDim)
     // one column-pruned count job (the ivf-fit pattern of a bounded
     // driver probe) sizes the literal budget
@@ -489,9 +491,9 @@ object Similarity {
     * one cell-assignment pass between index build and query seeding.
     * `n` is the corpus row count (a column-pruned parquet-footer
     * count job at the caller, the bounded-probe house pattern). */
-  private def knnGraphFrom(assigned: DataFrame, n: Long, g: Int,
-                           refineRounds: Int, randPerVec: Int,
-                           seed: Long): DataFrame = {
+  private[operators] def knnGraphFrom(assigned: DataFrame, n: Long, g: Int,
+                                      refineRounds: Int, randPerVec: Int,
+                                      seed: Long): DataFrame = {
     val c = assigned.select(col("vec_id"), col("cv"), col("cn"))
     def topG(scored: DataFrame): DataFrame =
       scored.withColumn("rank", row_number().over(
@@ -564,21 +566,25 @@ object Similarity {
                 g: Int = 8, beam: Int = 24, hops: Int = 2,
                 nlist: Int = 16, seedProbe: Int = 2,
                 seed: Long = 42L, initMode: String = "k-means||",
-                sampleMod: Int = 1): DataFrame = {
+                sampleMod: Int = 1, refineRounds: Int = 1,
+                randPerVec: Int = 4): DataFrame = {
     val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode,
       sampleMod = sampleMod)
     // ONE cell-assignment pass feeds the graph build, the seed join,
     // and candidate scoring; cached because the graph build alone
-    // reads it from several join sides
+    // reads it from several join sides. Released below: the traversal
+    // is eager, so by return time nothing reads it again.
     val assigned = assignCells(corpus, centroids)
       .select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
       .cache()
-    val graph = knnGraphFrom(assigned, corpus.count(), g,
-      refineRounds = 1, randPerVec = 4, seed = seed)
-    searchOverEdges(assigned, graph.select(col("src"), col("dst")),
-      queries, k, centroids, beam, hops, seedProbe)
+    try {
+      val graph = knnGraphFrom(assigned, corpus.count(), g,
+        refineRounds = refineRounds, randPerVec = randPerVec, seed = seed)
+      searchOverEdges(assigned, graph.select(col("src"), col("dst")),
+        queries, k, centroids, beam, hops, seedProbe)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Graph search over an ALREADY-BUILT edge table — the stored-index
@@ -601,14 +607,26 @@ object Similarity {
         VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
       .cache()
-    searchOverEdges(assigned, edges.select(col("src"), col("dst")),
+    try searchOverEdges(assigned, edges.select(col("src"), col("dst")),
       queries, k, centroids, beam, hops, seedProbe)
+    finally assigned.unpersist(blocking = false)
   }
 
   /** The traversal half shared by [[graphTopK]] and
     * [[graphTopKFromIndex]]: seed from the `seedProbe` nearest cells,
     * then `hops` rounds of best-first beam expansion over the
-    * (symmetrized, cached) edge table. */
+    * (symmetrized, cached) edge table.
+    *
+    * EAGER, like the SGD driver loop and [[kmeansCentroids]]: each
+    * hop's |Q|·beam frontier is materialized before the next expands
+    * it, which is what lets every working cache — the symmetrized
+    * edge table, each superseded hop frontier — be unpersisted as
+    * soon as its successor exists, instead of accumulating
+    * storage-memory blocks across repeated calls in one session (the
+    * kmeansCentroids try/finally discipline). The ONE block a call
+    * leaves cached is the returned |Q|·k result itself (a few KB);
+    * its lineage still references the released caches, so an evicted
+    * result block recomputes the search — correct, just slower. */
   private def searchOverEdges(assigned: DataFrame, directed: DataFrame,
                               queries: DataFrame, k: Int,
                               centroids: Array[Array[Double]],
@@ -652,23 +670,33 @@ object Similarity {
     val seeds = assigned.select(col("cid"), col("vec_id"))
       .join(qCells, Seq("cid"))
       .select(col("qid"), col("vec_id"))
-    // each hop's beam is cached — |Q|·beam rows — so hop h+1 (and
-    // the final top-k) extends a materialized frontier instead of
-    // replaying hops 0..h
+    // each hop's beam is cached — |Q|·beam rows — and eagerly
+    // materialized, so hop h+1 (and the final top-k) extends a
+    // materialized frontier instead of replaying hops 0..h, and the
+    // superseded frontier's block is released right away
     var cand = topBeam(scoreCands(seeds), beam).cache()
+    cand.count()
     (1 to hops).foreach { _ =>
       val expanded = cand.select(col("qid"), col("vec_id").as("u"))
         .join(edges, Seq("u"))
         .select(col("qid"), col("v").as("vec_id"))
         .dropDuplicates("qid", "vec_id")
-      cand = topBeam(scoreCands(expanded)
+      val next = topBeam(scoreCands(expanded)
         .unionByName(cand).dropDuplicates("qid", "vec_id"), beam).cache()
+      next.count()
+      cand.unpersist(blocking = false)
+      cand = next
     }
-    cand.withColumn("rank", row_number().over(
+    val out = cand.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("score"), 6).as("score"))
+      .cache()
+    out.count()
+    cand.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Candidate (qid, vec_id) pairs from multi-table hyperplane LSH:

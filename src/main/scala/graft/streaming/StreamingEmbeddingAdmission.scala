@@ -108,7 +108,7 @@ object StreamingEmbeddingAdmission {
     * curated corpus with the same columns. Output matches
     * `Dedup.incrementalEmbeddingAdmission`'s verdict columns. */
   def admission(vecs: DataFrame, index: DataFrame,
-                threshold: Double = 0.9, bits: Int = 2,
+                threshold: Double = 0.9, bits: Int = 8,
                 numTables: Int = 8, seed: Long = 42L,
                 dim: Int = 0): Dataset[EmbedVerdict] = {
     val spark = vecs.sparkSession
@@ -122,7 +122,11 @@ object StreamingEmbeddingAdmission {
     // itself through for the candidate verify)
     val banded = vecs.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) =>
+      .mapPartitions(_.map { case (id, v0) =>
+        // null guard (quantizedCorpus's rule): a poison-pill null
+        // embedding must fall through as 'novel' (zero norm fails the
+        // verify predicate), not NPE the task and kill the live query
+        val v = if (v0 == null) Array.empty[Float] else v0
         (id, v, bucketsOf(v, planes, bits, numTables))
       })
       .toDF("vec_id", "qv_f", "buckets")

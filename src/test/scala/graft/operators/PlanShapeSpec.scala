@@ -14,6 +14,39 @@ class PlanShapeSpec extends SparkTestBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Capture the executed plan of EVERY DataFrame action the body
+    * runs — the assertion surface for operators that materialize
+    * intermediate stages eagerly (semanticDedup, graph traversal),
+    * whose final lazy plan hides the interesting stages behind
+    * InMemoryTableScans. Stronger than a single-plan assert: every
+    * job that actually ran is inspected. Listener delivery is async,
+    * so quiesce-poll until the captured set stops growing. */
+  private def executedPlans(body: => Unit): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10000000000L
+      var last = -1
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    plans.synchronized(plans.toList)
+  }
+
   test("filteredTopK joins on the constraint key — hash join, no nested loop") {
     val emb = (0 until 20).map(i =>
       (i.toLong, Array.fill(4)(i.toFloat), s"l${i % 2}")).toDF("vec_id", "embedding", "label")
@@ -130,21 +163,41 @@ class PlanShapeSpec extends SparkTestBase {
   test("semanticDedup's bulk pair scan scores int8 — exact cosine only on survivors") {
     val emb = (0 until 40).map(i =>
       (i.toLong, Array.fill(8)(((i * 7 + 3) % 11).toFloat - 5f))).toDF("vec_id", "embedding")
-    val p = plan(Dedup.semanticDedup(emb, nlist = 4, threshold = 0.9))
-    assert(p.contains("dot_product_int8"),
-      s"the cid-keyed self-join must score the quantized vectors:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"every stage must be a keyed equi-join:\n$p")
+    val ps = executedPlans {
+      Dedup.semanticDedup(emb, nlist = 4, threshold = 0.9).collect()
+    }
+    assert(ps.nonEmpty, "no executed plans captured")
+    assert(ps.exists(_.contains("dot_product_int8")),
+      s"the cid-keyed self-join must score the quantized vectors:\n${ps.mkString("\n---\n")}")
+    ps.foreach(p =>
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"every stage must be a keyed equi-join:\n$p"))
   }
 
-  test("graph ANN: keyed joins only, beam re-rank prunes map-side") {
+  test("graph ANN build: keyed joins only, top-g prunes map-side") {
     val emb = (0 until 60).map(i =>
       (i.toLong, Array.fill(8)(((i * 13 + 5) % 17).toFloat - 8f))).toDF("vec_id", "embedding")
-    val p = plan(Similarity.graphTopK(emb, emb.filter(col("vec_id") % 20 === 0),
-      k = 3, g = 4, beam = 8, hops = 1, nlist = 4, seedProbe = 2))
+    // the build half stays lazily inspectable (knnGraphFrom has no
+    // internal caches), so assert its composite plan directly
+    val p = plan(Similarity.knnGraph(emb, g = 4, nlist = 4))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"graph build and traversal must be equi-joins, never pair cross products:\n$p")
+      s"graph build must be equi-joins, never pair cross products:\n$p")
     assert(p.contains("WindowGroupLimit"),
-      s"the per-query beam (rank <= beam) must prune map-side:\n$p")
+      s"the per-src top-g (rank <= g) must prune map-side:\n$p")
+  }
+
+  test("graph ANN traversal: every executed job is keyed, beam prunes map-side") {
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(((i * 13 + 5) % 17).toFloat - 8f))).toDF("vec_id", "embedding")
+    val ps = executedPlans {
+      Similarity.graphTopK(emb, emb.filter(col("vec_id") % 20 === 0),
+        k = 3, g = 4, beam = 8, hops = 1, nlist = 4, seedProbe = 2).collect()
+    }
+    assert(ps.nonEmpty, "no executed plans captured")
+    ps.foreach(p =>
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"graph build and traversal must be equi-joins, never pair cross products:\n$p"))
+    assert(ps.exists(_.contains("WindowGroupLimit")),
+      s"the per-query beam (rank <= beam) must prune map-side:\n${ps.size} plans, none had WindowGroupLimit")
   }
 }
