@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.sources.CorpusSink
+
+/** Stored-ANN-index LIFECYCLE — the maintenance half the serving
+  * paths ([[Similarity.ivfqRerank]], [[Similarity.graphTopKFromIndex]])
+  * read from. Before this module the stored IVF/int8 and graph-edge
+  * indexes were rebuild-only and their centroids lived in driver
+  * memory; a deployment ingesting daily would re-run the full fit +
+  * build over the corpus. Here:
+  *
+  *  - the k-means centroids are PERSISTED as a tiny parquet sidecar
+  *    next to the index files (the way [[Retrieval.buildIndex]] stores
+  *    its 1-row `stats` table), so serving round-trips entirely from
+  *    disk with no in-session fit;
+  *  - APPEND assigns only the new batch's vectors to the FROZEN
+  *    stored cells and adds them as new files inside their cid
+  *    partitions — O(batch), never O(corpus), and exactly equal to a
+  *    rebuild under the same centroids (same assignment function, so
+  *    the appended index is row-identical — `AnnAppendSpec` asserts
+  *    served-results parity);
+  *  - graph append wires each new vector into the stored k-NN graph
+  *    by SEARCHING the existing graph for its top-g neighbors (the
+  *    HNSW/DiskANN insertion rule: an insert is a search), then
+  *    refreshes only the TOUCHED src-hash buckets — new forward
+  *    edges, reverse shortcut edges into the affected old sources,
+  *    per-src re-rank capped at g — via dynamic partition overwrite,
+  *    leaving every untouched bucket's files byte-identical.
+  *
+  * Layout per index dir:
+  *  - `dir/centroids`: (cid int 1-based, centroid array<double>) —
+  *    cid numbering matches [[Similarity.assignCells]]'s 1-based
+  *    array_position so a loaded sidecar is drop-in for the fit.
+  *  - IVF×int8 `dir/vectors`: (vec_id, qv array<tinyint>, scale,
+  *    cid) cid-partitioned, in-file sorted by vec_id (the
+  *    `IvfqLayoutSpec` form).
+  *  - graph `dir/edges`: (src, dst, score, bucket) partitioned by
+  *    `bucket = pmod(hash(src), nBuckets)`, in-file sorted by src
+  *    (the `GraphLayoutSpec` form; serving reads (src, dst) only).
+  *
+  * At 100 TB: an append touches `filesPerShard` new files per
+  * occupied cell (IVF) or the touched src buckets (graph — bucket
+  * count scales with nBuckets, so touched-bucket volume is
+  * ~|batch|·g·(rows/bucket), independent of the corpus); compaction
+  * is [[CorpusSink.refreshShards]] per partition, also corpus-free.
+  */
+object AnnIndex {
+
+  // ---- centroid sidecar ----
+
+  /** Persist k-means centroids as `dir/centroids` — 1-based cid rows
+    * matching [[Similarity.assignCells]]. nlist rows of `dim` doubles:
+    * driver-sized, one file. */
+  def writeCentroids(spark: SparkSession, centroids: Array[Array[Double]],
+                     dir: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i + 1, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load the sidecar back into the in-memory form every serving path
+    * takes (array index i ↔ cid i+1). */
+  def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+
+  // ---- IVF × int8 stored index ----
+
+  /** The stored row form: int8-quantize, then assign each vector's
+    * cell from its QUANTIZED form (the `IvfqLayoutSpec` rule, and the
+    * same argmax [[Similarity.ivfqRerank]] falls back to when a cid
+    * column is absent) — build and append share this one function, so
+    * an appended index is row-identical to a rebuild under the same
+    * centroids. */
+  private def ivfqRows(vecs: DataFrame,
+                       centroids: Array[Array[Double]]): DataFrame =
+    Similarity.quantizedCorpus(vecs)
+      .withColumn("qcv", transform(col("qv"), q => q.cast("double")))
+      .withColumn("cs", graft.functions.CentroidCosines.of(col("qcv"), centroids))
+      .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
+      .select(col("vec_id"), col("qv"), col("scale"), col("cid"))
+
+  /** Fit + quantize + store: `dir/vectors` (cid-partitioned int8
+    * index) + `dir/centroids`. Returns the fitted centroids for
+    * callers that keep serving in-session. */
+  def buildIvfqIndex(corpus: DataFrame, dir: String, nlist: Int,
+                     seed: Long = 42L, initMode: String = "k-means||",
+                     sampleMod: Int = 1,
+                     filesPerShard: Int = 2): Array[Array[Double]] = {
+    val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
+      initMode = initMode, sampleMod = sampleMod)
+    writeCentroids(corpus.sparkSession, centroids, dir)
+    CorpusSink.writeParquet(ivfqRows(corpus, centroids), s"$dir/vectors",
+      shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
+    centroids
+  }
+
+  /** Incremental append: quantize the batch, assign against the
+    * FROZEN stored centroids, add the rows as new files inside their
+    * cid partitions. No existing file is listed or rewritten;
+    * O(batch) end to end. */
+  def appendIvfq(batch: DataFrame, dir: String,
+                 filesPerShard: Int = 2): Unit = {
+    val centroids = readCentroids(batch.sparkSession, dir)
+    CorpusSink.appendShards(ivfqRows(batch, centroids), s"$dir/vectors",
+      shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
+  }
+
+  /** Serve IVF×int8 top-k entirely from the stored index: int8 stage
+    * 1 scans `dir/vectors` (pre-assigned cid → directory-pruned),
+    * centroids come from the sidecar, and only the bounded re-rank
+    * candidates touch `exactCorpus`'s float vectors. */
+  def ivfqTopKFromPath(spark: SparkSession, dir: String,
+                       exactCorpus: DataFrame, queries: DataFrame, k: Int,
+                       nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    val exact = exactCorpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    Similarity.ivfqRerank(stored, exact, queries, centroids, k, nProbe, rerank)
+  }
+
+  // ---- graph stored index ----
+
+  /** Fit + k-NN-graph build + store: `dir/edges` (src-hash-bucketed)
+    * + `dir/centroids` (the traversal's seed cells). Returns the
+    * centroids for in-session callers. */
+  def buildGraphIndex(corpus: DataFrame, dir: String, g: Int = 8,
+                      nlist: Int = 16, refineRounds: Int = 1,
+                      randPerVec: Int = 4, seed: Long = 42L,
+                      initMode: String = "k-means||", sampleMod: Int = 1,
+                      nBuckets: Int = 16,
+                      filesPerShard: Int = 2): Array[Array[Double]] = {
+    val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
+      initMode = initMode, sampleMod = sampleMod)
+    writeCentroids(corpus.sparkSession, centroids, dir)
+    val assigned = Similarity.assignCells(corpus, centroids)
+      .select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+      .cache()
+    var edges: DataFrame = null
+    try {
+      edges = Similarity.knnGraphFrom(assigned,
+        Similarity.assignTopCells(corpus, centroids), corpus.count(), g,
+        refineRounds, randPerVec, seed)
+      CorpusSink.writeParquet(
+        edges.withColumn("bucket", pmod(hash(col("src")), lit(nBuckets))),
+        s"$dir/edges", shardCol = "bucket", sortCol = "src",
+        filesPerShard = filesPerShard)
+      centroids
+    } finally {
+      assigned.unpersist(blocking = false)
+      if (edges != null) edges.unpersist(blocking = false)
+    }
+  }
+
+  /** Serve graph top-k entirely from the stored index (edges + the
+    * centroid sidecar); `corpus` is the full-precision vector store
+    * the traversal scores against. */
+  def graphTopKFromPath(spark: SparkSession, dir: String,
+                        corpus: DataFrame, queries: DataFrame, k: Int,
+                        beam: Int = 24, hops: Int = 2,
+                        seedProbe: Int = 2): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val edges = spark.read.parquet(s"$dir/edges")
+      .select(col("src"), col("dst"))
+    Similarity.graphTopKFromIndex(edges, corpus, queries, k, centroids,
+      beam, hops, seedProbe)
+  }
+
+  /** Incremental graph append — an INSERT IS A SEARCH (the
+    * HNSW/DiskANN insertion rule composed from the existing serving
+    * path): each batch vector's top-g neighbors come from
+    * [[Similarity.graphTopKFromIndex]] over the STORED edges, those
+    * become its forward edges, their reversals become shortcut edges
+    * into the affected old sources, and every TOUCHED src-hash bucket
+    * is re-ranked (per-src top-g over old ∪ new edges — unaffected
+    * sources in a touched bucket re-rank to themselves) and rewritten
+    * via dynamic partition overwrite. Untouched buckets' files are
+    * never listed or rewritten, so the append costs
+    * O(|batch|·g·search + touched-bucket rows) — independent of the
+    * corpus once nBuckets scales with it.
+    *
+    * `oldCorpus` is the index's existing vector store (the search
+    * runs against it); batch vec_ids must be new. The centroid
+    * sidecar is left as fitted — new vectors seed from the frozen
+    * cells at serve time, which is exactly the rebuild-with-frozen-
+    * centroids semantics (`AnnAppendSpec` gates the served recall
+    * against the full-rebuild contract). The corpus rows themselves
+    * live outside the index (callers append them with
+    * [[CorpusSink.appendShards]] like any table). */
+  def appendGraph(batch: DataFrame, oldCorpus: DataFrame, dir: String,
+                  g: Int = 8, beam: Int = 24, hops: Int = 2,
+                  seedProbe: Int = 2, nBuckets: Int = 16,
+                  filesPerShard: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val centroids = readCentroids(spark, dir)
+    val stored = spark.read.parquet(s"$dir/edges")
+    // 1. insert-as-search: top-g of each batch vector over the stored
+    //    graph (eager inside, bounded |batch|·g output)
+    val newFwd = Similarity.graphTopKFromIndex(
+        stored.select(col("src"), col("dst")), oldCorpus, batch, g,
+        centroids, beam, hops, seedProbe)
+      .select(col("qid").as("src"), col("neighbor_id").as("dst"),
+        col("score"))
+    // 2. reverse shortcut edges: the found old nodes gain an edge to
+    //    the newcomer (re-ranked below so no src exceeds g)
+    val rev = newFwd.select(col("dst").as("src"), col("src").as("dst"),
+      col("score"))
+    val added = newFwd.unionByName(rev)
+      .withColumn("bucket", pmod(hash(col("src")), lit(nBuckets)))
+    // 3. touched buckets only: current rows ∪ added rows, per-src
+    //    top-g re-rank. max(score) per (src, dst) keeps the merge
+    //    deterministic when an added edge already exists.
+    val touched = added.select(col("bucket")).distinct()
+    val cur = stored.join(broadcast(touched), Seq("bucket"))
+      .select(col("src"), col("dst"), col("score"),
+        col("bucket").cast("int").as("bucket"))
+    val merged = cur.unionByName(added)
+      .groupBy(col("bucket"), col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))))
+      .filter(col("rank") <= g)
+      .select(col("src"), col("dst"), col("score"), col("bucket"))
+    CorpusSink.refreshShards(merged, s"$dir/edges", shardCol = "bucket",
+      sortCol = "src", filesPerShard = filesPerShard)
+  }
+}

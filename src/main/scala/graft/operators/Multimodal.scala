@@ -861,13 +861,87 @@ object Multimodal {
       }
   }
 
+  /** Container-kind classifier — the REJECTION TAXONOMY a crawl
+    * ingest needs: [[decodeJpeg]] correctly returns `None` for both
+    * a progressive JPEG and a corrupt blob, but a pipeline must
+    * REPORT them separately (progressive is a large, recoverable
+    * fraction of real crawl data; corrupt is waste). Walks JPEG
+    * markers (tolerating APPn/COM/fill bytes before the frame
+    * header) to the first SOFn and classifies it:
+    *  - SOF0/SOF1   → `jpeg_baseline`    (decodable here)
+    *  - SOF2/6/10/14 → `jpeg_progressive` (valid, decoder out of scope)
+    *  - other SOFn  → `jpeg_unsupported` (lossless/arithmetic/hierarchical)
+    *  - walk fails  → `jpeg_corrupt`
+    * Non-JPEG: `png` on the 8-byte signature, else `unknown`. */
+  def jpegKind(bytes: Array[Byte]): String = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length >= 8 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4e &&
+        u8(3) == 0x47 && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
+      return "png"
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return "unknown"
+    var i = 2
+    while (i + 2 <= bytes.length && u8(i) == 0xff) {
+      while (i + 2 <= bytes.length && u8(i + 1) == 0xff) i += 1
+      if (i + 2 > bytes.length) return "jpeg_corrupt"
+      val marker = u8(i + 1)
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        return marker match {
+          case 0xc0 | 0xc1 => "jpeg_baseline"
+          // progressive DCT: Huffman (C2) and arithmetic (CA), plus
+          // the differential variants (C6, CE)
+          case 0xc2 | 0xc6 | 0xca | 0xce => "jpeg_progressive"
+          case _ => "jpeg_unsupported"
+        }
+      }
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else if (marker == 0xd9 || marker == 0xda || marker == 0x00)
+        return "jpeg_corrupt" // EOI/SOS/stuffed byte before any frame header
+      else {
+        if (i + 4 > bytes.length) return "jpeg_corrupt"
+        i += 2 + be16(i + 2)
+      }
+    }
+    "jpeg_corrupt"
+  }
+
+  /** Deterministic 5-way kind planting for [[mediaMeta]]'s rejection
+    * metric: a fixed-size stub header per class ahead of the raw
+    * payload, so the kind (and the stub's byte cost) are exactly
+    * oracle-able by doc_id arithmetic while the Spark side must WALK
+    * the markers to recover it. */
+  private[operators] def kindStub(docId: Long): Array[Byte] =
+    (docId % 5) match {
+      case 0 => Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte) // baseline SOF
+      case 1 => Array(0xff, 0xd8, 0xff, 0xc2).map(_.toByte) // progressive SOF
+      case 2 => Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) // EOI before SOF: corrupt
+      case 3 => Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      case _ => Array.emptyByteArray                        // raw payload
+    }
+
   /** Columnar metadata-only path (no decode): byte length + fake
-    * dimensions derived arithmetically — SQL-expressible, oracled. */
-  def mediaMeta(docs: DataFrame): DataFrame =
-    withBinary(docs).select(col("doc_id"),
+    * dimensions derived arithmetically — SQL-expressible — plus the
+    * typed [[jpegKind]] container classification over the planted
+    * kind stubs, so the rejection metric (progressive vs corrupt vs
+    * unknown) is a COUNTED, oracle-checked column rather than an
+    * undifferentiated decode failure. */
+  def mediaMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val meta = withBinary(docs).select(col("doc_id"),
       length(col("media")).cast("long").as("n_bytes"),
       (pmod(length(col("media")), lit(640)) + 1).cast("long").as("fake_width"),
       (pmod(length(col("media")), lit(480)) + 1).cast("long").as("fake_height"))
+    val kinds = withBinary(docs).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val p = if (payload == null) Array.emptyByteArray else payload
+        (id, jpegKind(kindStub(id) ++ p))
+      })
+      .toDF("doc_id", "media_kind")
+    meta.join(kinds, Seq("doc_id"))
+  }
 
   final case class Resized(doc_id: Long, width: Int, height: Int,
                            pixels: Array[Byte])

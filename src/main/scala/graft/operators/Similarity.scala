@@ -152,6 +152,51 @@ object Similarity {
       .withColumn("cid", expr("array_position(__cs, array_max(__cs))").cast("int"))
       .drop("__cs")
 
+  /** (vec_id, cid) pairs for each vector's `nCells` NEAREST cells —
+    * the SPILLED assignment the k-NN-graph build candidates use
+    * ([[knnGraph]]): with argmax-only cells the graph is
+    * CELL-DISCONNECTED on clustered data (within-cell pairs never
+    * cross a boundary, and a uniform-random partner's ~0 cosine loses
+    * to every within-cell neighbor, so no random edge survives the
+    * top-g cut — measured at sf1: beam search recall stuck at ~0.3
+    * regardless of degree or NN-Descent depth, because no number of
+    * hops can LEAVE the seed cells). Spilling each vector into its
+    * top-2 cells creates candidate pairs across every adjacent-cell
+    * boundary — exactly the edges the walk needs — at ~4× the
+    * within-cell pair cost, which the nlist scaling rule absorbs.
+    *
+    * Per-row top-k scan over the Row API (the quantizedCorpus
+    * per-partition escape, Row-typed because a zero-norm vector's
+    * cosines are NULL — a typed Array[Double] encoder would throw),
+    * NOT an explode+window (n·nlist shuffled rows) and NOT nested
+    * HOFs over the score array (the projection-collapse trap would
+    * re-derive the full centroid scoring per element). Zero-norm
+    * vectors assign to no cell — same as their null argmax in
+    * [[assignCells]], and the pair scan filters them anyway. */
+  def assignTopCells(corpus: DataFrame, centroids: Array[Array[Double]],
+                     nCells: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val scored = corpus.select(col("vec_id"),
+      graft.functions.CentroidCosines.of(
+        VectorOps.asDoubleArray(col("embedding")), centroids).as("cs"))
+    val out = scored.rdd.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) Nil
+      else {
+        val id = r.getLong(0)
+        val cs = r.getSeq[Any](1)
+        val idx = cs.zipWithIndex.collect {
+          case (d: java.lang.Double, i) => (d.doubleValue, i)
+        }
+        idx.sortBy { case (s, i) => (-s, i) }.take(nCells)
+          .map { case (_, i) => Row(id, i + 1) }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("vec_id", LongType), StructField("cid", IntegerType))))
+  }
+
   /** IVF-style ANN: the corpus is coarse-partitioned by nearest of
     * `nlist` k-means centroids ([[kmeansCentroids]], seeded); each
     * query probes its `nProbe` nearest centroids' inverted lists
@@ -474,7 +519,12 @@ object Similarity {
     *    likely neighbors" step.
     * At 100 TB: nlist grows with n to hold |cell| constant, so every
     * stage is O(n·poly(g)) rows through hash joins — no stage is
-    * quadratic in the corpus. */
+    * quadratic in the corpus.
+    *
+    * The returned edge table is MATERIALIZED AND CACHED (see
+    * [[knnGraphFrom]]'s eager-per-round rationale); callers that are
+    * done with it should unpersist it, as [[graphTopK]] and
+    * `AnnIndex.buildGraphIndex` do. */
   def knnGraph(corpus: DataFrame, g: Int = 8, nlist: Int = 16,
                refineRounds: Int = 1, randPerVec: Int = 4,
                seed: Long = 42L, initMode: String = "k-means||"): DataFrame = {
@@ -483,15 +533,28 @@ object Similarity {
       .select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    knnGraphFrom(assigned, corpus.count(), g, refineRounds, randPerVec, seed)
+    knnGraphFrom(assigned, assignTopCells(corpus, centroids),
+      corpus.count(), g, refineRounds, randPerVec, seed)
   }
 
   /** [[knnGraph]] over an already-assigned corpus (vec_id, cv, cn,
     * cid) — split out so [[graphTopK]] shares one k-means fit and
     * one cell-assignment pass between index build and query seeding.
+    * `spill` is the [[assignTopCells]] multi-cell assignment the
+    * build candidates come from (adjacent-cell pairs included);
     * `n` is the corpus row count (a column-pruned parquet-footer
-    * count job at the caller, the bounded-probe house pattern). */
-  private[operators] def knnGraphFrom(assigned: DataFrame, n: Long, g: Int,
+    * count job at the caller, the bounded-probe house pattern).
+    *
+    * EAGER per round (the searchOverEdges discipline): each round's
+    * n·g edge table is cached and materialized before the next
+    * refines it — the refinement references its predecessor from
+    * THREE join sides, so the lazy shape re-executed the Σ|cell|²
+    * init scoring up to 3× per round (and re-planned an
+    * ever-deepening tree per action downstream). The RETURNED graph
+    * is cached and materialized; the caller unpersists it when the
+    * edges have been consumed (graphTopK/buildGraphIndex do). */
+  private[operators] def knnGraphFrom(assigned: DataFrame, spill: DataFrame,
+                                      n: Long, g: Int,
                                       refineRounds: Int, randPerVec: Int,
                                       seed: Long): DataFrame = {
     val c = assigned.select(col("vec_id"), col("cv"), col("cn"))
@@ -515,17 +578,22 @@ object Similarity {
       col("vec_id").as("src"), col("cv").as("xv"), col("cn").as("xn"))
     def asDst(d: DataFrame, key: String) = d.select(col(key),
       col("vec_id").as("dst"), col("cv").as("yv"), col("cn").as("yn"))
-    // init candidates: within-cell pairs (cid-keyed self-join,
-    // Σ|cell|² bounded) + random cross-partner pairs — the buckets
-    // hold ~randPerVec+1 vectors each (hash-uniform), contributing
-    // ~n·randPerVec pairs and the cross-cell shortcut seeds.
-    val cellScored = scoreJoin(asSrc(assigned, "cid"), asDst(assigned, "cid"), "cid")
+    // init candidates: SPILLED-cell pairs (cid-keyed self-join over
+    // each vector's top-2 cells — Σ|cell|² bounded with |cell| ≈ 2×
+    // the argmax occupancy, and every adjacent-cell boundary
+    // contributes pairs, which is what keeps the graph connected
+    // across cells) + random cross-partner pairs — the buckets hold
+    // ~randPerVec+1 vectors each (hash-uniform), contributing
+    // ~n·randPerVec pairs and far-range shortcut seeds.
+    val spillSide = spill.join(c, Seq("vec_id"))
+    val cellScored = scoreJoin(asSrc(spillSide, "cid"), asDst(spillSide, "cid"), "cid")
     val nBuckets = math.max(1L, n / (randPerVec + 1))
     val bucketed = assigned
       .withColumn("b", pmod(xxhash64(col("vec_id"), lit(seed)), lit(nBuckets)))
     val randScored = scoreJoin(asSrc(bucketed, "b"), asDst(bucketed, "b"), "b")
     var graph = topG(cellScored.unionByName(randScored)
-      .dropDuplicates("src", "dst"))
+      .dropDuplicates("src", "dst")).cache()
+    graph.count()
     // NN-Descent rounds: neighbor-of-neighbor candidates through the
     // shared endpoint, in both edge directions. Endpoint vectors are
     // pre-attached to the n·g-row edge tables BEFORE the mid-join,
@@ -545,8 +613,11 @@ object Similarity {
           VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn")))
         .select(col("src"), col("dst"), col("score"))
         .dropDuplicates("src", "dst")
-      graph = topG(nonScored.unionByName(graph)
-        .dropDuplicates("src", "dst"))
+      val next = topG(nonScored.unionByName(graph)
+        .dropDuplicates("src", "dst")).cache()
+      next.count()
+      graph.unpersist(blocking = false)
+      graph = next
     }
     graph
   }
@@ -579,12 +650,17 @@ object Similarity {
         VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
       .cache()
+    var graph: DataFrame = null
     try {
-      val graph = knnGraphFrom(assigned, corpus.count(), g,
+      graph = knnGraphFrom(assigned, assignTopCells(corpus, centroids),
+        corpus.count(), g,
         refineRounds = refineRounds, randPerVec = randPerVec, seed = seed)
       searchOverEdges(assigned, graph.select(col("src"), col("dst")),
         queries, k, centroids, beam, hops, seedProbe)
-    } finally assigned.unpersist(blocking = false)
+    } finally {
+      assigned.unpersist(blocking = false)
+      if (graph != null) graph.unpersist(blocking = false)
+    }
   }
 
   /** Graph search over an ALREADY-BUILT edge table — the stored-index
@@ -618,15 +694,20 @@ object Similarity {
     * (symmetrized, cached) edge table.
     *
     * EAGER, like the SGD driver loop and [[kmeansCentroids]]: each
-    * hop's |Q|·beam frontier is materialized before the next expands
-    * it, which is what lets every working cache — the symmetrized
-    * edge table, each superseded hop frontier — be unpersisted as
-    * soon as its successor exists, instead of accumulating
-    * storage-memory blocks across repeated calls in one session (the
-    * kmeansCentroids try/finally discipline). The ONE block a call
-    * leaves cached is the returned |Q|·k result itself (a few KB);
-    * its lineage still references the released caches, so an evicted
-    * result block recomputes the search — correct, just slower. */
+    * hop's frontier is COLLECTED to the driver and re-planted as a
+    * local relation before the next hop expands it. Two reasons, both
+    * measured: (1) lineage truncation — the lazy iterated shape
+    * re-optimizes an ever-deepening union-of-joins tree (full of
+    * centroid-literal expressions) on EVERY downstream action,
+    * ~2 s/action of pure driver planning by hop 3 at sf0.1; (2) it
+    * lets the symmetrized edge-table cache be unpersisted before
+    * returning with zero recompute risk, because the returned top-k
+    * plan reads only the local frontier (the kmeansCentroids
+    * try/finally discipline — a call leaves NOTHING cached). The
+    * driver round-trip is |Q|·beam skinny rows per hop; `queries` is
+    * broadcast by this operator's contract, so the frontier is
+    * beam× a table already required to be driver-small. A deployment
+    * serving huge query batches shards the batch, not this loop. */
   private def searchOverEdges(assigned: DataFrame, directed: DataFrame,
                               queries: DataFrame, k: Int,
                               centroids: Array[Array[Double]],
@@ -670,33 +751,29 @@ object Similarity {
     val seeds = assigned.select(col("cid"), col("vec_id"))
       .join(qCells, Seq("cid"))
       .select(col("qid"), col("vec_id"))
-    // each hop's beam is cached — |Q|·beam rows — and eagerly
-    // materialized, so hop h+1 (and the final top-k) extends a
-    // materialized frontier instead of replaying hops 0..h, and the
-    // superseded frontier's block is released right away
-    var cand = topBeam(scoreCands(seeds), beam).cache()
-    cand.count()
+    // each hop's |Q|·beam frontier becomes a LOCAL relation: the hop
+    // query (a distributed join against the cached edges/vectors)
+    // runs once, and hop h+1 plans against a flat local scan instead
+    // of the whole hops-0..h lineage
+    val spark = assigned.sparkSession
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var cand = localize(topBeam(scoreCands(seeds), beam))
     (1 to hops).foreach { _ =>
       val expanded = cand.select(col("qid"), col("vec_id").as("u"))
         .join(edges, Seq("u"))
         .select(col("qid"), col("v").as("vec_id"))
         .dropDuplicates("qid", "vec_id")
-      val next = topBeam(scoreCands(expanded)
-        .unionByName(cand).dropDuplicates("qid", "vec_id"), beam).cache()
-      next.count()
-      cand.unpersist(blocking = false)
-      cand = next
+      cand = localize(topBeam(scoreCands(expanded)
+        .unionByName(cand).dropDuplicates("qid", "vec_id"), beam))
     }
-    val out = cand.withColumn("rank", row_number().over(
+    edges.unpersist(blocking = false)
+    cand.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("score"), 6).as("score"))
-      .cache()
-    out.count()
-    cand.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
   }
 
   /** Candidate (qid, vec_id) pairs from multi-table hyperplane LSH:

@@ -297,7 +297,10 @@ object SparkSqlTwins {
     "q_multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS n_bytes, " +
         "CAST(octet_length(text) % 640 + 1 AS BIGINT) AS fake_width, " +
-        "CAST(octet_length(text) % 480 + 1 AS BIGINT) AS fake_height " +
+        "CAST(octet_length(text) % 480 + 1 AS BIGINT) AS fake_height, " +
+        "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'jpeg_baseline' " +
+        "WHEN 1 THEN 'jpeg_progressive' WHEN 2 THEN 'jpeg_corrupt' " +
+        "WHEN 3 THEN 'png' ELSE 'unknown' END AS media_kind " +
         "FROM documents ORDER BY doc_id"),
 
     "q_multimodal_resize" ->

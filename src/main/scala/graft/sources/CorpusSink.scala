@@ -35,6 +35,29 @@ object CorpusSink {
       .parquet(path)
   }
 
+  /** Incremental APPEND: add `docs`'s rows as new files inside their
+    * shard partitions, leaving every existing file untouched (no
+    * listing, no rewrite — the ingest path for batches whose rows are
+    * NEW, e.g. freshly admitted vectors joining a stored ANN index).
+    * Same bounded fan-out and in-file sort as [[writeParquet]]; the
+    * per-partition file count grows by ≤`filesPerShard` per append,
+    * so a deployment compacts periodically via [[refreshShards]].
+    * Rows whose shard key equals an existing partition land as extra
+    * files IN that directory — use [[refreshShards]] instead when the
+    * batch REPLACES rows. */
+  def appendShards(docs: DataFrame, path: String,
+                   shardCol: String = "source", sortCol: String = "doc_id",
+                   filesPerShard: Int = 4): Unit = {
+    require(filesPerShard > 0, s"filesPerShard must be positive, got $filesPerShard")
+    docs
+      .repartition(col(shardCol), pmod(hash(col(sortCol)), lit(filesPerShard)))
+      .sortWithinPartitions(col(shardCol), col(sortCol))
+      .write
+      .mode("append")
+      .partitionBy(shardCol)
+      .parquet(path)
+  }
+
   /** Incremental refresh: overwrite ONLY the shard partitions present
     * in `docs` (dynamic partition overwrite), leaving every other
     * shard's directory and files byte-for-byte untouched. This is the

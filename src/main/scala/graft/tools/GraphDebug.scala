@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Parameter-matrix diagnostic for the graph-ANN key: replicates
+  * q_similarity_graph's exact path (corpus-scaled nlist, sampled or
+  * full centroid fit, shared assignment, beam search) and prints the
+  * measured recall + wall for each (g, refineRounds, sampledFit)
+  * combination. Usage:
+  * runMain graft.tools.GraphDebug <sfDir> <g,rounds,sampled[:g,rounds,sampled...]> */
+object GraphDebug {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val combos = (if (args.length > 1) args(1) else "12,1,1")
+      .split(":").toSeq.map { s =>
+        val Array(g, r, m) = s.split(",").map(_.trim.toInt)
+        (g, r, m == 1)
+      }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+      && col("vec_id") < 2000)
+    val n = emb.count()
+    val nlist = math.max(16L, n / 256L).toInt
+    val initMode = if (nlist > 64) "random" else "k-means||"
+    val seedProbe = math.max(2, nlist / 32)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).cache()
+    exact.count()
+    combos.foreach { case (g, rounds, sampled) =>
+      val sampleMod = if (sampled) math.max(1L, n / (16L * nlist)).toInt else 1
+      val t0 = System.nanoTime()
+      val ann = Similarity.graphTopK(emb, queries, k = 5, g = g,
+        beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
+        initMode = initMode, sampleMod = sampleMod, refineRounds = rounds)
+      val rec = Similarity.meanRecall(ann, exact).head().getAs[Double]("recall")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[graphdebug] n=$n nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe -> recall=$rec%.3f wall=$wall%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -487,18 +487,25 @@ object Plans {
         "avoid."),
     "q_similarity_graph" ->
       ("Graph-ANN (NN-Descent index + seed-and-walk search), every " +
-        "stage an equi-join: the k-NN graph builds from within-cell " +
-        "pairs (cid-keyed, sum-of-cell-squared bounded) plus " +
-        "hash-bucket random partners — the cross-cell shortcut " +
-        "seeds — refined one neighbor-of-neighbor round (<= n*(2g)^2 " +
-        "pairs); queries seed from their 2 nearest cells and each of " +
-        "the 2 beam-search hops is frontier-join-edges on the " +
+        "stage an equi-join: the k-NN graph builds from SPILLED-cell " +
+        "pairs — each vector joins candidates in its top-2 cells " +
+        "(cid-keyed, sum-of-cell-squared bounded; argmax-only cells " +
+        "leave the graph cell-DISCONNECTED on clustered data, recall " +
+        "stuck at seed coverage) — plus hash-bucket random partners, " +
+        "refined one neighbor-of-neighbor round (<= n*(2g)^2 pairs) " +
+        "with each round's n*g edge table materialized eagerly (the " +
+        "refinement reads its predecessor from three join sides); " +
+        "queries seed from their max(2, nlist/32) nearest cells and " +
+        "each beam-search hop is frontier-join-edges on the " +
         "candidate id + a per-query beam re-rank, so a hop costs " +
-        "|Q|*beam*2g scored rows REGARDLESS of corpus size. The " +
-        "edge table and per-hop beams are cached (production stores " +
-        "the edge table like the IVF/proj indexes). No stage is " +
-        "quadratic in the corpus; nlist grows with n to hold cells " +
-        "constant."),
+        "|Q|*beam*2g scored rows REGARDLESS of corpus size; each " +
+        "hop's |Q|*beam frontier is re-planted as a local relation " +
+        "(lineage truncation — the lazy iterated tree re-paid ~2s of " +
+        "driver planning per action by hop 3). Production stores the " +
+        "edge table + centroid sidecar (AnnIndex.buildGraphIndex) " +
+        "and appends incrementally (insert-as-search, touched-bucket " +
+        "overwrite). No stage is quadratic in the corpus; nlist " +
+        "grows with n to hold cells constant."),
     "q_similarity_proj" ->
       ("Stage 1 never touches a float vector: the (vec_id, cid, " +
         "16-long projection) index — pre-materializable cid-bucketed, " +

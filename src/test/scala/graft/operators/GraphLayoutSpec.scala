@@ -5,16 +5,15 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.sources.CorpusSink
 
 /** The graph-ANN stored-index claim made concrete (the
-  * `IvfqLayoutSpec` analogue for the graph family): build the k-NN
-  * graph once ([[Similarity.knnGraph]]), persist its edges through
-  * [[CorpusSink]], and prove that serving queries from the stored
-  * table ([[Similarity.graphTopKFromIndex]]) reads only the (src,
-  * dst) columns — the score column exists for index maintenance, not
-  * for traversal — and returns answers identical to the in-session
-  * build. */
+  * `IvfqLayoutSpec` analogue for the graph family): build the full
+  * stored index once ([[AnnIndex.buildGraphIndex]] — edges AND the
+  * centroid sidecar), and prove that serving queries entirely from
+  * disk ([[AnnIndex.graphTopKFromPath]], no in-session fit) reads
+  * only the (src, dst) columns — the score column exists for index
+  * maintenance, not for traversal — and returns answers identical to
+  * the in-session build. */
 class GraphLayoutSpec extends SparkTestBase {
 
   private def clustered(nClusters: Int, perCluster: Int, dim: Int, seed: Int) = {
@@ -30,16 +29,14 @@ class GraphLayoutSpec extends SparkTestBase {
   test("stored edge table: traversal reads (src, dst) only and serves identical answers") {
     val emb = clustered(4, 30, 16, seed = 17)
     val queries = emb.filter(col("vec_id").isin(5L, 35L, 65L, 95L))
-    val centroids = Similarity.kmeansCentroids(emb, nlist = 8, seed = 42L)
-    val graph = Similarity.knnGraph(emb, g = 8, nlist = 8)
     val dir = Files.createTempDirectory("graph_layout").toString
     try {
-      // persist src-hash-bucketed, in-file sorted by src (row-group
-      // min/max stats then prune src point lookups)
-      CorpusSink.writeParquet(
-        graph.withColumn("bucket", pmod(hash(col("src")), lit(4))),
-        dir, shardCol = "bucket", sortCol = "src", filesPerShard = 2)
-      val stored = spark.read.parquet(dir)
+      // the full stored form: src-hash-bucketed edges, in-file sorted
+      // by src (row-group min/max stats then prune src point lookups)
+      // PLUS the centroid sidecar — everything serving needs
+      AnnIndex.buildGraphIndex(emb, dir, g = 8, nlist = 8, seed = 42L,
+        nBuckets = 4, filesPerShard = 2)
+      val stored = spark.read.parquet(s"$dir/edges")
       assert(stored.columns.toSet == Set("src", "dst", "score", "bucket"))
 
       // plan evidence: the traversal's first (and only) touch of the
@@ -54,11 +51,11 @@ class GraphLayoutSpec extends SparkTestBase {
       assert(!scanLines.exists(_.contains("score")),
         s"traversal scanned the score column: $scanLines")
 
-      // serving parity: the stored index answers EXACTLY like the
-      // in-session build with the same parameters (the edge rows are
-      // the same table, so only (src, dst) can matter)
-      val fromIndex = Similarity.graphTopKFromIndex(stored, emb, queries,
-        k = 3, centroids, beam = 16, hops = 2, seedProbe = 2)
+      // serving parity, ENTIRELY from disk (edges + centroid sidecar,
+      // no in-session fit): answers EXACTLY like the in-session build
+      // with the same parameters
+      val fromIndex = AnnIndex.graphTopKFromPath(spark, dir, emb, queries,
+        k = 3, beam = 16, hops = 2, seedProbe = 2)
       val inSession = Similarity.graphTopK(emb, queries, k = 3, g = 8,
         beam = 16, hops = 2, nlist = 8, seedProbe = 2)
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -5,14 +5,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.sources.CorpusSink
-
-/** The IVF+int8 scale claim made concrete: quantize the corpus once
-  * ([[Similarity.quantizedCorpus]]), store it cid-bucketed as the ANN
-  * index ([[CorpusSink]]), and prove stage 1 of
-  * [[Similarity.ivfqRerank]] scans ONLY the stored int8 index — the
-  * float `embedding` column never appears in the quantized scan's
-  * read schema, and exact vectors are read solely for the bounded
+/** The IVF+int8 scale claim made concrete: build the full stored
+  * index once ([[AnnIndex.buildIvfqIndex]] — cid-partitioned int8
+  * vectors AND the centroid sidecar), and prove that serving
+  * entirely from disk ([[AnnIndex.ivfqTopKFromPath]], no in-session
+  * fit) scans ONLY the stored int8 index in stage 1 — the float
+  * `embedding` column never appears in the quantized scan's read
+  * schema, and exact vectors are read solely for the bounded
   * re-rank candidate set. */
 class IvfqLayoutSpec extends SparkTestBase {
 
@@ -28,26 +27,20 @@ class IvfqLayoutSpec extends SparkTestBase {
 
   test("stage 1 scans the stored int8 index, never the float embeddings") {
     val emb = clusteredEmb(n = 400, dim = 8, nAxes = 4, seed = 13)
-    val centroids = Similarity.kmeansCentroids(emb, nlist = 4, seed = 11L)
-    val quant = Similarity.quantizedCorpus(emb)
-      .withColumn("qcv", transform(col("qv"), q => q.cast("double")))
-      .withColumn("cs", graft.functions.CentroidCosines.of(col("qcv"), centroids))
-      .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
-      .select("vec_id", "qv", "scale", "cid")
     val dir = Files.createTempDirectory("ivfq_layout").toString
     try {
-      CorpusSink.writeParquet(quant, dir, shardCol = "cid",
-        sortCol = "vec_id", filesPerShard = 2)
-      val stored = spark.read.parquet(dir)
+      // the full stored form: cid-partitioned int8 vectors + the
+      // centroid sidecar ([[AnnIndex.buildIvfqIndex]]); serving
+      // round-trips entirely from disk with no in-session fit
+      AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L,
+        filesPerShard = 2)
+      val stored = spark.read.parquet(s"$dir/vectors")
       // the stored index is the 4x-smaller form: int8 array + scale
       assert(stored.schema("qv").dataType.simpleString == "array<tinyint>")
       assert(!stored.columns.contains("embedding"))
 
-      val exact = emb.select(col("vec_id"),
-          graft.functions.VectorOps.asDoubleArray(col("embedding")).as("cv"))
-        .withColumn("cn", graft.functions.VectorOps.l2Norm(col("cv")))
       val queries = emb.filter(col("vec_id") % 100 === 0)
-      val ann = Similarity.ivfqRerank(stored, exact, queries, centroids,
+      val ann = AnnIndex.ivfqTopKFromPath(spark, dir, emb, queries,
         k = 5, nProbe = 2, rerank = 4)
 
       // plan evidence: the parquet scan of the stored index reads

@@ -300,4 +300,35 @@ class MultimodalPixelSpec extends AnyFunSuite {
     assert(got.isEmpty || got.map(_._3.toSeq) != orig.map(_._3.toSeq),
       "flipping entropy bits changed nothing — the payload is not being decoded")
   }
+
+  test("jpegKind separates progressive from corrupt (the crawl rejection taxonomy)") {
+    // a real planted baseline stream classifies as baseline
+    val base = Multimodal.plantJpeg(3L)
+    assert(Multimodal.jpegKind(base) == "jpeg_baseline")
+    // the same stream with its SOF0 marker rewritten to SOF2 is a
+    // PROGRESSIVE frame: decodeJpeg must still reject it (None), but
+    // the classifier must name it, not lump it with corrupt
+    val sof = base.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(sof > 0)
+    val prog = base.clone()
+    prog(sof + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpeg(prog).isEmpty, "progressive must not decode")
+    assert(Multimodal.jpegKind(prog) == "jpeg_progressive")
+    // APPn/COM segments before the frame header are walked, not assumed
+    val app = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,
+      0xff, 0xfe, 0x00, 0x03, 0x21, 0xff, 0xc2, 0x00, 0x0b).map(_.toByte)
+    assert(Multimodal.jpegKind(app) == "jpeg_progressive")
+    // lossless (SOF3) is unsupported-but-valid — its own class
+    val lossless = app.clone(); lossless(14) = 0xc3.toByte
+    assert(Multimodal.jpegKind(lossless) == "jpeg_unsupported")
+    // EOI before any frame header, truncation mid-walk: corrupt
+    assert(Multimodal.jpegKind(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+      == "jpeg_corrupt")
+    assert(Multimodal.jpegKind(Array(0xff, 0xd8, 0xff, 0xe0, 0x40, 0x00)
+      .map(_.toByte)) == "jpeg_corrupt")
+    // non-JPEG containers
+    assert(Multimodal.jpegKind(Multimodal.plantPng(2L)) == "png")
+    assert(Multimodal.jpegKind("plain text".getBytes) == "unknown")
+    assert(Multimodal.jpegKind(Array.emptyByteArray) == "unknown")
+  }
 }

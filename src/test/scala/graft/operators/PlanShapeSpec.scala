@@ -174,16 +174,20 @@ class PlanShapeSpec extends SparkTestBase {
         s"every stage must be a keyed equi-join:\n$p"))
   }
 
-  test("graph ANN build: keyed joins only, top-g prunes map-side") {
+  test("graph ANN build: every executed job is keyed, top-g prunes map-side") {
     val emb = (0 until 60).map(i =>
       (i.toLong, Array.fill(8)(((i * 13 + 5) % 17).toFloat - 8f))).toDF("vec_id", "embedding")
-    // the build half stays lazily inspectable (knnGraphFrom has no
-    // internal caches), so assert its composite plan directly
-    val p = plan(Similarity.knnGraph(emb, g = 4, nlist = 4))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"graph build must be equi-joins, never pair cross products:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"the per-src top-g (rank <= g) must prune map-side:\n$p")
+    // the build is eager per refinement round, so inspect every
+    // executed job rather than the (cache-hidden) final plan
+    val ps = executedPlans {
+      Similarity.knnGraph(emb, g = 4, nlist = 4).collect()
+    }
+    assert(ps.nonEmpty, "no executed plans captured")
+    ps.foreach(p =>
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"graph build must be equi-joins, never pair cross products:\n$p"))
+    assert(ps.exists(_.contains("WindowGroupLimit")),
+      s"the per-src top-g (rank <= g) must prune map-side:\n${ps.size} plans, none had WindowGroupLimit")
   }
 
   test("graph ANN traversal: every executed job is keyed, beam prunes map-side") {
