@@ -322,6 +322,108 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PROGRESSIVE twin of [[plantJpeg]]: the same planted 4:2:0
+    * DC-only content re-coded as a multi-scan SOF2 stream exercising
+    * every progressive scan kind a decoder must handle —
+    *
+    *  1. interleaved DC first at successive-approximation Al=1
+    *     (codes each quantized DC arithmetically shifted right once,
+    *     differentially per component);
+    *  2. interleaved DC refinement (Ah=1→Al=0): one raw bit per
+    *     block restoring the dropped low bit (two's complement makes
+    *     `(dc>>1)<<1 + (dc&1) = dc` exact for negatives too);
+    *  3-5. per-component AC first scans over the full 1..63 band
+    *     whose blocks are all end-of-band — coded as a single EOBn
+    *     run per component (run length = that component's block
+    *     count), so the EOB-run machinery is on the decode path.
+    *
+    * The pixel content is identical to [[plantJpeg]]'s by
+    * construction, so the SAME oracle arithmetic verifies the
+    * progressive decode exactly. */
+  def plantJpegProgressive(docId: Long): Array[Byte] = {
+    val w = plantedWidth(docId)
+    val h = plantedHeight(docId)
+    val out = new java.io.ByteArrayOutputStream(360)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >>> 8); b(v) }
+    b(0xff); b(0xd8)                                  // SOI
+    val pad = (docId % 8).toInt
+    b(0xff); b(0xe0); be16(16 + pad)                  // APP0 (varying offset)
+    out.write("JFIF".getBytes("US-ASCII")); b(0)
+    b(1); b(1); b(0); be16(72); be16(72); b(0); b(0)
+    (0 until pad).foreach(_ => b(0))
+    b(0xff); b(0xdb); be16(2 + 2 * 65)                // DQT luma + chroma
+    (0 to 1).foreach { id => b(id); b(JpegDcQ); (1 until 64).foreach(_ => b(16)) }
+    // SOF2: progressive, same geometry/sampling as the baseline twin
+    b(0xff); b(0xc2); be16(8 + 3 * 3)
+    b(8); be16(h); be16(w); b(3)
+    b(1); b(0x22); b(0)
+    b(2); b(0x11); b(1)
+    b(3); b(0x11); b(1)
+    // DHT: DC 0/1 as baseline (categories 0..8, 4-bit codes); AC 0/1
+    // carry the three EOBn symbols needed here — EOB0/EOB1/EOB2
+    // (0x00/0x10/0x20) canonical at length 2 (codes 00/01/10)
+    b(0xff); b(0xc4); be16(2 + 2 * (17 + 9) + 2 * (17 + 3))
+    (0 to 1).foreach { id =>
+      b(0x00 | id)
+      val bits = new Array[Int](16); bits(3) = 9
+      bits.foreach(b); (0 to 8).foreach(b)
+      b(0x10 | id)
+      val abits = new Array[Int](16); abits(1) = 3
+      abits.foreach(b); b(0x00); b(0x10); b(0x20)
+    }
+    val dcQ = Array(
+      plantedY(docId, 0, 0) - 128, plantedY(docId, 1, 0) - 128,
+      plantedY(docId, 0, 1) - 128, plantedY(docId, 1, 1) - 128,
+      plantedCb(docId) - 128, plantedCr(docId) - 128)
+    def sos(comps: Seq[(Int, Int, Int)], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b(0xff); b(0xda); be16(6 + 2 * comps.size)
+      b(comps.size)
+      comps.foreach { case (id, td, ta) => b(id); b((td << 4) | ta) }
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    def putDcDiff(bw: JpegBitWriter, diff: Int): Unit = {
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1
+      bw.put(cat, 4)
+      if (cat > 0) {
+        val v = if (diff >= 0) diff else diff + (1 << cat) - 1
+        bw.put(v & ((1 << cat) - 1), cat)
+      }
+    }
+    // scan 1: DC first, Al=1 — interleaved single MCU, Y×4, Cb, Cr
+    sos(Seq((1, 0, 0), (2, 1, 1), (3, 1, 1)), 0, 0, 0, 1)
+    val bw1 = new JpegBitWriter(out)
+    var predY = 0
+    (0 to 3).foreach { k => putDcDiff(bw1, (dcQ(k) >> 1) - predY); predY = dcQ(k) >> 1 }
+    putDcDiff(bw1, dcQ(4) >> 1)
+    putDcDiff(bw1, dcQ(5) >> 1)
+    bw1.flush()
+    // scan 2: DC refinement, Ah=1, Al=0 — one raw low bit per block
+    sos(Seq((1, 0, 0), (2, 1, 1), (3, 1, 1)), 0, 0, 1, 0)
+    val bw2 = new JpegBitWriter(out)
+    dcQ.foreach(v => bw2.put(v & 1, 1))
+    bw2.flush()
+    // scans 3-5: AC first over the whole band, all blocks EOB — one
+    // EOBn run of exactly the component's block count
+    def eobRun(bw: JpegBitWriter, n: Int): Unit = {
+      var r = 0
+      while ((1 << (r + 1)) <= n) r += 1
+      bw.put(r, 2)                                    // EOBr: canonical code 00/01/10
+      if (r > 0) bw.put(n - (1 << r), r)              // extra run bits
+    }
+    val nY = ((w + 7) / 8) * ((h + 7) / 8)
+    Seq((1, 0, nY), (2, 1, 1), (3, 1, 1)).foreach { case (id, ta, n) =>
+      sos(Seq((id, 0, ta)), 1, 63, 0, 0)
+      val bw = new JpegBitWriter(out)
+      eobRun(bw, n)
+      bw.flush()
+    }
+    b(0xff); b(0xd9)                                  // EOI
+    out.toByteArray
+  }
+
   /** REAL dependency-free image header decode: identifies the format
     * by magic bytes and parses the dimensions from the header —
     * PNG via the IHDR chunk (validating the chunk type AND its CRC32),
@@ -569,9 +671,12 @@ object Multimodal {
     * separable IDCT, nearest-neighbor chroma upsampling for
     * arbitrary sampling factors (4:2:0 / 4:2:2 / 4:4:4), and JFIF
     * YCbCr→RGB via the exact integer [[yccToRgbE6]]. Grayscale
-    * (1-component) scans decode with R=G=B=Y. Progressive,
-    * arithmetic-coded, hierarchical, and 12-bit frames are rejected.
-    * Any malformation yields None, never an exception.
+    * (1-component) scans decode with R=G=B=Y. PROGRESSIVE (SOF2)
+    * frames decode too — multi-scan spectral selection + successive
+    * approximation per T.81 §G.2 ([[decodeJpegProgressiveScan]]),
+    * accumulated in coefficient buffers and finalized at EOI.
+    * Arithmetic-coded, lossless, hierarchical, and 12-bit frames are
+    * rejected. Any malformation yields None, never an exception.
     *
     * @return Some((width, height, rgbPixels)) with `rgbPixels`
     *         row-major w·h·3 bytes, or None. */
@@ -591,6 +696,14 @@ object Multimodal {
       var compTd: Array[Int] = null
       var compTa: Array[Int] = null
       var restartInterval = 0
+      var progressive = false
+      // progressive state: per-component coefficient buffers in
+      // natural order, on the MCU-padded block grid
+      var coefs: Array[Array[Int]] = null
+      var blocksWFull: Array[Int] = null // padded blocks across, per comp
+      var blocksHFull: Array[Int] = null
+      var compBlocksW: Array[Int] = null // un-padded comp grid (ns=1 scans)
+      var compBlocksH: Array[Int] = null
       var i = 2
       while (true) {
         // find the next marker, tolerating 0xFF fill bytes
@@ -624,7 +737,8 @@ object Multimodal {
               i += 17 + n
             }
             if (i != end) bad()
-          case 0xc0 | 0xc1 => // SOF0/1: baseline (extended) sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
+            if (marker == 0xc2) progressive = true
             val len = be16(i)
             if (u8(i + 2) != 8) bad() // 8-bit precision only
             h = be16(i + 3); w = be16(i + 5)
@@ -644,31 +758,67 @@ object Multimodal {
               c += 1
             }
             i += len
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            bad() // progressive / arithmetic / hierarchical frames unsupported
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            bad() // lossless / arithmetic / hierarchical frames unsupported
           case 0xdd => // DRI
             if (be16(i) != 4) bad()
             restartInterval = be16(i + 2)
             i += 4
-          case 0xda => // SOS → decode the scan and return
+          case 0xda => // SOS
             if (compId == null) bad()
             val nc = compId.length
             val ns = u8(i + 2)
-            if (ns != nc || be16(i) != 6 + 2 * ns) bad() // single interleaved scan only
-            compTd = new Array[Int](nc); compTa = new Array[Int](nc)
+            if (be16(i) != 6 + 2 * ns) bad()
+            val scanComp = new Array[Int](ns)
+            val scanTd = new Array[Int](ns); val scanTa = new Array[Int](ns)
             var s = 0
             while (s < ns) {
               val cs = u8(i + 3 + 2 * s)
               val c = compId.indexOf(cs)
               if (c < 0) bad()
-              compTd(c) = u8(i + 4 + 2 * s) >> 4
-              compTa(c) = u8(i + 4 + 2 * s) & 15
+              scanComp(s) = c
+              scanTd(s) = u8(i + 4 + 2 * s) >> 4
+              scanTa(s) = u8(i + 4 + 2 * s) & 15
               s += 1
             }
+            val ss = u8(i + 3 + 2 * ns)
+            val se = u8(i + 4 + 2 * ns)
+            val ahAl = u8(i + 5 + 2 * ns)
+            val ah = ahAl >> 4; val al = ahAl & 15
             i += be16(i)
-            return Some(decodeJpegScan(bytes, i, w, h, compH, compV, compTq, compTd,
-              compTa, quant, huffs, restartInterval))
-          case 0xd9 => bad() // EOI before any scan
+            if (!progressive) {
+              // single interleaved sequential scan covering all comps
+              if (ns != nc || ss != 0 || se != 63 || ah != 0 || al != 0) bad()
+              compTd = new Array[Int](nc); compTa = new Array[Int](nc)
+              var c = 0
+              while (c < ns) {
+                compTd(scanComp(c)) = scanTd(c); compTa(scanComp(c)) = scanTa(c)
+                c += 1
+              }
+              return Some(decodeJpegScan(bytes, i, w, h, compH, compV, compTq, compTd,
+                compTa, quant, huffs, restartInterval))
+            } else {
+              if (coefs == null) {
+                val hmax = compH.max; val vmax = compV.max
+                val mcuW = (w + 8 * hmax - 1) / (8 * hmax)
+                val mcuH = (h + 8 * vmax - 1) / (8 * vmax)
+                blocksWFull = Array.tabulate(nc)(c => mcuW * compH(c))
+                blocksHFull = Array.tabulate(nc)(c => mcuH * compV(c))
+                compBlocksW = Array.tabulate(nc)(c =>
+                  ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
+                compBlocksH = Array.tabulate(nc)(c =>
+                  ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
+                coefs = Array.tabulate(nc)(c =>
+                  new Array[Int](blocksWFull(c) * blocksHFull(c) * 64))
+              }
+              i = decodeJpegProgressiveScan(bytes, i, scanComp, scanTd, scanTa,
+                ss, se, ah, al, compH, compV, huffs, coefs,
+                blocksWFull, blocksHFull, compBlocksW, compBlocksH, restartInterval)
+            }
+          case 0xd9 => // EOI: for progressive, all scans are in — finalize
+            if (!progressive || coefs == null) bad()
+            return Some(finalizeJpegProgressive(w, h, compH, compV, compTq, quant,
+              coefs, blocksWFull, blocksHFull))
           case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => () // standalone
           case _ => i += be16(i) // APPn / COM / other: skip by length
         }
@@ -774,7 +924,17 @@ object Multimodal {
       }
       my += 1
     }
-    // upsample (nearest neighbor) + color convert + crop to w×h
+    jpegPlanesToRgb(w, h, compH, compV, planes, planeW)
+  }
+
+  /** Shared finalization for both JPEG paths: nearest-neighbor
+    * chroma upsample + JFIF YCbCr→RGB (grayscale R=G=B=Y) + crop of
+    * the padded component planes to w×h. */
+  private def jpegPlanesToRgb(w: Int, h: Int, compH: Array[Int], compV: Array[Int],
+                              planes: Array[Array[Int]],
+                              planeW: Array[Int]): (Int, Int, Array[Byte]) = {
+    val nc = compH.length
+    val hmax = compH.max; val vmax = compV.max
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -796,6 +956,246 @@ object Multimodal {
       y += 1
     }
     (w, h, px)
+  }
+
+  /** Entropy-decode ONE progressive scan (ITU T.81 §G.2) into the
+    * per-component coefficient buffers, returning the byte position
+    * of the next marker. Covers all four scan kinds:
+    *
+    *  - DC first (Ss=0, Ah=0): differential DC exactly as baseline,
+    *    stored left-shifted by the point transform Al; interleaved
+    *    (ns>1, MCU order) or single-component (comp block grid);
+    *  - DC refinement (Ah>0): one raw bit per block, added at Al —
+    *    two's complement makes `+= bit<<Al` correct for negatives;
+    *  - AC first (Ss≥1, Ah=0, ns=1): run/size over the spectral band
+    *    with EOBn end-of-band runs ((1<<r)−1 + r extra bits blocks);
+    *  - AC refinement (Ah>0): the §G.2.2.3 correction-bit algorithm —
+    *    newly-significant coefficients arrive as ±1<<Al via (r,1)
+    *    symbols whose run counts ZERO-history positions only, while
+    *    every nonzero-history coefficient passed (including the tail
+    *    of every EOB-run block) consumes one correction bit.
+    *
+    * Restart markers byte-align and reset DC predictors AND the
+    * EOB run, per §G.2.1. */
+  private def decodeJpegProgressiveScan(bytes: Array[Byte], start: Int,
+      scanComp: Array[Int], scanTd: Array[Int], scanTa: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      compH: Array[Int], compV: Array[Int], huffs: Array[JpegHuff],
+      coefs: Array[Array[Int]], blocksWFull: Array[Int], blocksHFull: Array[Int],
+      compBlocksW: Array[Int], compBlocksH: Array[Int],
+      restartInterval: Int): Int = {
+    val ns = scanComp.length
+    if (al > 13 || (ah != 0 && ah != al + 1)) bad()
+    var br = new JpegBitReader(bytes, start)
+    val pred = new Array[Int](ns)
+    var eobrun = 0
+    var unitsDone = 0
+    var nextRst = 0
+
+    def restartCheck(): Unit =
+      if (restartInterval > 0 && unitsDone > 0 && unitsDone % restartInterval == 0) {
+        br.align()
+        var p = br.pos
+        while (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+          (bytes(p + 1) & 0xff) == 0xff) p += 1
+        if (p + 1 >= bytes.length || (bytes(p) & 0xff) != 0xff ||
+          (bytes(p + 1) & 0xff) != (0xd0 | nextRst)) bad()
+        nextRst = (nextRst + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+        br = new JpegBitReader(bytes, p + 2)
+      }
+
+    def decodeDc(c: Int, si: Int, bi: Int): Unit =
+      if (ah == 0) {
+        val dcT = huffs(scanTd(si))
+        if (dcT == null) bad()
+        val cat = br.decode(dcT)
+        if (cat > 15) bad()
+        val diff = if (cat == 0) 0 else jpegExtend(br.bits(cat), cat)
+        pred(si) += diff
+        coefs(c)(bi) = pred(si) << al
+      } else if (br.bit() == 1) coefs(c)(bi) += (1 << al)
+
+    if (ss == 0) { // DC scan
+      if (se != 0) bad()
+      if (ns > 1) { // interleaved, MCU order
+        val c0 = scanComp(0)
+        val mcuW = blocksWFull(c0) / compH(c0)
+        val mcuH = blocksHFull(c0) / compV(c0)
+        var my = 0
+        while (my < mcuH) {
+          var mx = 0
+          while (mx < mcuW) {
+            restartCheck()
+            var si = 0
+            while (si < ns) {
+              val c = scanComp(si)
+              var by = 0
+              while (by < compV(c)) {
+                var bx = 0
+                while (bx < compH(c)) {
+                  decodeDc(c, si,
+                    ((my * compV(c) + by) * blocksWFull(c) + mx * compH(c) + bx) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            unitsDone += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // single component over its own (un-padded) block grid
+        val c = scanComp(0)
+        var byy = 0
+        while (byy < compBlocksH(c)) {
+          var bxx = 0
+          while (bxx < compBlocksW(c)) {
+            restartCheck()
+            decodeDc(c, 0, (byy * blocksWFull(c) + bxx) * 64)
+            unitsDone += 1
+            bxx += 1
+          }
+          byy += 1
+        }
+      }
+    } else { // AC scan: single component only
+      if (ns != 1 || se > 63 || ss > se) bad()
+      val c = scanComp(0)
+      val acT = huffs(4 + scanTa(0))
+      if (acT == null) bad()
+      val one = 1 << al
+
+      def acFirst(bi: Int): Unit =
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (!done && k <= se) {
+            val rs = br.decode(acT)
+            val r = rs >> 4; val sz = rs & 15
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.bits(r)
+                done = true
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              if (k > se) bad()
+              coefs(c)(bi + JpegZigzag(k)) = jpegExtend(br.bits(sz), sz) * one
+              k += 1
+            }
+          }
+        }
+
+      def acRefine(bi: Int): Unit = {
+        var k = ss
+        if (eobrun > 0) {
+          eobrun -= 1
+          while (k <= se) { // correction bits only, through the band
+            val z = bi + JpegZigzag(k)
+            val p = coefs(c)(z)
+            if (p != 0 && br.bit() == 1 && (p & one) == 0)
+              coefs(c)(z) = if (p > 0) p + one else p - one
+            k += 1
+          }
+        } else while (k <= se) {
+          val rs = br.decode(acT)
+          var r = rs >> 4; val sz = rs & 15
+          var newVal = 0
+          if (sz == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.bits(r)
+              r = 64 // sweep corrections through the rest of the band
+            } // r == 15: ZRL — skip 16 zero-history positions
+          } else {
+            if (sz != 1) bad()
+            newVal = if (br.bit() == 1) one else -one
+          }
+          var advancing = true
+          while (advancing && k <= se) {
+            val z = bi + JpegZigzag(k)
+            val p = coefs(c)(z)
+            if (p != 0) {
+              if (br.bit() == 1 && (p & one) == 0)
+                coefs(c)(z) = if (p > 0) p + one else p - one
+            } else if (r == 0) {
+              if (newVal != 0) coefs(c)(z) = newVal
+              advancing = false
+            } else r -= 1
+            k += 1
+          }
+        }
+      }
+
+      var byy = 0
+      while (byy < compBlocksH(c)) {
+        var bxx = 0
+        while (bxx < compBlocksW(c)) {
+          restartCheck()
+          val bi = (byy * blocksWFull(c) + bxx) * 64
+          if (ah == 0) acFirst(bi) else acRefine(bi)
+          unitsDone += 1
+          bxx += 1
+        }
+        byy += 1
+      }
+    }
+    br.align()
+    br.pos
+  }
+
+  /** After the last progressive scan (EOI): dequantize each 8×8
+    * coefficient block with its component's table (re-ordered to
+    * natural order), IDCT into the padded planes, and hand off to
+    * the same upsample/color-convert/crop as the baseline path. */
+  private def finalizeJpegProgressive(w: Int, h: Int,
+      compH: Array[Int], compV: Array[Int], compTq: Array[Int],
+      quant: Array[Array[Int]], coefs: Array[Array[Int]],
+      blocksWFull: Array[Int], blocksHFull: Array[Int]): (Int, Int, Array[Byte]) = {
+    val nc = compH.length
+    val planeW = Array.tabulate(nc)(c => blocksWFull(c) * 8)
+    val planeH = Array.tabulate(nc)(c => blocksHFull(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * planeH(c)))
+    val dq = new Array[Int](64)
+    val block = new Array[Int](64)
+    val qNat = new Array[Int](64)
+    var c = 0
+    while (c < nc) {
+      val q = quant(compTq(c))
+      if (q == null) bad()
+      var k = 0
+      while (k < 64) { qNat(JpegZigzag(k)) = q(k); k += 1 }
+      var byy = 0
+      while (byy < blocksHFull(c)) {
+        var bxx = 0
+        while (bxx < blocksWFull(c)) {
+          val bi = (byy * blocksWFull(c) + bxx) * 64
+          var j = 0
+          while (j < 64) { dq(j) = coefs(c)(bi + j) * qNat(j); j += 1 }
+          jpegIdct(dq, block)
+          val px0 = bxx * 8; val py0 = byy * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(c)((py0 + yy) * planeW(c) + px0 + xx) = block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bxx += 1
+        }
+        byy += 1
+      }
+      c += 1
+    }
+    jpegPlanesToRgb(w, h, compH, compV, planes, planeW)
   }
 
   /** T.81 §F.2.2.1 EXTEND: map `size`-bit magnitude bits to the
@@ -821,6 +1221,18 @@ object Multimodal {
     docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => (id, plantHeader(id, payload)) })
+      .toDF("doc_id", "media")
+  }
+
+  /** Fixture binary column planting the PROGRESSIVE JPEG twin for
+    * EVERY doc — same planted pixel content as [[withPlantedMedia]]'s
+    * JPEG half, re-coded as multi-scan SOF2, so the full progressive
+    * decode path is exactly oracle-able by doc_id arithmetic. */
+  def withPlantedProgressive(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, plantJpegProgressive(id))))
       .toDF("doc_id", "media")
   }
 

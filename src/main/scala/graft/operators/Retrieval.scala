@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval over the `documents` table — the BM25
@@ -117,10 +118,11 @@ object Retrieval {
     *    [[graft.sources.CorpusSink.writeParquet]], in-file sorted by
     *    term, so a query prunes every non-queried bucket's files at
     *    the directory level and row-group min/max stats narrow the
-    *    bucket's files to the queried terms. df and dl are
-    *    DENORMALIZED onto the postings row (Lucene stores per-doc
-    *    norms the same way): +16 bytes/row buys a serving path with
-    *    zero corpus-sized side joins.
+    *    bucket's files to the queried terms. dl is DENORMALIZED onto
+    *    the postings row (Lucene stores per-doc norms the same way),
+    *    so serving needs zero corpus-sized side joins; df is stored
+    *    too (query-term selection, diagnostics) but serving derives
+    *    the exact value from the scan so appends can't stale it.
     *  - `dir/stats`: the 1-row (n_docs, sum_dl) scalar table.
     *
     * The text column never enters the index, so no serving scan can
@@ -128,6 +130,19 @@ object Retrieval {
     * and the postings-only read schema. */
   def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 16,
                  filesPerShard: Int = 2): Unit = {
+    graft.sources.CorpusSink.writeParquet(postings(docs, nBuckets),
+      s"$dir/postings",
+      shardCol = "term_bucket", sortCol = "term", filesPerShard = filesPerShard)
+    corpusStats(docs).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The (term, df, doc_id, dl, tf, term_bucket) postings rows for one
+    * document set — `df` is SEGMENT-LOCAL (the df among `docs` only).
+    * For a one-shot [[buildIndex]] that equals global df; after an
+    * [[appendIndex]] the stored column is advisory (query-term
+    * selection, diagnostics) and serving derives the exact global df
+    * from the scan itself — see [[bm25TopKFromIndex]]. */
+  private def postings(docs: DataFrame, nBuckets: Int): DataFrame = {
     val dt = docs
       .withColumn("toks", TextOps.regexTokens(col("text")))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
@@ -135,11 +150,56 @@ object Retrieval {
     val tf = dt.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val post = tf.join(dfTab, Seq("term"))
+    tf.join(dfTab, Seq("term"))
       .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
-    graft.sources.CorpusSink.writeParquet(post, s"$dir/postings",
+  }
+
+  /** INCREMENTAL MAINTENANCE of the stored index — the lexical
+    * counterpart of `AnnIndex.appendIvfq`: ingest a new document
+    * batch without touching the rest of the corpus.
+    *
+    *  - the batch's postings rows are APPENDED into exactly the term
+    *    buckets the batch's terms hash to (`CorpusSink.appendShards`
+    *    writes new files under those partition directories only);
+    *    every untouched bucket's files survive byte-identical — at
+    *    100 TB a daily batch re-lists nothing and rewrites nothing;
+    *  - the 1-row stats table is additively merged (n_docs and
+    *    sum_dl are plain sums, the same invariant
+    *    `streaming.StreamingIndexStats` maintains live) — a 2-row
+    *    driver-side fold, no corpus scan;
+    *  - NOTHING is recomputed for existing documents: appended rows
+    *    carry batch-local df, and the serving path derives the exact
+    *    global df per queried term from the postings it already
+    *    reads ([[bm25TopKFromIndex]]), so served scores after any
+    *    append sequence are BIT-IDENTICAL to a full rebuild's
+    *    (`RetrievalAppendSpec` proves it, plus the byte-survival of
+    *    untouched buckets).
+    *
+    * Batch doc_ids must be disjoint from the stored corpus (same
+    * contract as the ANN append; dedup/admission runs upstream).
+    * Appending into an EMPTY `dir` bootstraps the index (the first
+    * micro-batch of a streaming ingest needs no special-case build
+    * call — see `streaming.StreamingIndexAppend`). */
+  def appendIndex(newDocs: DataFrame, dir: String, nBuckets: Int = 16,
+                  filesPerShard: Int = 2): Unit = {
+    val spark = newDocs.sparkSession
+    graft.sources.CorpusSink.appendShards(postings(newDocs, nBuckets),
+      s"$dir/postings",
       shardCol = "term_bucket", sortCol = "term", filesPerShard = filesPerShard)
-    corpusStats(docs).write.mode("overwrite").parquet(s"$dir/stats")
+    // additive stats merge: collect both 1-row sides (old stats +
+    // batch stats) to the driver, fold, overwrite — never a
+    // read-and-overwrite of the same path in one plan
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old =
+      if (fs.exists(statsPath)) spark.read.parquet(s"$dir/stats")
+      else corpusStats(newDocs).limit(0)
+    val merged = old.unionByName(corpusStats(newDocs)).collect()
+    val nDocs = merged.map(_.getAs[Long]("n_docs")).sum
+    val sumDl = merged.map(_.getAs[Long]("sum_dl")).sum
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** The partition predicate a query pushes at the stored postings:
@@ -160,15 +220,27 @@ object Retrieval {
     * is a TakeOrdered — per-query work is O(queried postings), with
     * the corpus text never readable from this path at all. Scores
     * are bit-identical to [[bm25TopK]] on the same terms (same
-    * shared score expressions, same e6 floor-before-sum). */
+    * shared score expressions, same e6 floor-before-sum).
+    *
+    * df is derived FROM THE SCAN, not read from the stored column:
+    * the query already reads every posting of its terms, and the
+    * exact global df of a term is precisely its posting-row count —
+    * a window count over rows already in hand (the window shuffle
+    * moves only the queried postings, never the corpus). That makes
+    * the serving path append-tolerant by construction: stored df is
+    * segment-local after an [[appendIndex]], and trusting it would
+    * serve stale idf; deriving it keeps served scores equal to a
+    * full rebuild's after ANY append sequence — and the read schema
+    * narrows by the df column as a bonus. */
   def bm25TopKFromIndex(spark: SparkSession, dir: String,
                         queryTerms: Seq[String], k: Int = 10,
                         k1: Double = 1.2, b: Double = 0.75,
                         nBuckets: Int = 16): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings").drop("df")
       .filter(termBucketPredicate(queryTerms, nBuckets)
         && col("term").isin(queryTerms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val stats = spark.read.parquet(s"$dir/stats")
     post.crossJoin(broadcast(stats))
       .select(col("doc_id"),

@@ -771,8 +771,10 @@ object PipelineQueries {
         beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
         initMode = initMode, sampleMod = sampleMod)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      // bound raised 0.5 → 0.65 once the spilled build held 0.84 at
+      // sf1: the contract now enforces the scale margin itself
       Similarity.meanRecall(ann, exact)
-        .select(col("n_queries"), (col("recall") >= 0.5).as("recall_ok"))
+        .select(col("n_queries"), (col("recall") >= 0.65).as("recall_ok"))
     }),
 
     // JL ANN at DEPLOYMENT configuration (the round-10 advice gap:
@@ -913,6 +915,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PROGRESSIVE JPEG decode end-to-end (SOF2 multi-scan: DC
+    // successive approximation + refinement, per-component AC band
+    // scans with EOB runs): every doc planted as the progressive twin
+    // of the baseline fixture, decoded through the full §G.2 path,
+    // per-channel means exactly oracled by the planted formulas
+    "q_multimodal_progressive" -> ((s, d) => {
+      Multimodal.decodeFeatures(
+          Multimodal.withPlantedProgressive(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          expr("CASE WHEN n_px > 0 THEN " +
+            "element_at(chan_sums, 1) * 1000000 div (n_px * 255) END").as("mean_r_e6"),
+          expr("CASE WHEN n_px > 0 THEN " +
+            "element_at(chan_sums, 2) * 1000000 div (n_px * 255) END").as("mean_g_e6"),
+          expr("CASE WHEN n_px > 0 THEN " +
+            "element_at(chan_sums, 3) * 1000000 div (n_px * 255) END").as("mean_b_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // int8 embedding quantization with per-vector distortion check:
     // every vector must reconstruct with cosine ≥ 0.995
     "q_embed_quant" -> ((s, d) => {
@@ -958,6 +981,41 @@ object PipelineQueries {
     "q_bm25_topk" -> ((s, d) =>
       Retrieval.bm25TopK(Tables.documents(s, d), nQueryTerms = 3, k = 10)),
 
+    // stored-BM25-index INCREMENTAL MAINTENANCE, exactly oracled:
+    // build the term-bucketed postings index on 2/3 of the corpus,
+    // appendIndex the held-out 1/3 (touched buckets only + additive
+    // stats merge), then serve from disk. The derived-df serving path
+    // makes the result BIT-IDENTICAL to a full rebuild, so the oracle
+    // is the full-corpus BM25 SQL itself — value parity, not a
+    // contract boolean
+    "q_retrieval_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_append")
+        .toString
+      try {
+        Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), dir)
+        Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0), dir)
+        // same query-term rule as q_bm25_topk (3-row driver probe)
+        val qterms = Retrieval.dfCounts(docs)
+          .filter(!col("term").isin("the", "a", "of", "and", "in"))
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        // collect-then-localize so the served frame outlives the tmp dir
+        val rows = Retrieval.bm25TopKFromIndex(s, dir, qterms, k = 10)
+          .collect().toSeq
+        import s.implicits._
+        rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+            r.getAs[Long]("bm25_e6")))
+          .toDF("doc_id", "n_hit", "bm25_e6")
+      } finally {
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmr)
+          f.delete()
+        }
+        rmr(new java.io.File(dir))
+      }
+    }),
+
     // Johnson-Lindenstrauss signed random projection 64 -> 8 dims:
     // implicit LCG sign matrix (nothing broadcast), per-element e6
     // quantization before exact integer sums — the wide-vector
@@ -972,6 +1030,29 @@ object PipelineQueries {
     "q_bpe_merges" -> ((s, d) =>
       Tokenizer.bpeLearn(Tables.documents(s, d), rounds = 5))
   )
+
+  /** Full-corpus BM25 top-10 — shared verbatim by `q_bm25_topk`
+    * (inline path) and `q_retrieval_append` (build + append + serve
+    * from the stored index), because the derived-df serving path is
+    * bit-identical to the inline computation. */
+  private val bm25OracleSql =
+    "WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
+      "FROM documents), " +
+      "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1), " +
+      "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
+      "ORDER BY df DESC, term LIMIT 3), " +
+      "dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS dl " +
+      "FROM documents), " +
+      "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+      "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
+      "GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT tf.doc_id, CAST(floor(" +
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) " +
+      "* (CAST(tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf AS DOUBLE) " +
+      "+ 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
+      "* 1000000.0) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id), st) " +
+      "SELECT doc_id, count(*) AS n_hit, CAST(sum(score_e6) AS BIGINT) AS bm25_e6 " +
+      "FROM sc GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id LIMIT 10"
 
   private val toksSql = "string_split(text, ' ')"
   private val stopSql =
@@ -1480,6 +1561,30 @@ object PipelineQueries {
     // recovers the same values by DECODING the bytes (PNG: chunk
     // walk, CRC32, zlib inflate, 5-filter unfilter; JPEG: Huffman,
     // DC prediction, dequant, IDCT, 4:2:0 upsample, color convert)
+    // progressive twin: same planted-block arithmetic as the JPEG
+    // half of q_multimodal_decode, over EVERY doc
+    "q_multimodal_progressive" ->
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
+        "(doc_id*17+3) % 11 + 3 AS h FROM documents), " +
+        "jb AS (SELECT doc_id, w, h, bx, by, " +
+        "(doc_id*11 + bx*53 + by*29) % 256 AS yv, " +
+        "(doc_id*19+35) % 256 AS cb, (doc_id*23+71) % 256 AS cr, " +
+        "(CASE WHEN bx = 0 THEN least(w, 8) ELSE greatest(w - 8, 0) END) * " +
+        "(CASE WHEN by = 0 THEN least(h, 8) ELSE greatest(h - 8, 0) END) AS npx " +
+        "FROM d CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) AS blk(bx, by)), " +
+        "j AS (SELECT doc_id, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1402000*(cr-128) " +
+        "+ 500000 + 256000000) // 1000000 - 256))) AS sum_r, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv - 344136*(cb-128) " +
+        "- 714136*(cr-128) + 500000 + 256000000) // 1000000 - 256))) AS sum_g, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1772000*(cb-128) " +
+        "+ 500000 + 256000000) // 1000000 - 256))) AS sum_b " +
+        "FROM jb GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(sum_r * 1000000 // (w*h*255) AS BIGINT) AS mean_r_e6, " +
+        "CAST(sum_g * 1000000 // (w*h*255) AS BIGINT) AS mean_g_e6, " +
+        "CAST(sum_b * 1000000 // (w*h*255) AS BIGINT) AS mean_b_e6 " +
+        "FROM d JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"),
     "q_multimodal_decode" ->
       ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
         "(doc_id*17+3) % 11 + 3 AS h FROM documents), " +
@@ -1513,24 +1618,10 @@ object PipelineQueries {
         "FROM d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"),
     // BM25: same float parenthesization as Retrieval.bm25TopK, the
     // per-(doc,term) contribution e6-floored before the integer sum
-    "q_bm25_topk" ->
-      ("WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
-        "FROM documents), " +
-        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1), " +
-        "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
-        "ORDER BY df DESC, term LIMIT 3), " +
-        "dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS dl " +
-        "FROM documents), " +
-        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
-        "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
-        "GROUP BY 1, 2, 3), " +
-        "sc AS (SELECT tf.doc_id, CAST(floor(" +
-        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) " +
-        "* (CAST(tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf AS DOUBLE) " +
-        "+ 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
-        "* 1000000.0) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id), st) " +
-        "SELECT doc_id, count(*) AS n_hit, CAST(sum(score_e6) AS BIGINT) AS bm25_e6 " +
-        "FROM sc GROUP BY 1 ORDER BY bm25_e6 DESC, doc_id LIMIT 10"),
+    "q_bm25_topk" -> bm25OracleSql,
+    // the append key serves the SAME full-corpus ranking from the
+    // incrementally-maintained stored index — identical oracle text
+    "q_retrieval_append" -> bm25OracleSql,
     // JL signed projection: the implicit xorshift-multiply sign
     // matrix recomputed in SQL (exact 64-bit integer math, every
     // intermediate < 2^52 so DuckDB's strict BIGINT never overflows);

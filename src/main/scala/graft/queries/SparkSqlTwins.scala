@@ -25,6 +25,28 @@ package graft.queries
   */
 object SparkSqlTwins {
 
+  /** Spark-dialect full-corpus BM25 top-10 — shared verbatim by
+    * `q_bm25_topk` and `q_retrieval_append` (the stored-index append
+    * path serves bit-identically to the inline computation). */
+  private val bm25Twin =
+    "WITH dt AS (SELECT doc_id, term FROM documents " +
+      "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term), " +
+      "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term), " +
+      "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
+      "ORDER BY df DESC, term LIMIT 3), " +
+      "dl AS (SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS dl " +
+      "FROM documents), " +
+      "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+      "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
+      "GROUP BY doc_id, dt.term, df), " +
+      "sc AS (SELECT tf.doc_id, CAST(floor(" +
+      "ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)) " +
+      "* (CAST(tf AS DOUBLE) * (1.2D + 1.0D) / (CAST(tf AS DOUBLE) " +
+      "+ 1.2D * (1.0D - 0.75D + 0.75D * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
+      "* 1000000.0D) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id) CROSS JOIN st) " +
+      "SELECT doc_id, count(*) AS n_hit, sum(score_e6) AS bm25_e6 " +
+      "FROM sc GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 10"
+
   private val toks = "split(text, ' ')"
   private val stop = s"size(filter($toks, t -> t IN ('the','a','of','and','in')))"
   // decimal-literal trap: in Spark SQL text `100.0` is a DECIMAL
@@ -551,24 +573,32 @@ object SparkSqlTwins {
         "(SELECT count(*) FROM hh WHERE term NOT IN (SELECT term FROM v)) AS n_oov) " +
         "SELECT n_vocab, n_held_tokens, n_oov, n_oov * 1000000 div n_held_tokens AS oov_e6 FROM st"),
 
-    "q_bm25_topk" ->
-      ("WITH dt AS (SELECT doc_id, term FROM documents " +
-        "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term), " +
-        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term), " +
-        "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
-        "ORDER BY df DESC, term LIMIT 3), " +
-        "dl AS (SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS dl " +
-        "FROM documents), " +
-        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
-        "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
-        "GROUP BY doc_id, dt.term, df), " +
-        "sc AS (SELECT tf.doc_id, CAST(floor(" +
-        "ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)) " +
-        "* (CAST(tf AS DOUBLE) * (1.2D + 1.0D) / (CAST(tf AS DOUBLE) " +
-        "+ 1.2D * (1.0D - 0.75D + 0.75D * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
-        "* 1000000.0D) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id) CROSS JOIN st) " +
-        "SELECT doc_id, count(*) AS n_hit, sum(score_e6) AS bm25_e6 " +
-        "FROM sc GROUP BY doc_id ORDER BY bm25_e6 DESC, doc_id LIMIT 10"),
+    "q_bm25_topk" -> bm25Twin,
+    // the append key serves the SAME full-corpus ranking from the
+    // incrementally-maintained stored index — identical twin text
+    "q_retrieval_append" -> bm25Twin,
+
+    "q_multimodal_progressive" ->
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h FROM documents), " +
+        "jb AS (SELECT doc_id, w, h, bx, by, " +
+        "(doc_id*11 + bx*53 + by*29) % 256 AS yv, " +
+        "(doc_id*19+35) % 256 AS cb, (doc_id*23+71) % 256 AS cr, " +
+        "(CASE WHEN bx = 0 THEN least(w, 8) ELSE greatest(w - 8, 0) END) * " +
+        "(CASE WHEN by = 0 THEN least(h, 8) ELSE greatest(h - 8, 0) END) AS npx " +
+        "FROM d CROSS JOIN (SELECT * FROM VALUES (0,0),(0,1),(1,0),(1,1) AS t(bx, by)) blk), " +
+        "j AS (SELECT doc_id, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1402000*(cr-128) " +
+        "+ 500000 + 256000000) div 1000000 - 256))) AS sum_r, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv - 344136*(cb-128) " +
+        "- 714136*(cr-128) + 500000 + 256000000) div 1000000 - 256))) AS sum_g, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1772000*(cb-128) " +
+        "+ 500000 + 256000000) div 1000000 - 256))) AS sum_b " +
+        "FROM jb GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(sum_r * 1000000 div (w*h*255) AS BIGINT) AS mean_r_e6, " +
+        "CAST(sum_g * 1000000 div (w*h*255) AS BIGINT) AS mean_g_e6, " +
+        "CAST(sum_b * 1000000 div (w*h*255) AS BIGINT) AS mean_b_e6 " +
+        "FROM d JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"),
 
     "q_embed_project" ->
       ("WITH ux AS (SELECT vec_id, pos, x FROM embeddings " +
