@@ -46,8 +46,8 @@ import graft.sources.CorpusSink
   * At 100 TB: an append touches `filesPerShard` new files per
   * occupied cell (IVF) or the touched src buckets (graph — bucket
   * count scales with nBuckets, so touched-bucket volume is
-  * ~|batch|·g·(rows/bucket), independent of the corpus); compaction
-  * is [[CorpusSink.refreshShards]] per partition, also corpus-free.
+  * ~|batch|·g·(rows/bucket), independent of the corpus); IVF file
+  * growth is folded back by [[compactIvfq]], also corpus-free.
   */
 object AnnIndex {
 
@@ -111,6 +111,37 @@ object AnnIndex {
     val centroids = readCentroids(batch.sparkSession, dir)
     CorpusSink.appendShards(ivfqRows(batch, centroids), s"$dir/vectors",
       shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
+  }
+
+  /** COMPACTION for [[appendIvfq]]'s file growth — the IVF twin of
+    * [[Retrieval.compactIndex]]: each append adds ≤`filesPerShard`
+    * files per occupied cell, so a long ingest run accumulates small
+    * files; this rewrites ONLY the cells whose file count exceeds
+    * `maxFilesPerCell` (driver-side dir listing, no rows read),
+    * staged to a sibling temp dir and swapped per-directory
+    * ([[CorpusSink.swapShards]]), leaving every below-threshold
+    * cell's files byte-identical. Rows are content-identical before
+    * and after (same (vec_id, qv, scale, cid) rows, re-sorted by
+    * vec_id in ≤`filesPerShard` files), so served results cannot
+    * change. The graph index needs no analogue: [[appendGraph]]
+    * already rewrites its touched buckets wholesale, so its file
+    * counts never grow. Returns the compacted cids. */
+  def compactIvfq(spark: SparkSession, dir: String,
+                  filesPerShard: Int = 2,
+                  maxFilesPerCell: Int = 8): Seq[Int] = {
+    val over = CorpusSink
+      .oversizedShards(spark, s"$dir/vectors", "cid", maxFilesPerCell)
+      .map(_.toInt)
+    if (over.nonEmpty) {
+      val rows = spark.read.parquet(s"$dir/vectors")
+        .filter(col("cid").isin(over: _*))
+        .select(col("vec_id"), col("qv"), col("scale"),
+          col("cid").cast("int").as("cid"))
+      CorpusSink.swapShards(rows, s"$dir/vectors",
+        over.map(c => s"cid=$c"), shardCol = "cid", sortCol = "vec_id",
+        filesPerShard = filesPerShard)
+    }
+    over
   }
 
   /** Serve IVF×int8 top-k entirely from the stored index: int8 stage

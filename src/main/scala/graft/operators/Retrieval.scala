@@ -202,6 +202,49 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** COMPACTION — the maintenance valve for [[appendIndex]]'s file
+    * growth (each append adds ≤`filesPerShard` files per touched
+    * bucket, so a long ingest run accumulates small files). Rewrites
+    * ONLY the buckets whose file count exceeds `maxFilesPerBucket` —
+    * staged to a sibling temp dir and swapped per-directory
+    * ([[graft.sources.CorpusSink.swapShards]]), so every
+    * below-threshold bucket's files survive byte-identical and the
+    * driver-side dir listing that picks the candidates reads no rows
+    * at all.
+    *
+    * Compaction also RESTORES the stored `df` column to the exact
+    * global value: a term's postings live entirely inside one bucket
+    * (bucket = hash(term)), so the recount is bucket-local — the same
+    * window count the serving path derives, now persisted. Serving is
+    * unaffected either way (it always derives df from the scan), so a
+    * compact can run any time without coordinating with readers of
+    * consistent snapshots beyond parquet's usual file-listing caveat.
+    *
+    * Returns the compacted bucket ids (empty = nothing exceeded the
+    * threshold). O(oversized buckets' rows) — never O(corpus). */
+  def compactIndex(spark: SparkSession, dir: String,
+                   filesPerShard: Int = 2,
+                   maxFilesPerBucket: Int = 8): Seq[Int] = {
+    val over = graft.sources.CorpusSink
+      .oversizedShards(spark, s"$dir/postings", "term_bucket", maxFilesPerBucket)
+      .map(_.toInt)
+    if (over.nonEmpty) {
+      val post = spark.read.parquet(s"$dir/postings")
+        .filter(col("term_bucket").isin(over: _*))
+        .drop("df")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"), col("df"),
+          col("term_bucket").cast("int").as("term_bucket"))
+      // write compacted buckets to a sibling temp dir, then swap each
+      // bucket's directory — never an overwrite of a path the plan is
+      // also reading (Spark rejects that, and rightly so)
+      graft.sources.CorpusSink.swapShards(post, s"$dir/postings",
+        over.map(b => s"term_bucket=$b"), shardCol = "term_bucket",
+        sortCol = "term", filesPerShard = filesPerShard)
+    }
+    over
+  }
+
   /** The partition predicate a query pushes at the stored postings:
     * every queried term's bucket id is a FOLDABLE expression
     * (`pmod(hash(lit(term)), nBuckets)`), so Catalyst constant-folds

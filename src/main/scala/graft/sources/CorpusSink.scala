@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus writer — the sink side of the pipeline (the reference's
@@ -56,6 +57,58 @@ object CorpusSink {
       .mode("append")
       .partitionBy(shardCol)
       .parquet(path)
+  }
+
+  /** The shard-partition VALUES under `path` whose directory holds
+    * more than `maxFiles` parquet data files — the compaction
+    * candidates after a run of [[appendShards]] calls (each append
+    * adds ≤`filesPerShard` files to every shard it touches, so file
+    * counts grow with batch count until a [[refreshShards]] rewrite
+    * folds them back). Driver-side listing of the partition
+    * DIRECTORIES only — one RPC per shard dir, never a row read, so
+    * the check is free at any corpus size. */
+  def oversizedShards(spark: SparkSession, path: String, shardCol: String,
+                      maxFiles: Int): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$shardCol="))
+      .filter { s =>
+        fs.listStatus(s.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix(s"$shardCol="))
+  }
+
+  /** COMPACTION WRITE: materialize `docs` (the replacement rows for
+    * the named shard partitions) into a sibling temp directory with
+    * the full layout contract, then atomically swap each listed
+    * partition directory into place and drop the temp dir. This is
+    * the write shape a compactor needs when its replacement rows are
+    * COMPUTED FROM the very path being rewritten — a direct dynamic
+    * overwrite of a path the plan also reads is rejected by Spark
+    * (and would be unsafe anyway); staging to a sibling and swapping
+    * per-directory keeps readers of untouched shards unaffected and
+    * makes each shard's cutover a single filesystem rename.
+    * `shardDirs` are the partition directory names to swap, e.g.
+    * `Seq("term_bucket=3", "term_bucket=7")` — `docs` must contain
+    * exactly those partitions' rows. */
+  def swapShards(docs: DataFrame, path: String, shardDirs: Seq[String],
+                 shardCol: String = "source", sortCol: String = "doc_id",
+                 filesPerShard: Int = 4): Unit = {
+    val tmp = s"$path._compact_tmp"
+    writeParquet(docs, tmp, shardCol, sortCol, filesPerShard)
+    val fs = new Path(path).getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
+    shardDirs.foreach { d =>
+      val dst = new Path(path, d)
+      val src = new Path(tmp, d)
+      fs.delete(dst, true)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compaction swap failed for $d")
+    }
+    fs.delete(new Path(tmp), true)
   }
 
   /** Incremental refresh: overwrite ONLY the shard partitions present

@@ -170,7 +170,9 @@ class MultimodalPixelSpec extends AnyFunSuite {
 
   test("JPEG decoder rejects unsupported frames and malformed streams") {
     val good = Multimodal.plantJpeg(7L)
-    // progressive SOF2 is honestly unsupported, not mis-decoded
+    // a sequential stream relabeled SOF2 is a MALFORMED progressive
+    // frame (its full-band interleaved scan is illegal in §G) — the
+    // now-supported progressive path must reject it, not mis-decode
     val sof = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     assert(sof > 0)
     val progressive = good.clone(); progressive(sof + 1) = 0xc2.toByte
@@ -282,6 +284,97 @@ class MultimodalPixelSpec extends AnyFunSuite {
       val expect = math.max(0, math.min(255, math.floor(0.25 * s + 128.5).toInt))
       assert((px((y * 8 + x) * 3 + ch) & 0xff) == expect,
         s"($x,$y) = ${px((y * 8 + x) * 3 + ch) & 0xff}, want $expect")
+    }
+  }
+
+  /** Hand-built 3-component COLOR baseline header with parametric
+    * luma sampling — (2,2)=4:2:0 is covered by the planted fixtures;
+    * this builder reaches the 4:4:4 (1,1) and 4:2:2 (2,1) geometries
+    * real crawl data carries. One shared Q table (Q(0,0)=8, rest 16)
+    * and the grayscale tests' DC/AC tables, used by all components. */
+  private def colorHeader(w: Int, h: Int, hy: Int, vy: Int): java.io.ByteArrayOutputStream = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >>> 8); b(v) }
+    b(0xff); b(0xd8)
+    b(0xff); b(0xdb); be16(2 + 65); b(0); b(8); (1 until 64).foreach(_ => b(16))
+    b(0xff); b(0xc0); be16(8 + 9); b(8); be16(h); be16(w); b(3)
+    b(1); b((hy << 4) | vy); b(0)
+    b(2); b(0x11); b(0)
+    b(3); b(0x11); b(0)
+    b(0xff); b(0xc4); be16(2 + (17 + 9) + (17 + 3))
+    b(0x00); val bits = new Array[Int](16); bits(3) = 9
+    bits.foreach(b); (0 to 8).foreach(b)
+    b(0x10); val ab = new Array[Int](16); ab(1) = 3
+    ab.foreach(b); Seq(0x00, 0x01, 0xf0).foreach(b)
+    b(0xff); b(0xda); be16(6 + 6); b(3)
+    b(1); b(0x00); b(2); b(0x00); b(3); b(0x00); b(0); b(63); b(0)
+    bos
+  }
+
+  /** DC-only interleaved color scan: per MCU, the Y blocks in
+    * (by, bx) order then one Cb and one Cr block, each DC+EOB;
+    * per-component differential predictors as §F.1.1.5.1. */
+  private def colorJpeg(w: Int, h: Int, hy: Int, vy: Int,
+                        yDc: (Int, Int) => Int, cbDc: Int => Int,
+                        crDc: Int => Int): Array[Byte] = {
+    val bos = colorHeader(w, h, hy, vy)
+    val bw = new Bw(bos)
+    val mcuW = (w + 8 * hy - 1) / (8 * hy)
+    val mcuH = (h + 8 * vy - 1) / (8 * vy)
+    val pred = new Array[Int](3)
+    def block(c: Int, dc: Int): Unit = {
+      putDc(bw, dc - pred(c)); pred(c) = dc
+      bw.put(0, 2) // EOB
+    }
+    var m = 0
+    for (my <- 0 until mcuH; mx <- 0 until mcuW) {
+      for (by <- 0 until vy; bx <- 0 until hy)
+        block(0, yDc(mx * hy + bx, my * vy + by) - 128)
+      block(1, cbDc(m) - 128)
+      block(2, crDc(m) - 128)
+      m += 1
+    }
+    bw.flush()
+    bos.write(0xff); bos.write(0xd9)
+    bos.toByteArray
+  }
+
+  test("4:4:4 color JPEG decodes exactly (no chroma subsampling)") {
+    // 16x8 = two MCUs of one block per component; every component
+    // changes across the MCU boundary so the per-component DC
+    // predictors and the identity upsample are both on the path
+    val yv = Array(40, 200); val cb = Array(100, 140); val cr = Array(90, 160)
+    val jpeg = colorJpeg(16, 8, hy = 1, vy = 1,
+      (bx, _) => yv(bx), m => cb(m), m => cr(m))
+    val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+    assert(w == 16 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val b = x / 8
+      val (er, eg, eb) = Multimodal.yccToRgbE6(yv(b), cb(b), cr(b))
+      val o = (y * 16 + x) * 3
+      assert((px(o) & 0xff) == er && (px(o + 1) & 0xff) == eg
+        && (px(o + 2) & 0xff) == eb, s"($x,$y) differs")
+    }
+  }
+
+  test("4:2:2 color JPEG decodes exactly (horizontal-only subsampling + crop)") {
+    // 24x8, MCU = 16x8: two MCUs, the second horizontally cropped.
+    // Luma block x/8 ∈ {0,1,2}; chroma sample index x/2 crosses its
+    // block boundary at x=16, so the x·compH/hmax mapping is exercised
+    // across blocks, not just within one
+    val yv = Array(40, 80, 120, 220) // 4th block cropped away
+    val cb = Array(100, 140); val cr = Array(90, 160)
+    val jpeg = colorJpeg(24, 8, hy = 2, vy = 1,
+      (bx, _) => yv(bx), m => cb(m), m => cr(m))
+    val Some((w, h, px)) = Multimodal.decodeJpeg(jpeg)
+    assert(w == 24 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 24) {
+      val m = (x / 2) / 8 // chroma block after x·1/2 downmap
+      val (er, eg, eb) = Multimodal.yccToRgbE6(yv(x / 8), cb(m), cr(m))
+      val o = (y * 24 + x) * 3
+      assert((px(o) & 0xff) == er && (px(o + 1) & 0xff) == eg
+        && (px(o + 2) & 0xff) == eb, s"($x,$y) differs")
     }
   }
 
