@@ -173,22 +173,27 @@ object AnnIndex {
     val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
       initMode = initMode, sampleMod = sampleMod)
     writeCentroids(corpus.sparkSession, centroids, dir)
-    val assigned = Similarity.assignCells(corpus, centroids)
-      .select(col("vec_id"),
-        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+    // one centroid-scoring pass serves both the spill and the argmax
+    // (crank 1) — the graphTopK single-pass rule
+    val spill = Similarity.assignTopCells(corpus, centroids).cache()
+    val assigned = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
+      .join(spill.filter(col("crank") === 1).select(col("vec_id"), col("cid")),
+        Seq("vec_id"))
       .cache()
+    spill.count(); assigned.count() // pre-populate before stages race (graphTopK rule)
     var edges: DataFrame = null
     try {
-      edges = Similarity.knnGraphFrom(assigned,
-        Similarity.assignTopCells(corpus, centroids), corpus.count(), g,
-        refineRounds, randPerVec, seed)
+      edges = Similarity.knnGraphFrom(assigned, spill,
+        corpus.count(), g, refineRounds, randPerVec, seed)
       CorpusSink.writeParquet(
         edges.withColumn("bucket", pmod(hash(col("src")), lit(nBuckets))),
         s"$dir/edges", shardCol = "bucket", sortCol = "src",
         filesPerShard = filesPerShard)
       centroids
     } finally {
+      spill.unpersist(blocking = false)
       assigned.unpersist(blocking = false)
       if (edges != null) edges.unpersist(blocking = false)
     }

@@ -1428,4 +1428,141 @@ object Multimodal {
         Frames(id, nFrames.toLong, sampled.length.toLong, sampled)
       })
   }
+
+  // ---- audio: RIFF/WAVE container, 16-bit PCM ----
+
+  final case class AudioMeta(doc_id: Long, sample_rate: Long,
+                             n_channels: Long, n_frames: Long,
+                             sum_amp: Long, sum_sq: Long, peak_amp: Long)
+
+  def plantedRate(docId: Long): Int = 8000 + (docId % 3).toInt * 4000
+  def plantedChannels(docId: Long): Int = (docId % 2).toInt + 1
+  def plantedFrames(docId: Long): Int = (docId % 64).toInt + 16
+
+  /** Planted 16-bit sample for frame `i`, channel `c` — pure doc_id
+    * arithmetic so per-doc sums are exactly oracle-able. */
+  def plantedSample(docId: Long, i: Int, c: Int): Int =
+    ((docId * 7919L + i.toLong * 104729L + c.toLong * 31337L) % 65536L
+      - 32768L).toInt
+
+  /** Build a COMPLETE valid RIFF/WAVE file around the planted PCM:
+    * RIFF size field, a LIST junk chunk of varying ODD length before
+    * fmt (the RIFF even-padding rule is on every real decode path —
+    * broadcast WAVs carry LIST/INFO, bext, cue chunks), canonical
+    * 16-byte PCM fmt, and interleaved little-endian 16-bit data. */
+  def plantWav(docId: Long): Array[Byte] = {
+    val ch = plantedChannels(docId)
+    val n = plantedFrames(docId)
+    val rate = plantedRate(docId)
+    val junkLen = (docId % 7).toInt * 2 + 1 // always odd → pad byte
+    val dataLen = n * ch * 2
+    val out = new java.io.ByteArrayOutputStream(44 + junkLen + 1 + dataLen)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b(v); b(v >>> 8) }
+    def le32(v: Int): Unit = { b(v); b(v >>> 8); b(v >>> 16); b(v >>> 24) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val riffBody = 4 + (8 + junkLen + 1) + (8 + 16) + (8 + dataLen)
+    tag("RIFF"); le32(riffBody); tag("WAVE")
+    tag("LIST"); le32(junkLen)
+    (0 until junkLen).foreach(j => b((docId + j).toInt))
+    b(0) // pad to even
+    tag("fmt "); le32(16)
+    le16(1)                    // PCM
+    le16(ch)
+    le32(rate)
+    le32(rate * ch * 2)        // byte rate
+    le16(ch * 2)               // block align
+    le16(16)                   // bits per sample
+    tag("data"); le32(dataLen)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) { le16(plantedSample(docId, i, c) & 0xffff); c += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL RIFF/WAVE decode — chunk walk with the even-padding rule,
+    * strict fmt validation (PCM tag 1, 16-bit, consistent block
+    * align), fmt-before-data ordering, and little-endian signed PCM
+    * extraction. Returns (sampleRate, nChannels, interleaved
+    * samples); any malformed container → None, never a throw. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    def tagIs(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
+    try {
+      if (bytes.length < 44 || !tagIs(0, "RIFF") || !tagIs(8, "WAVE")) return None
+      if (le32(4) != bytes.length - 8) return None
+      var i = 12
+      var rate = 0; var ch = 0; var fmtSeen = false
+      while (i + 8 <= bytes.length) {
+        val size = le32(i + 4)
+        if (size < 0 || i + 8 + size > bytes.length) return None
+        if (tagIs(i, "fmt ")) {
+          if (size < 16) return None
+          if (le16(i + 8) != 1) return None         // PCM only
+          ch = le16(i + 10)
+          rate = le32(i + 12)
+          if (ch < 1 || ch > 8 || rate <= 0) return None
+          if (le16(i + 20) != ch * 2) return None    // block align
+          if (le16(i + 22) != 16) return None        // 16-bit only
+          fmtSeen = true
+        } else if (tagIs(i, "data")) {
+          if (!fmtSeen) return None                  // fmt must precede data
+          if (size % (ch * 2) != 0) return None
+          val samples = new Array[Short](size / 2)
+          var k = 0
+          while (k < samples.length) {
+            samples(k) = le16(i + 8 + 2 * k).toShort
+            k += 1
+          }
+          return Some((rate, ch, samples))
+        }
+        i += 8 + size + (size & 1)                   // even-padding rule
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Fixture binary column planting a valid WAV for every doc. */
+  def withPlantedAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, plantWav(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-partition audio decode → typed features, all EXACT integer
+    * math (sum, sum of squares, peak of the signed 16-bit samples) so
+    * the oracle replays the planted-sample formula bit for bit.
+    * Undecodable audio reports zeros rather than failing the stage —
+    * the same tolerance contract as [[decodeFeatures]]. Linear CPU,
+    * zero shuffle. */
+  def audioFeatures(withAudio: DataFrame): Dataset[AudioMeta] = {
+    val spark = withAudio.sparkSession
+    import spark.implicits._
+    withAudio.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Some((rate, ch, samples)) =>
+            var sum = 0L; var sq = 0L; var peak = 0L
+            var k = 0
+            while (k < samples.length) {
+              val v = samples(k).toLong
+              sum += v; sq += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              k += 1
+            }
+            AudioMeta(id, rate.toLong, ch.toLong,
+              (samples.length / ch).toLong, sum, sq, peak)
+          case None => AudioMeta(id, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
 }

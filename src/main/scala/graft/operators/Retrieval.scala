@@ -87,16 +87,30 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, nQueryTerms: Int = 3, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = dfCounts(docs)
+      .filter(!col("term").isin("the", "a", "of", "and", "in"))
+      .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+    bm25Scores(docs, qterms, k1, b)
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-doc BM25 scores for an explicit query-term frame (`term`
+    * [, `df`]) — the scoring core [[bm25TopK]] tops and
+    * [[hybridTopK]]'s sparse side ranks. `qterms` is query-sized and
+    * broadcast; df is recomputed from the corpus here so any caller's
+    * term frame works. Output: (doc_id, n_hit, bm25_e6) for every doc
+    * matching ≥1 term. */
+  def bm25Scores(docs: DataFrame, qterms: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dt = docs.select(col("doc_id"),
       explode(TextOps.regexTokens(col("text"))).as("term"))
     val df = dfCounts(docs)
-    val qterms = df
-      .filter(!col("term").isin("the", "a", "of", "and", "in"))
-      .orderBy(col("df").desc, col("term")).limit(nQueryTerms)
+    val q = df.join(broadcast(qterms.select("term")), Seq("term"))
     val dl = docs.select(col("doc_id"),
       size(TextOps.regexTokens(col("text"))).cast("long").as("dl"))
     val stats = corpusStats(docs)
-    val tf = dt.join(broadcast(qterms), Seq("term"))
+    val tf = dt.join(broadcast(q), Seq("term"))
       .groupBy(col("doc_id"), col("term"), col("df"))
       .agg(count(lit(1)).as("tf"))
     tf.join(dl, Seq("doc_id"))
@@ -105,7 +119,34 @@ object Retrieval {
         floor(idfExpr * normExpr(k1, b) * lit(1e6)).cast("long").as("score_e6"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(col("score_e6")).as("bm25_e6"))
-      .orderBy(col("bm25_e6").desc, col("doc_id"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    * hybrid-retrieval merge of a sparse (lexical) and a dense
+    * (vector) ranking. Takes the two rank frames AS INPUT — (id,
+    * rank) with rank 1-based — so the fusion is ranking-source
+    * agnostic: the gate key feeds exact cosine ranks (oracle-able),
+    * a deployment feeds ANN ranks (`HybridRetrievalSpec` proves the
+    * IVF composition); either side may be a top-N cut.
+    *
+    * Scores are EXACT integers: rrf_e9 = ⌊1e9/(kRrf+r_sparse)⌋ +
+    * ⌊1e9/(kRrf+r_dense)⌋, a missing side contributing 0 — integer
+    * division keeps the fusion bit-stable across engines, and ranks
+    * (not raw scores) make it scale-free, which is the point of RRF.
+    * Both inputs are top-N-bounded, so the full-outer join is
+    * query-sized — never corpus-sized. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int = 10,
+              kRrf: Int = 60): DataFrame = {
+    val s = sparse.select(col("doc_id"), col("rank").as("r_sparse"))
+    val d = dense.select(col("doc_id"), col("rank").as("r_dense"))
+    s.join(d, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000000 DIV ($kRrf + r_sparse)"), lit(0L))
+          + coalesce(expr(s"1000000000 DIV ($kRrf + r_dense)"), lit(0L)))
+          .cast("long").as("rrf_e9"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .orderBy(col("rrf_e9").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -152,9 +152,9 @@ object Similarity {
       .withColumn("cid", expr("array_position(__cs, array_max(__cs))").cast("int"))
       .drop("__cs")
 
-  /** (vec_id, cid) pairs for each vector's `nCells` NEAREST cells —
-    * the SPILLED assignment the k-NN-graph build candidates use
-    * ([[knnGraph]]): with argmax-only cells the graph is
+  /** (vec_id, cid, crank) rows for each vector's `nCells` NEAREST
+    * cells — the SPILLED assignment the k-NN-graph build candidates
+    * use ([[knnGraph]]): with argmax-only cells the graph is
     * CELL-DISCONNECTED on clustered data (within-cell pairs never
     * cross a boundary, and a uniform-random partner's ~0 cosine loses
     * to every within-cell neighbor, so no random edge survives the
@@ -165,36 +165,29 @@ object Similarity {
     * boundary — exactly the edges the walk needs — at ~4× the
     * within-cell pair cost, which the nlist scaling rule absorbs.
     *
-    * Per-row top-k scan over the Row API (the quantizedCorpus
-    * per-partition escape, Row-typed because a zero-norm vector's
-    * cosines are NULL — a typed Array[Double] encoder would throw),
     * NOT an explode+window (n·nlist shuffled rows) and NOT nested
     * HOFs over the score array (the projection-collapse trap would
-    * re-derive the full centroid scoring per element). Zero-norm
-    * vectors assign to no cell — same as their null argmax in
-    * [[assignCells]], and the pair scan filters them anyway. */
+    * re-derive the full centroid scoring per element) — a codegen'd
+    * [[graft.functions.ArgTopK]] register scan inside the projection.
+    * Zero-norm vectors assign to no cell — same as their null argmax
+    * in [[assignCells]], and the pair scan filters them anyway. */
   def assignTopCells(corpus: DataFrame, centroids: Array[Array[Double]],
                      nCells: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val scored = corpus.select(col("vec_id"),
-      graft.functions.CentroidCosines.of(
-        VectorOps.asDoubleArray(col("embedding")), centroids).as("cs"))
-    val out = scored.rdd.flatMap { r =>
-      if (r.isNullAt(0) || r.isNullAt(1)) Nil
-      else {
-        val id = r.getLong(0)
-        val cs = r.getSeq[Any](1)
-        val idx = cs.zipWithIndex.collect {
-          case (d: java.lang.Double, i) => (d.doubleValue, i)
-        }
-        idx.sortBy { case (s, i) => (-s, i) }.take(nCells)
-          .map { case (_, i) => Row(id, i + 1) }
-      }
-    }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("vec_id", LongType), StructField("cid", IntegerType))))
+    // crank 1 IS the argmax assignment (same first-max tie rule as
+    // [[assignCells]]), so ONE scoring pass serves both the spilled
+    // build candidates and the argmax side — n·nlist·dim flops saved
+    // per caller that needs both (graphTopK, buildGraphIndex).
+    // Whole-stage codegen end to end: CentroidCosines scores, the
+    // [[graft.functions.ArgTopK]] register scan picks the top cells
+    // (the earlier DataFrame.rdd round-trip deserialized every score
+    // array to boxed rows — a measured ~⅓ of the sf10 graph build),
+    // and posexplode drops zero-norm rows via ArgTopK's empty array.
+    corpus.select(col("vec_id"),
+        graft.functions.ArgTopK.of(graft.functions.CentroidCosines.of(
+          VectorOps.asDoubleArray(col("embedding")), centroids), nCells).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "cid")))
+      .select(col("vec_id"), col("cid"),
+        (col("pos") + 1).cast("int").as("crank"))
   }
 
   /** IVF-style ANN: the corpus is coarse-partitioned by nearest of
@@ -529,11 +522,13 @@ object Similarity {
                refineRounds: Int = 1, randPerVec: Int = 4,
                seed: Long = 42L, initMode: String = "k-means||"): DataFrame = {
     val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
-    val assigned = assignCells(corpus, centroids)
-      .select(col("vec_id"),
-        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+    val spill = assignTopCells(corpus, centroids)
+    val assigned = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
-    knnGraphFrom(assigned, assignTopCells(corpus, centroids),
+      .join(spill.filter(col("crank") === 1).select(col("vec_id"), col("cid")),
+        Seq("vec_id"))
+    knnGraphFrom(assigned, spill,
       corpus.count(), g, refineRounds, randPerVec, seed)
   }
 
@@ -558,16 +553,32 @@ object Similarity {
                                       refineRounds: Int, randPerVec: Int,
                                       seed: Long): DataFrame = {
     val c = assigned.select(col("vec_id"), col("cv"), col("cn"))
+    // top-k per src through the BOUNDED-BUFFER aggregate, not a
+    // row_number window: a window must shuffle AND sort every scored
+    // pair row per src before cutting (the bulk-pair shuffle was the
+    // measured build bottleneck — an int8 variant that kept the
+    // windows measured SLOWER, sf1 23.3 → 35.5 s, because the
+    // shuffles, not the dots, were the wall), while TopEdges is a
+    // commutative monoid over bounded buffers, so the partial
+    // ObjectHashAggregate map-side-combines each task's pairs to ≤k
+    // per local src and the Exchange ships O(n·k) edges, never
+    // O(pairs) rows. The aggregate also dedupes on dst (duplicate
+    // candidates carry identical scores by construction), which
+    // removes the dropDuplicates pre-shuffles the window shape needed.
     def topG(scored: DataFrame): DataFrame =
-      scored.withColumn("rank", row_number().over(
-          Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))))
-        .filter(col("rank") <= g)
-        .select(col("src"), col("dst"), col("score"))
+      scored.groupBy(col("src"))
+        .agg(graft.functions.TopEdges.topEdges(col("dst"), col("score"), g).as("es"))
+        .select(col("src"), explode(col("es")).as("e"))
+        .select(col("src"), col("e.dst").as("dst"), col("e.score").as("score"))
     // Shuffle-shape invariant (the semanticDedup rule): vectors ride
     // the O(n·g)-row JOIN SIDES, never the pair-level rows — every
     // scored pair exists only inside a join's output projection
-    // (dot + filter + 3-column select), so no shuffle in the build
-    // ever carries pair-count × vector-width bytes.
+    // (dot + filter + top-g agg), so no shuffle in the build ever
+    // carries pair-count × vector-width bytes. The dots stay EXACT
+    // doubles: a quantize-first variant (int8 stage-1, top-2g, exact
+    // rescore) measured flat at sf10 and 2× SLOWER at sf1 — with the
+    // window shuffles gone, the dot arithmetic is not the wall, and
+    // the extra quantize/rescore stages are pure overhead.
     def scoreJoin(l: DataFrame, r: DataFrame, key: String): DataFrame =
       l.join(r, Seq(key))
         .filter(col("src") =!= col("dst") && col("xn") * col("yn") > 0)
@@ -591,14 +602,13 @@ object Similarity {
     val bucketed = assigned
       .withColumn("b", pmod(xxhash64(col("vec_id"), lit(seed)), lit(nBuckets)))
     val randScored = scoreJoin(asSrc(bucketed, "b"), asDst(bucketed, "b"), "b")
-    var graph = topG(cellScored.unionByName(randScored)
-      .dropDuplicates("src", "dst")).cache()
+    var graph = topG(cellScored.unionByName(randScored)).cache()
     graph.count()
     // NN-Descent rounds: neighbor-of-neighbor candidates through the
     // shared endpoint, in both edge directions. Endpoint vectors are
     // pre-attached to the n·g-row edge tables BEFORE the mid-join,
     // keeping the invariant; duplicate candidates cost a redundant
-    // (codegen'd) dot each, then dedupe on the narrow scored rows.
+    // (codegen'd) dot each and collapse inside the top-g buffers.
     (1 to refineRounds).foreach { _ =>
       val left = graph.select(col("src"), col("dst").as("mid"))
         .join(c.select(col("vec_id").as("src"), col("cv").as("xv"),
@@ -612,9 +622,7 @@ object Similarity {
         .withColumn("score",
           VectorOps.dotArr(col("xv"), col("yv")) / (col("xn") * col("yn")))
         .select(col("src"), col("dst"), col("score"))
-        .dropDuplicates("src", "dst")
-      val next = topG(nonScored.unionByName(graph)
-        .dropDuplicates("src", "dst")).cache()
+      val next = topG(nonScored.unionByName(graph)).cache()
       next.count()
       graph.unpersist(blocking = false)
       graph = next
@@ -641,23 +649,33 @@ object Similarity {
                 randPerVec: Int = 4): DataFrame = {
     val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode,
       sampleMod = sampleMod)
-    // ONE cell-assignment pass feeds the graph build, the seed join,
-    // and candidate scoring; cached because the graph build alone
-    // reads it from several join sides. Released below: the traversal
-    // is eager, so by return time nothing reads it again.
-    val assigned = assignCells(corpus, centroids)
-      .select(col("vec_id"),
-        VectorOps.asDoubleArray(col("embedding")).as("cv"), col("cid"))
+    // ONE centroid-scoring pass feeds the spilled build candidates
+    // AND the argmax assignment (crank 1 of the spill — scoring
+    // twice through assignCells was a second n·nlist·dim pass, a
+    // measured ~¼ of the sf10 build). Cached because the graph build
+    // reads both from several join sides. Released below: the
+    // traversal is eager, so by return time nothing reads them again.
+    val spill = assignTopCells(corpus, centroids).cache()
+    val assigned = corpus.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
+      .join(spill.filter(col("crank") === 1).select(col("vec_id"), col("cid")),
+        Seq("vec_id"))
       .cache()
+    // materialize BEFORE the build fans out: the build's first action
+    // launches several stages concurrently, and stages racing an
+    // unpopulated cache each recompute the n·nlist scoring pass —
+    // measured 2× the whole sf10 build
+    spill.count(); assigned.count()
     var graph: DataFrame = null
     try {
-      graph = knnGraphFrom(assigned, assignTopCells(corpus, centroids),
+      graph = knnGraphFrom(assigned, spill,
         corpus.count(), g,
         refineRounds = refineRounds, randPerVec = randPerVec, seed = seed)
       searchOverEdges(assigned, graph.select(col("src"), col("dst")),
         queries, k, centroids, beam, hops, seedProbe)
     } finally {
+      spill.unpersist(blocking = false)
       assigned.unpersist(blocking = false)
       if (graph != null) graph.unpersist(blocking = false)
     }

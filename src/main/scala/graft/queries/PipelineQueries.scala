@@ -766,10 +766,19 @@ object PipelineQueries {
       // CELL-DISCONNECTED (see Similarity.assignTopCells), so no
       // hop count could leave the seed cells. The spilled build
       // assignment fixes the topology — measured sf1 recall 0.78 at
-      // g=12 / 0.84 at g=16, from 0.29
+      // g=12 / 0.84 at g=16, from 0.29.
+      // NN-Descent refinement is SCALE-GATED (GraphDebug, round 11):
+      // with corpus-scaled nlist the spilled init already covers
+      // every cell boundary, and the measured refine payoff shrinks
+      // as cells multiply — sf0.1 (nlist 16): 0.95 → 0.97, sf1
+      // (nlist 78): 0.79 → 0.84, sf10 (nlist 781): 0.78 → 0.78 for
+      // +47 s of n·(2g)² pair work. One round where cells are few,
+      // zero where the spill owns the topology.
+      val refineRounds = if (nlist > 100) 0 else 1
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = 16,
         beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
-        initMode = initMode, sampleMod = sampleMod)
+        initMode = initMode, sampleMod = sampleMod,
+        refineRounds = refineRounds)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       // bound raised 0.5 → 0.65 once the spilled build held 0.84 at
       // sf1: the contract now enforces the scale margin itself
@@ -936,6 +945,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // AUDIO decode end-to-end: every doc planted as a complete valid
+    // RIFF/WAVE (LIST junk chunk with the even-padding rule, PCM fmt,
+    // interleaved 16-bit LE data), decoded through the real chunk
+    // walk; sum/sum-of-squares/peak of the signed samples are exact
+    // integers, so the oracle replays the planted formula bit for bit
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.audioFeatures(
+          Multimodal.withPlantedAudio(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("n_frames"), col("sum_amp"), col("sum_sq"), col("peak_amp"))
+        .orderBy(col("doc_id"))),
+
     // int8 embedding quantization with per-vector distortion check:
     // every vector must reconstruct with cosine ≥ 0.995
     "q_embed_quant" -> ((s, d) => {
@@ -980,6 +1002,37 @@ object PipelineQueries {
     // e6-quantized before the integer per-doc sum, TakeOrdered top-10
     "q_bm25_topk" -> ((s, d) =>
       Retrieval.bm25TopK(Tables.documents(s, d), nQueryTerms = 3, k = 10)),
+
+    // HYBRID RETRIEVAL — reciprocal-rank fusion of a sparse (BM25)
+    // and a dense (cosine) ranking for one query document (its own
+    // top-tf terms drive the lexical side, its embedding the vector
+    // side — the standard RAG hybrid). Ranks, not raw scores, enter
+    // the fusion, and rrf_e9 is exact integer math, so the whole key
+    // is exactly oracled. Both sides are top-50 cuts (TakeOrdered),
+    // the fusion join is query-sized, and the dense side is the
+    // exact scorer only for oracle-ability — Retrieval.rrfFuse is
+    // ranking-source agnostic and HybridRetrievalSpec proves the
+    // IVF-ANN composition a deployment runs
+    "q_retrieval_hybrid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qid = 42L
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === qid), k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val qterms = docs.filter(col("doc_id") === qid)
+        .select(explode(TextOps.regexTokens(col("text"))).as("term"))
+        .filter(!col("term").isin("the", "a", "of", "and", "in"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(3)
+      val sparseTop = Retrieval.bm25Scores(docs, qterms)
+        .filter(col("doc_id") =!= qid)
+        .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+      // rank the 50-row cut (the window runs on a bounded frame)
+      val sparse = sparseTop.withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+      Retrieval.rrfFuse(sparse, dense, k = 10)
+    }),
 
     // stored-BM25-index INCREMENTAL MAINTENANCE, exactly oracled:
     // build the term-bucketed postings index on 2/3 of the corpus,
@@ -1585,6 +1638,19 @@ object PipelineQueries {
         "CAST(sum_g * 1000000 // (w*h*255) AS BIGINT) AS mean_g_e6, " +
         "CAST(sum_b * 1000000 // (w*h*255) AS BIGINT) AS mean_b_e6 " +
         "FROM d JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"),
+    // audio: replay the planted-sample formula over an unnested
+    // frame×channel range — every aggregate is exact integer math
+    "q_multimodal_audio" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 64 + 16 AS n, doc_id % 2 + 1 AS ch, " +
+        "8000 + (doc_id % 3) * 4000 AS rate FROM documents), " +
+        "s AS (SELECT doc_id, n, ch, rate, unnest(range(0, n * ch)) AS k FROM g), " +
+        "v AS (SELECT doc_id, n, ch, rate, " +
+        "(doc_id * 7919 + (k // ch) * 104729 + (k % ch) * 31337) % 65536 - 32768 AS amp FROM s) " +
+        "SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate, " +
+        "CAST(ch AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_frames, " +
+        "CAST(sum(amp) AS BIGINT) AS sum_amp, CAST(sum(amp * amp) AS BIGINT) AS sum_sq, " +
+        "CAST(max(abs(amp)) AS BIGINT) AS peak_amp " +
+        "FROM v GROUP BY 1, 2, 3, 4 ORDER BY doc_id"),
     "q_multimodal_decode" ->
       ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
         "(doc_id*17+3) % 11 + 3 AS h FROM documents), " +
@@ -1619,6 +1685,40 @@ object PipelineQueries {
     // BM25: same float parenthesization as Retrieval.bm25TopK, the
     // per-(doc,term) contribution e6-floored before the integer sum
     "q_bm25_topk" -> bm25OracleSql,
+    // hybrid: doc 42's top-tf terms → BM25 ranks (same scoring
+    // fragments as bm25OracleSql); its embedding → exact cosine
+    // ranks; integer RRF over the two top-50 cuts
+    "q_retrieval_hybrid" ->
+      ("WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
+        "FROM documents), " +
+        "q AS (SELECT term FROM dt WHERE doc_id = 42 " +
+        "AND term NOT IN ('the','a','of','and','in') " +
+        "GROUP BY term ORDER BY count(*) DESC, term LIMIT 3), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1), " +
+        "dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS dl " +
+        "FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+        "tf AS (SELECT dt.doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
+        "JOIN df USING (term) GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) " +
+        "* (CAST(tf AS DOUBLE) * (1.2 + 1.0) / (CAST(tf AS DOUBLE) " +
+        "+ 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
+        "* 1000000.0) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id), st), " +
+        "bm AS (SELECT doc_id, sum(score_e6) AS bm25_e6 FROM sc WHERE doc_id <> 42 GROUP BY 1), " +
+        "sp AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS r_sparse " +
+        "FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 50), " +
+        "dn0 AS (SELECT b.vec_id AS doc_id, " + cosSql("a", "b") + " AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id = 42 AND b.vec_id <> 42), " +
+        "dn AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_dense " +
+        "FROM dn0 ORDER BY score DESC, doc_id LIMIT 50), " +
+        "f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id, " +
+        "coalesce(1000000000 // (60 + r_sparse), 0) + coalesce(1000000000 // (60 + r_dense), 0) AS rrf_e9, " +
+        "coalesce(r_sparse, 0) AS r_sparse, coalesce(r_dense, 0) AS r_dense " +
+        "FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id) " +
+        "SELECT doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9, " +
+        "CAST(r_sparse AS BIGINT) AS r_sparse, CAST(r_dense AS BIGINT) AS r_dense " +
+        "FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT 10"),
     // the append key serves the SAME full-corpus ranking from the
     // incrementally-maintained stored index — identical oracle text
     "q_retrieval_append" -> bm25OracleSql,

@@ -578,6 +578,52 @@ object SparkSqlTwins {
     // incrementally-maintained stored index — identical twin text
     "q_retrieval_append" -> bm25Twin,
 
+    // hybrid RRF: doc 42's top-tf terms → BM25 ranks, its embedding
+    // → exact cosine ranks, integer fusion over the top-50 cuts
+    "q_retrieval_hybrid" ->
+      ("WITH dt AS (SELECT doc_id, term FROM documents " +
+        "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term), " +
+        "q AS (SELECT term FROM dt WHERE doc_id = 42 " +
+        "AND term NOT IN ('the','a','of','and','in') " +
+        "GROUP BY term ORDER BY count(*) DESC, term LIMIT 3), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term), " +
+        "dl AS (SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS dl " +
+        "FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
+        "tf AS (SELECT dt.doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
+        "JOIN df USING (term) GROUP BY dt.doc_id, dt.term, df), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(" +
+        "ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)) " +
+        "* (CAST(tf AS DOUBLE) * (1.2D + 1.0D) / (CAST(tf AS DOUBLE) " +
+        "+ 1.2D * (1.0D - 0.75D + 0.75D * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) " +
+        "* 1000000.0D) AS BIGINT) AS score_e6 FROM tf JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "bm AS (SELECT doc_id, sum(score_e6) AS bm25_e6 FROM sc WHERE doc_id <> 42 GROUP BY doc_id), " +
+        "spt AS (SELECT doc_id, bm25_e6 FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 50), " +
+        "sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS r_sparse FROM spt), " +
+        "dn0 AS (SELECT b.vec_id AS doc_id, " + cosSql("a", "b") + " AS score " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id = 42 AND b.vec_id <> 42), " +
+        "dnt AS (SELECT doc_id, score FROM dn0 ORDER BY score DESC, doc_id LIMIT 50), " +
+        "dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_dense FROM dnt), " +
+        "f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id, " +
+        "CAST(coalesce(1000000000 DIV (60 + r_sparse), 0) + coalesce(1000000000 DIV (60 + r_dense), 0) AS BIGINT) AS rrf_e9, " +
+        "CAST(coalesce(r_sparse, 0) AS BIGINT) AS r_sparse, " +
+        "CAST(coalesce(r_dense, 0) AS BIGINT) AS r_dense " +
+        "FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id) " +
+        "SELECT doc_id, rrf_e9, r_sparse, r_dense " +
+        "FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT 10"),
+
+    "q_multimodal_audio" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 64 + 16 AS n, doc_id % 2 + 1 AS ch, " +
+        "8000 + (doc_id % 3) * 4000 AS rate FROM documents), " +
+        "s AS (SELECT doc_id, n, ch, rate, explode(sequence(0, n * ch - 1)) AS k FROM g), " +
+        "v AS (SELECT doc_id, n, ch, rate, " +
+        "(doc_id * 7919 + (k DIV ch) * 104729 + (k % ch) * 31337) % 65536 - 32768 AS amp FROM s) " +
+        "SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate, " +
+        "CAST(ch AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_frames, " +
+        "CAST(sum(amp) AS BIGINT) AS sum_amp, CAST(sum(amp * amp) AS BIGINT) AS sum_sq, " +
+        "CAST(max(abs(amp)) AS BIGINT) AS peak_amp " +
+        "FROM v GROUP BY doc_id, rate, ch, n ORDER BY doc_id"),
+
     "q_multimodal_progressive" ->
       ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, (doc_id*17+3) % 11 + 3 AS h FROM documents), " +
         "jb AS (SELECT doc_id, w, h, bx, by, " +

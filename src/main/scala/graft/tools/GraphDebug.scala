@@ -9,16 +9,17 @@ import graft.operators.Similarity
 /** Parameter-matrix diagnostic for the graph-ANN key: replicates
   * q_similarity_graph's exact path (corpus-scaled nlist, sampled or
   * full centroid fit, shared assignment, beam search) and prints the
-  * measured recall + wall for each (g, refineRounds, sampledFit)
-  * combination. Usage:
-  * runMain graft.tools.GraphDebug <sfDir> <g,rounds,sampled[:g,rounds,sampled...]> */
+  * measured recall + wall for each (g, refineRounds, sampledFit
+  * [, nlistDenom]) combination. Usage:
+  * runMain graft.tools.GraphDebug <sfDir> <g,rounds,sampled[,denom][:...]> */
 object GraphDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val combos = (if (args.length > 1) args(1) else "12,1,1")
       .split(":").toSeq.map { s =>
-        val Array(g, r, m) = s.split(",").map(_.trim.toInt)
-        (g, r, m == 1)
+        val parts = s.split(",").map(_.trim.toInt)
+        (parts(0), parts(1), parts(2) == 1,
+          if (parts.length > 3) parts(3) else 256)
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -32,12 +33,12 @@ object GraphDebug {
     val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
       && col("vec_id") < 2000)
     val n = emb.count()
-    val nlist = math.max(16L, n / 256L).toInt
-    val initMode = if (nlist > 64) "random" else "k-means||"
-    val seedProbe = math.max(2, nlist / 32)
     val exact = Similarity.bruteForceTopK(emb, queries, 5).cache()
     exact.count()
-    combos.foreach { case (g, rounds, sampled) =>
+    combos.foreach { case (g, rounds, sampled, denom) =>
+      val nlist = math.max(16L, n / denom).toInt
+      val initMode = if (nlist > 64) "random" else "k-means||"
+      val seedProbe = math.max(2, nlist / 32)
       val sampleMod = if (sampled) math.max(1L, n / (16L * nlist)).toInt else 1
       val t0 = System.nanoTime()
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = g,
@@ -45,7 +46,7 @@ object GraphDebug {
         initMode = initMode, sampleMod = sampleMod, refineRounds = rounds)
       val rec = Similarity.meanRecall(ann, exact).head().getAs[Double]("recall")
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[graphdebug] n=$n nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe -> recall=$rec%.3f wall=$wall%.1f s")
+      println(f"[graphdebug] n=$n denom=$denom nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe -> recall=$rec%.3f wall=$wall%.1f s")
     }
     spark.stop()
   }

@@ -186,8 +186,16 @@ class PlanShapeSpec extends SparkTestBase {
     ps.foreach(p =>
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"graph build must be equi-joins, never pair cross products:\n$p"))
-    assert(ps.exists(_.contains("WindowGroupLimit")),
-      s"the per-src top-g (rank <= g) must prune map-side:\n${ps.size} plans, none had WindowGroupLimit")
+    // the per-src top-g is the TopEdges bounded-buffer aggregate, so
+    // the partial ObjectHashAggregate MAP-SIDE-COMBINES each task's
+    // pairs to ≤g per local src before the Exchange — O(n·g) edges
+    // ship, never O(pairs) rows, and nothing window-sorts the bulk
+    assert(ps.exists(p => p.contains("ObjectHashAggregate")
+        && p.contains("partial_top_edges")),
+      s"the per-src top-g must map-side-combine via partial top_edges:\n${ps.size} plans, none had a partial top_edges ObjectHashAggregate")
+    ps.foreach(p =>
+      assert(!(p.contains("top_edges") && p.contains("WindowGroupLimit")),
+        s"top-g must not regress to an event-level window sort:\n$p"))
   }
 
   test("graph ANN traversal: every executed job is keyed, beam prunes map-side") {
