@@ -214,16 +214,16 @@ object Similarity {
     val assigned = c.withColumn("cs", centroidScores(col("cv")))
       .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
       .drop("cs")
-    // query side: nProbe nearest centroids each
+    // query side: nProbe nearest centroids each — the ArgTopK
+    // register scan (same (score desc, index asc) tie rule the old
+    // explode+window had), so probe selection is one codegen pass
+    // with no window sort even on a large probe panel
     val q = broadcast(queries.select(col("vec_id").as("qid"),
         VectorOps.asDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", VectorOps.l2Norm(col("qv")))
-      .withColumn("cs", centroidScores(col("qv")))
-      .select(col("qid"), col("qv"), col("qn"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn"), (col("cpos") + 1).cast("int").as("cid")))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(graft.functions.ArgTopK.of(centroidScores(col("qv")), nProbe))
+          .as("cid")))
     assigned.join(q, Seq("cid")).filter(col("qid") =!= col("vec_id"))
       .withColumn("score",
         when(col("qn") * col("cn") > 0,
@@ -329,13 +329,9 @@ object Similarity {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
         VectorOps.asDoubleArray(col("embedding")).as("qv2"))
       .withColumn("qn", VectorOps.l2Norm(col("qv2")))
-      .withColumn("cs", centroidScores(col("qv2")))
       .select(col("qid"), col("qv2"), col("qn"),
-        posexplode(col("cs")).as(Seq("cpos", "cscore")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("qid"), col("qv2"), col("qn"), (col("cpos") + 1).cast("int").as("cid")))
+        explode(graft.functions.ArgTopK.of(centroidScores(col("qv2")), nProbe))
+          .as("cid")))
     val candidates = assigned.join(q, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("approx",
@@ -396,12 +392,10 @@ object Similarity {
         (0 until outDim).map(j => col(s"p${j}_e6").as(s"q$j")): _*)
     val qcells = queries.select(col("vec_id").as("qid"),
         VectorOps.asDoubleArray(col("embedding")).as("qv"))
-      .withColumn("cs", graft.functions.CentroidCosines.of(col("qv"), centroids))
-      .select(col("qid"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("qid"), (col("cpos") + 1).cast("int").as("cid"))
+      .select(col("qid"),
+        explode(graft.functions.ArgTopK.of(
+          graft.functions.CentroidCosines.of(col("qv"), centroids), nProbe))
+          .as("cid"))
     val q = broadcast(qcells.join(qproj, Seq("qid")))
     val pc = index.select(col("vec_id") +: col("cid") +:
       (0 until outDim).map(j => col(s"p${j}_e6").as(s"c$j")): _*)
@@ -760,12 +754,9 @@ object Similarity {
         .select(col("qid"), col("vec_id"), col("score"))
     // seeds: members of each query's seedProbe nearest cells
     val qCells = broadcast(q
-      .withColumn("cs", centroidScores(col("qv")))
-      .select(col("qid"), posexplode(col("cs")).as(Seq("cpos", "cscore")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("cpos"))))
-      .filter(col("crank") <= seedProbe)
-      .select(col("qid"), (col("cpos") + 1).cast("int").as("cid")))
+      .select(col("qid"),
+        explode(graft.functions.ArgTopK.of(centroidScores(col("qv")), seedProbe))
+          .as("cid")))
     val seeds = assigned.select(col("cid"), col("vec_id"))
       .join(qCells, Seq("cid"))
       .select(col("qid"), col("vec_id"))
