@@ -767,18 +767,20 @@ object PipelineQueries {
       // hop count could leave the seed cells. The spilled build
       // assignment fixes the topology — measured sf1 recall 0.78 at
       // g=12 / 0.84 at g=16, from 0.29.
-      // NN-Descent refinement is SCALE-GATED (GraphDebug, round 11):
-      // with corpus-scaled nlist the spilled init already covers
-      // every cell boundary, and the measured refine payoff shrinks
-      // as cells multiply — sf0.1 (nlist 16): 0.95 → 0.97, sf1
-      // (nlist 78): 0.79 → 0.84, sf10 (nlist 781): 0.78 → 0.78 for
-      // +47 s of n·(2g)² pair work. One round where cells are few,
-      // zero where the spill owns the topology.
-      val refineRounds = if (nlist > 100) 0 else 1
+      // NN-Descent refinement is OFF for this key (GraphDebug,
+      // round 11): with corpus-scaled nlist the spilled top-2-cell
+      // init already covers every cell boundary, so the measured
+      // refine payoff is marginal at every decade — sf0.1 (nlist
+      // 16): 0.95 → 0.97 for +10 s, sf1 (nlist 78): 0.79 → 0.84,
+      // sf10 (nlist 781): 0.78 → 0.78 for +47 s of n·(2g)² pair
+      // work — while the 0.65 contract bound holds with ≥20% margin
+      // unrefined. Refinement stays a [[Similarity.knnGraph]] knob
+      // (spec-covered) for deployments whose degree budget can't
+      // cover the cell topology.
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = 16,
         beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
         initMode = initMode, sampleMod = sampleMod,
-        refineRounds = refineRounds)
+        refineRounds = 0)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       // bound raised 0.5 → 0.65 once the spilled build held 0.84 at
       // sf1: the contract now enforces the scale margin itself
