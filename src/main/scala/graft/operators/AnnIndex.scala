@@ -147,16 +147,93 @@ object AnnIndex {
   /** Serve IVF×int8 top-k entirely from the stored index: int8 stage
     * 1 scans `dir/vectors` (pre-assigned cid → directory-pruned),
     * centroids come from the sidecar, and only the bounded re-rank
-    * candidates touch `exactCorpus`'s float vectors. */
+    * candidates touch `exactCorpus`'s float vectors. Tombstoned rows
+    * ([[deleteIvfq]]) are masked by a broadcast anti-join BEFORE
+    * stage 1, so a deleted vector can neither be returned nor
+    * displace a live candidate — served results are IDENTICAL to a
+    * rebuild over the surviving corpus under the same centroids
+    * (surviving rows are row-identical either way). */
   def ivfqTopKFromPath(spark: SparkSession, dir: String,
                        exactCorpus: DataFrame, queries: DataFrame, k: Int,
                        nProbe: Int = 4, rerank: Int = 4): DataFrame = {
     val centroids = readCentroids(spark, dir)
-    val stored = spark.read.parquet(s"$dir/vectors")
+    val stored = antiJoinDeletes(
+      spark.read.parquet(s"$dir/vectors"), dir, "vec_id")
     val exact = exactCorpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
     Similarity.ivfqRerank(stored, exact, queries, centroids, k, nProbe, rerank)
+  }
+
+  // ---- tombstone deletes ----
+
+  /** The tombstone sidecar shared by both stored-index families:
+    * `dir/deletes` holds one `vec_id` row per deleted vector, each
+    * delete batch appended as its own small file — O(batch), no
+    * index file is listed or touched. Serving masks tombstones with
+    * a broadcast anti-join; [[purgeIvfqDeletes]] folds them into a
+    * physical rewrite of only the cells that hold deleted rows.
+    * Family-agnostic: the same sidecar masks an IVF×int8 index's
+    * stored rows and a graph index's served results. */
+  def deleteVectors(ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id").cast("long"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+
+  private def deletesPath(spark: SparkSession,
+                          dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(s"$dir/deletes") else None
+  }
+
+  /** LEFT ANTI mask against the tombstone sidecar (no-op when no
+    * delete has ever run). The tombstone set is delete-batch-sized,
+    * so the anti-join broadcasts; it sits between the scan and the
+    * cell-probe join, leaving cid partition pruning intact. */
+  private[operators] def antiJoinDeletes(rows: DataFrame, dir: String,
+                                         idCol: String): DataFrame =
+    deletesPath(rows.sparkSession, dir) match {
+      case Some(p) =>
+        val dels = rows.sparkSession.read.parquet(p)
+          .select(col("vec_id").as(idCol)).distinct()
+        rows.join(broadcast(dels), Seq(idCol), "left_anti")
+      case None => rows
+    }
+
+  /** PHYSICAL PURGE of [[deleteIvfq]] tombstones — the delete half of
+    * the compaction valve. A column-pruned (vec_id, cid) scan finds
+    * the cells that hold tombstoned rows (cid is a partition value,
+    * so the scan reads one long column); ONLY those cells are
+    * rewritten minus the deleted rows ([[CorpusSink.swapShards]] —
+    * below-threshold untouched cells survive byte-identical), and the
+    * drained tombstone file is dropped last, so a crash between the
+    * two steps leaves a correct (still-masked) index. Served results
+    * cannot change: the anti-join was already hiding exactly these
+    * rows. Returns the purged cids. */
+  def purgeIvfqDeletes(spark: SparkSession, dir: String,
+                       filesPerShard: Int = 2): Seq[Int] = {
+    deletesPath(spark, dir) match {
+      case None => Seq.empty
+      case Some(p) =>
+        val dels = spark.read.parquet(p).select(col("vec_id")).distinct()
+        val stored = spark.read.parquet(s"$dir/vectors")
+        val touched = stored.join(broadcast(dels), Seq("vec_id"))
+          .select(col("cid").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          val kept = stored.filter(col("cid").isin(touched: _*))
+            .join(broadcast(dels), Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("qv"), col("scale"),
+              col("cid").cast("int").as("cid"))
+          CorpusSink.swapShards(kept, s"$dir/vectors",
+            touched.map(c => s"cid=$c"), shardCol = "cid",
+            sortCol = "vec_id", filesPerShard = filesPerShard)
+        }
+        val delP = new org.apache.hadoop.fs.Path(p)
+        delP.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(delP, true)
+        touched
+    }
   }
 
   // ---- graph stored index ----
@@ -201,16 +278,103 @@ object AnnIndex {
 
   /** Serve graph top-k entirely from the stored index (edges + the
     * centroid sidecar); `corpus` is the full-precision vector store
-    * the traversal scores against. */
+    * the traversal scores against. Tombstoned nodes
+    * ([[deleteVectors]]) are masked on BOTH traversal inputs: the
+    * beam never expands FROM a deleted node (its out-edges are
+    * anti-joined away) and never scores TO one (the result side of
+    * each hop is masked), matching the rebuild-minus-deleted
+    * semantics up to graph-approximation — [[purgeGraphDeletes]]
+    * later re-stitches connectivity physically. */
   def graphTopKFromPath(spark: SparkSession, dir: String,
                         corpus: DataFrame, queries: DataFrame, k: Int,
                         beam: Int = 24, hops: Int = 2,
                         seedProbe: Int = 2): DataFrame = {
     val centroids = readCentroids(spark, dir)
-    val edges = spark.read.parquet(s"$dir/edges")
-      .select(col("src"), col("dst"))
-    Similarity.graphTopKFromIndex(edges, corpus, queries, k, centroids,
+    val edges = antiJoinDeletes(antiJoinDeletes(
+        spark.read.parquet(s"$dir/edges").select(col("src"), col("dst")),
+        dir, "src").withColumnRenamed("dst", "vec_id"), dir, "vec_id")
+      .withColumnRenamed("vec_id", "dst")
+    val live = antiJoinDeletes(corpus, dir, "vec_id")
+    Similarity.graphTopKFromIndex(edges, live, queries, k, centroids,
       beam, hops, seedProbe)
+  }
+
+  /** PHYSICAL PURGE of graph-index tombstones — the DiskANN delete
+    * consolidation rule: a deleted node's in-neighbors INHERIT its
+    * out-neighbors (stitch src→del→dst into a src→dst candidate, so
+    * paths THROUGH the deleted node survive its removal), candidate
+    * scores are recomputed exactly against `corpus`, and each
+    * affected src re-ranks to its top-g over surviving ∪ stitched
+    * edges. Only buckets holding an edge that touches a tombstoned
+    * node are rewritten (found by a (src, dst)-pruned scan);
+    * untouched buckets survive byte-identical; the drained tombstone
+    * file is dropped last. O(deleted-degree² + touched buckets),
+    * never O(corpus). Returns the purged bucket ids. */
+  def purgeGraphDeletes(spark: SparkSession, dir: String, corpus: DataFrame,
+                        g: Int = 8, nBuckets: Int = 16,
+                        filesPerShard: Int = 2): Seq[Int] = {
+    deletesPath(spark, dir) match {
+      case None => Seq.empty
+      case Some(p) =>
+        val dels = spark.read.parquet(p).select(col("vec_id")).distinct()
+        val stored = spark.read.parquet(s"$dir/edges")
+        val delKeys = dels.withColumnRenamed("vec_id", "__del")
+        // stitch: in-neighbors of a deleted node adopt its out-edges
+        val into = stored
+          .join(broadcast(delKeys), col("dst") === col("__del"))
+          .select(col("src"), col("dst").as("mid"))
+          .join(broadcast(delKeys), col("src") === col("__del"), "left_anti")
+        val outof = stored
+          .join(broadcast(delKeys), col("src") === col("__del"))
+          .select(col("src").as("mid"), col("dst"))
+          .join(broadcast(delKeys), col("dst") === col("__del"), "left_anti")
+        val v = corpus.select(col("vec_id"),
+            VectorOps.asDoubleArray(col("embedding")).as("cv"))
+          .withColumn("cn", VectorOps.l2Norm(col("cv")))
+        val stitched = into.join(outof, Seq("mid"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .join(v.select(col("vec_id").as("src"), col("cv").as("sv"),
+            col("cn").as("sn")), Seq("src"))
+          .join(v.select(col("vec_id").as("dst"), col("cv").as("dv"),
+            col("cn").as("dn")), Seq("dst"))
+          .select(col("src"), col("dst"),
+            when(col("sn") * col("dn") > 0,
+              VectorOps.dotArr(col("sv"), col("dv")) / (col("sn") * col("dn")))
+              .otherwise(lit(-1.0)).as("score"))
+          .withColumn("bucket", pmod(hash(col("src")), lit(nBuckets)))
+        // touched buckets: any edge touching a tombstone, plus every
+        // stitched edge's src bucket
+        val touchedDf = stored
+          .join(broadcast(dels),
+            col("src") === dels("vec_id") || col("dst") === dels("vec_id"))
+          .select(col("bucket").cast("int"))
+          .union(stitched.select(col("bucket").cast("int")))
+          .distinct()
+        val touched = touchedDf.collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          val survivors = stored.filter(col("bucket").isin(touched: _*))
+            .join(broadcast(delKeys), col("src") === col("__del"), "left_anti")
+            .join(broadcast(delKeys), col("dst") === col("__del"), "left_anti")
+            .select(col("src"), col("dst"), col("score"),
+              col("bucket").cast("int").as("bucket"))
+          val merged = survivors
+            .unionByName(stitched.filter(col("bucket").isin(touched: _*)))
+            .groupBy(col("bucket"), col("src"), col("dst"))
+            .agg(max(col("score")).as("score"))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))))
+            .filter(col("rank") <= g)
+            .select(col("src"), col("dst"), col("score"), col("bucket"))
+          CorpusSink.swapShards(merged, s"$dir/edges",
+            touched.map(b => s"bucket=$b"), shardCol = "bucket",
+            sortCol = "src", filesPerShard = filesPerShard)
+        }
+        val delP = new org.apache.hadoop.fs.Path(p)
+        delP.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(delP, true)
+        touched
+    }
   }
 
   /** Incremental graph append — an INSERT IS A SEARCH (the

@@ -243,6 +243,97 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** TOMBSTONE DELETE for the stored index — the retrieval twin of
+    * `AnnIndex.deleteVectors`: removing documents without rewriting a
+    * single postings file. A (doc_id, dl)-pruned scan recovers each
+    * deleted doc's length (any one of its postings carries it — the
+    * only two columns read), the tombstones land as one small
+    * appended file under `dir/deletes`, and the 1-row stats table is
+    * decremented by the batch's (count, Σdl) — the additive inverse
+    * of [[appendIndex]]'s merge. Serving then masks tombstoned
+    * postings BEFORE the df window ([[bm25TopKFromIndex]]), so df,
+    * norms, and stats all reflect the surviving corpus: served
+    * scores are BIT-IDENTICAL to a full rebuild on corpus-minus-
+    * deleted. Ids absent from the index are ignored (delete is
+    * idempotent for them). [[purgeIndexDeletes]] later folds the
+    * tombstones into a physical rewrite. */
+  def deleteIndex(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val dl = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("dl"))
+      .join(broadcast(ids.select(col("doc_id")).distinct()), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    val batch = dl.collect() // delete-batch-sized
+    if (batch.nonEmpty) {
+      import spark.implicits._
+      batch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"))).toSeq
+        .toDF("doc_id", "dl")
+        .coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+      val old = spark.read.parquet(s"$dir/stats").head()
+      Seq((old.getAs[Long]("n_docs") - batch.length,
+          old.getAs[Long]("sum_dl") - batch.map(_.getAs[Long]("dl")).sum))
+        .toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    }
+  }
+
+  private def deletesPath(spark: SparkSession,
+                          dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(s"$dir/deletes") else None
+  }
+
+  /** Broadcast anti-join mask against [[deleteIndex]] tombstones
+    * (no-op when no delete has ever run). */
+  private def antiJoinDeletes(post: DataFrame, dir: String): DataFrame =
+    deletesPath(post.sparkSession, dir) match {
+      case Some(p) =>
+        val dels = post.sparkSession.read.parquet(p)
+          .select(col("doc_id")).distinct()
+        post.join(broadcast(dels), Seq("doc_id"), "left_anti")
+      case None => post
+    }
+
+  /** PHYSICAL PURGE of [[deleteIndex]] tombstones: a deleted doc's
+    * postings are spread across every bucket its terms hash to, so
+    * the purge rewrites exactly the buckets that still hold a
+    * tombstoned row (found by a (doc_id, term_bucket)-pruned scan) —
+    * dropping those rows and restoring the stored `df` column to the
+    * post-delete exact value bucket-locally, the [[compactIndex]]
+    * invariant. Stats were already adjusted at delete time and the
+    * serving path already masked these rows, so served results
+    * cannot change; the drained tombstone file is dropped last
+    * (crash between the steps leaves a correct, still-masked index).
+    * Returns the purged bucket ids. */
+  def purgeIndexDeletes(spark: SparkSession, dir: String,
+                        filesPerShard: Int = 2): Seq[Int] = {
+    deletesPath(spark, dir) match {
+      case None => Seq.empty
+      case Some(p) =>
+        val dels = spark.read.parquet(p).select(col("doc_id")).distinct()
+        val stored = spark.read.parquet(s"$dir/postings")
+        val touched = stored.join(broadcast(dels), Seq("doc_id"))
+          .select(col("term_bucket").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          val kept = stored.filter(col("term_bucket").isin(touched: _*))
+            .join(broadcast(dels), Seq("doc_id"), "left_anti")
+            .drop("df")
+            .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+            .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+              col("df"), col("term_bucket").cast("int").as("term_bucket"))
+          graft.sources.CorpusSink.swapShards(kept, s"$dir/postings",
+            touched.map(b => s"term_bucket=$b"), shardCol = "term_bucket",
+            sortCol = "term", filesPerShard = filesPerShard)
+        }
+        val delP = new org.apache.hadoop.fs.Path(p)
+        delP.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(delP, true)
+        touched
+    }
+  }
+
   /** COMPACTION — the maintenance valve for [[appendIndex]]'s file
     * growth (each append adds ≤`filesPerShard` files per touched
     * bucket, so a long ingest run accumulates small files). Rewrites
@@ -321,9 +412,11 @@ object Retrieval {
                         k1: Double = 1.2, b: Double = 0.75,
                         nBuckets: Int = 16): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val post = spark.read.parquet(s"$dir/postings").drop("df")
-      .filter(termBucketPredicate(queryTerms, nBuckets)
-        && col("term").isin(queryTerms: _*))
+    val post = antiJoinDeletes(
+        spark.read.parquet(s"$dir/postings").drop("df")
+          .filter(termBucketPredicate(queryTerms, nBuckets)
+            && col("term").isin(queryTerms: _*)),
+        dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val stats = spark.read.parquet(s"$dir/stats")
     post.crossJoin(broadcast(stats))

@@ -873,6 +873,66 @@ object PipelineQueries {
       }
     }),
 
+    // tombstone DELETE on the stored IVF×int8 index (the lifecycle
+    // twin of q_ann_append): build on the FULL corpus, deleteVectors
+    // a pinned subset (one tombstone file, no index file touched),
+    // serve the probe panel from disk. no_deleted_ok = no tombstoned
+    // vector is ever returned; parity_ok = masked serving is
+    // IDENTICAL to an in-session rebuild over the survivors under
+    // the same centroids (same assignment function — exact, not
+    // approximate); purge_ok = results are unchanged across the
+    // physical purge AND the purge drains the tombstone file
+    "q_ann_delete" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val emb = Tables.embeddings(s, d)
+      val deleted = emb.filter(pmod(col("vec_id"), lit(20)) === 13
+        && col("vec_id") < 2000)
+      val survivors = emb.join(deleted.select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_delete")
+        .toString
+      try {
+        val centroids = AnnIndex.buildIvfqIndex(emb, dir, nlist = 16)
+        AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
+        val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+          k = 5, nProbe = 4, rerank = 4).cache()
+        val exact = survivors.select(col("vec_id"),
+            VectorOps.asDoubleArray(col("embedding")).as("cv"))
+          .withColumn("cn", VectorOps.l2Norm(col("cv")))
+        val rebuilt = Similarity.ivfqRerank(
+          Similarity.quantizedCorpus(survivors), exact, queries, centroids,
+          k = 5, nProbe = 4, rerank = 4).cache()
+        try {
+          val delIds = deleted.select(col("vec_id")).collect()
+            .map(_.getLong(0)).toSet
+          val noDeleted = served.filter(col("neighbor_id")
+            .isin(delIds.toSeq.map(Long.box): _*)).isEmpty
+          val parityOk = served.exceptAll(rebuilt).isEmpty &&
+            rebuilt.exceptAll(served).isEmpty
+          val servedRows = served.collect().toSet
+          AnnIndex.purgeIvfqDeletes(s, dir)
+          val after = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+            k = 5, nProbe = 4, rerank = 4).collect().toSet
+          val purgeOk = after == servedRows &&
+            !new java.io.File(s"$dir/deletes").exists()
+          import s.implicits._
+          Seq((queries.count(), noDeleted, parityOk, purgeOk))
+            .toDF("n_queries", "no_deleted_ok", "parity_ok", "purge_ok")
+        } finally {
+          served.unpersist(blocking = false)
+          rebuilt.unpersist(blocking = false)
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
+    }),
+
     // cross-doc duplicated-substring spans (Lee et al. exact-substring
     // dedup, span granularity): per-doc count of maximal duplicated
     // 8-gram spans + duplicated/kept token totals — the trim-don't-drop
@@ -1071,6 +1131,41 @@ object PipelineQueries {
       }
     }),
 
+    // tombstone DELETE on the stored BM25 index: build on the FULL
+    // corpus, deleteIndex a pinned quarter (one small tombstone file,
+    // stats decremented, zero postings rewritten), serve from disk.
+    // The pre-df-window anti-join makes served scores BIT-IDENTICAL
+    // to a rebuild on the survivors, so the oracle is the BM25 SQL
+    // over corpus-minus-deleted — value parity, not a contract bool
+    "q_retrieval_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_delete")
+        .toString
+      try {
+        Retrieval.buildIndex(docs, dir)
+        Retrieval.deleteIndex(
+          docs.filter(col("doc_id") % 4 === 1).select(col("doc_id")), dir)
+        val live = docs.filter(col("doc_id") % 4 =!= 1)
+        // q_bm25_topk's query-term rule, over the SURVIVING corpus
+        val qterms = Retrieval.dfCounts(live)
+          .filter(!col("term").isin("the", "a", "of", "and", "in"))
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        val rows = Retrieval.bm25TopKFromIndex(s, dir, qterms, k = 10)
+          .collect().toSeq
+        import s.implicits._
+        rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+            r.getAs[Long]("bm25_e6")))
+          .toDF("doc_id", "n_hit", "bm25_e6")
+      } finally {
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmr)
+          f.delete()
+        }
+        rmr(new java.io.File(dir))
+      }
+    }),
+
     // Johnson-Lindenstrauss signed random projection 64 -> 8 dims:
     // implicit LCG sign matrix (nothing broadcast), per-element e6
     // quantization before exact integer sums — the wide-vector
@@ -1090,14 +1185,22 @@ object PipelineQueries {
     * (inline path) and `q_retrieval_append` (build + append + serve
     * from the stored index), because the derived-df serving path is
     * bit-identical to the inline computation. */
-  private val bm25OracleSql =
-    "WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
-      "FROM documents), " +
+  private val bm25OracleSql = bm25OracleSqlOver("documents")
+
+  /** The same BM25 SQL over an arbitrary corpus relation —
+    * `q_retrieval_delete` oracles its tombstone-masked serving
+    * against this text with the deleted quarter filtered out (the
+    * serving path's bit-parity-with-rebuild claim, checked as VALUES
+    * by DuckDB rather than a contract boolean). */
+  private def bm25OracleSqlOver(src: String): String =
+    s"WITH corpus AS (SELECT * FROM $src), " +
+      "dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +
+      "FROM corpus), " +
       "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1), " +
       "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
       "ORDER BY df DESC, term LIMIT 3), " +
       "dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS dl " +
-      "FROM documents), " +
+      "FROM corpus), " +
       "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
       "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
       "GROUP BY 1, 2, 3), " +
@@ -1724,6 +1827,12 @@ object PipelineQueries {
     // the append key serves the SAME full-corpus ranking from the
     // incrementally-maintained stored index — identical oracle text
     "q_retrieval_append" -> bm25OracleSql,
+    "q_retrieval_delete" ->
+      bm25OracleSqlOver("(SELECT * FROM documents WHERE doc_id % 4 <> 1)"),
+    "q_ann_delete" ->
+      ("SELECT count(*) AS n_queries, TRUE AS no_deleted_ok, " +
+        "TRUE AS parity_ok, TRUE AS purge_ok " +
+        "FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     // JL signed projection: the implicit xorshift-multiply sign
     // matrix recomputed in SQL (exact 64-bit integer math, every
     // intermediate < 2^52 so DuckDB's strict BIGINT never overflows);

@@ -1,0 +1,229 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Tombstone DELETE for the stored indexes — the lifecycle letter
+  * append/compact left open. Contracts, per family:
+  *
+  *  - IVF×int8 ([[AnnIndex.deleteVectors]]): a delete writes one
+  *    small tombstone file and touches no index file; serving masks
+  *    tombstones BEFORE stage 1, so results are IDENTICAL (bit for
+  *    bit) to a rebuild over the surviving corpus under the same
+  *    centroids; [[AnnIndex.purgeIvfqDeletes]] rewrites ONLY the
+  *    cells holding deleted rows (others byte-identical), drains the
+  *    tombstone file, and serving is unchanged across the purge.
+  *  - BM25 ([[Retrieval.deleteIndex]]): stats are decremented at
+  *    delete time and serving masks postings before its df window,
+  *    so served scores are BIT-IDENTICAL to a full rebuild on
+  *    corpus-minus-deleted; [[Retrieval.purgeIndexDeletes]] rewrites
+  *    only buckets holding deleted postings and serving is unchanged.
+  *  - graph ([[AnnIndex.graphTopKFromPath]] +
+  *    [[AnnIndex.purgeGraphDeletes]]): deleted nodes are never
+  *    returned nor expanded from; the purge applies the DiskANN
+  *    consolidation rule (in-neighbors inherit out-neighbors with
+  *    exactly recomputed scores) so recall survives the physical
+  *    removal, per-src degree stays ≤ g, and untouched buckets
+  *    survive byte-identical.
+  */
+class IndexDeleteSpec extends SparkTestBase {
+
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int, seed: Int,
+                        noise: Double = 1.0) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    (for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val id = (c * perCluster + i).toLong
+      (id, centers(c).map(v => (v + rnd.nextGaussian() * noise).toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+  }
+
+  private def withTempDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("index_delete").toString
+    try f(dir) finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  private def fileStamps(path: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.length()).toMap
+  }
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .sortBy(t => (t._1, t._2)).toList
+
+  test("ivfq delete masks exactly, serves rebuild-parity, purge drains physically") {
+    val emb = clustered(4, 30, 16, seed = 31)
+    val deleted = emb.filter(col("vec_id") % 10 === 3)
+    val survivors = emb.join(deleted.select("vec_id"), Seq("vec_id"), "left_anti")
+    val queries = emb.filter(col("vec_id").isin(5L, 35L, 65L, 95L, 4L))
+    withTempDir { dir =>
+      withTempDir { rebuiltDir =>
+        val centroids = AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L)
+        val stampsBeforeDelete = fileStamps(s"$dir/vectors")
+        AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
+        // a delete touches NO index file
+        assert(fileStamps(s"$dir/vectors") == stampsBeforeDelete,
+          "delete rewrote an index file")
+        // rebuild twin: surviving corpus, same centroids
+        AnnIndex.writeCentroids(spark, centroids, rebuiltDir)
+        graft.sources.CorpusSink.writeParquet(
+          Similarity.quantizedCorpus(survivors)
+            .withColumn("qcv", transform(col("qv"), q => q.cast("double")))
+            .withColumn("cs",
+              graft.functions.CentroidCosines.of(col("qcv"), centroids))
+            .withColumn("cid", expr("array_position(cs, array_max(cs))").cast("int"))
+            .select(col("vec_id"), col("qv"), col("scale"), col("cid")),
+          s"$rebuiltDir/vectors", shardCol = "cid", sortCol = "vec_id",
+          filesPerShard = 2)
+        val served = AnnIndex.ivfqTopKFromPath(spark, dir, emb, queries,
+          k = 3, nProbe = 2, rerank = 4)
+        val rebuilt = AnnIndex.ivfqTopKFromPath(spark, rebuiltDir, survivors,
+          queries, k = 3, nProbe = 2, rerank = 4)
+        assert(resultSet(served) == resultSet(rebuilt),
+          "tombstone-masked serving diverged from the surviving-corpus rebuild")
+        val deletedIds = deleted.select("vec_id").collect()
+          .map(_.getLong(0)).toSet
+        assert(resultSet(served).forall(t => !deletedIds.contains(t._3)),
+          "a deleted vector appeared in served results")
+
+        // purge: only tombstoned cells rewritten, tombstones drained,
+        // serving unchanged
+        val before = fileStamps(s"$dir/vectors")
+        val purged = AnnIndex.purgeIvfqDeletes(spark, dir)
+        assert(purged.nonEmpty, "purge found no cells despite live tombstones")
+        val after = fileStamps(s"$dir/vectors")
+        val surviving = before.keySet.intersect(after.keySet)
+        surviving.foreach(p =>
+          assert(before(p) == after(p), s"untouched-cell file changed: $p"))
+        assert(!new java.io.File(s"$dir/deletes").exists(),
+          "tombstone file survived the purge")
+        assert(spark.read.parquet(s"$dir/vectors")
+            .filter(col("vec_id").isin(deletedIds.toSeq.map(Long.box): _*))
+            .count() == 0, "a deleted row survived the purge physically")
+        val servedAfter = AnnIndex.ivfqTopKFromPath(spark, dir, emb, queries,
+          k = 3, nProbe = 2, rerank = 4)
+        assert(resultSet(servedAfter) == resultSet(served),
+          "serving changed across the physical purge")
+        // second purge is a clean no-op
+        assert(AnnIndex.purgeIvfqDeletes(spark, dir).isEmpty)
+      }
+    }
+  }
+
+  test("bm25 delete serves bit-identical to rebuild-minus-deleted; purge preserves it") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"alpha${i % 5} shared beta${i % 7} filler word${i % 3} " +
+        s"gamma${i % 11} shared tail${i % 2}")
+    }.toDF("doc_id", "text")
+    val deleted = docs.filter(col("doc_id") % 4 === 1)
+    val survivors = docs.join(deleted.select("doc_id"), Seq("doc_id"), "left_anti")
+    val qterms = Retrieval.dfCounts(survivors)
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    withTempDir { dir =>
+      withTempDir { rebuiltDir =>
+        Retrieval.buildIndex(docs, dir, nBuckets = 8, filesPerShard = 2)
+        val stampsBeforeDelete = fileStamps(s"$dir/postings")
+        Retrieval.deleteIndex(deleted.select("doc_id"), dir)
+        assert(fileStamps(s"$dir/postings") == stampsBeforeDelete,
+          "delete rewrote a postings file")
+        // stats decremented to exactly the surviving corpus's
+        Retrieval.buildIndex(survivors, rebuiltDir, nBuckets = 8,
+          filesPerShard = 2)
+        val sDel = spark.read.parquet(s"$dir/stats").head()
+        val sReb = spark.read.parquet(s"$rebuiltDir/stats").head()
+        assert(sDel.getAs[Long]("n_docs") == sReb.getAs[Long]("n_docs"))
+        assert(sDel.getAs[Long]("sum_dl") == sReb.getAs[Long]("sum_dl"))
+        // served scores bit-identical to the rebuild's
+        def serve(d: String) = Retrieval.bm25TopKFromIndex(spark, d, qterms,
+          k = 10, nBuckets = 8).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        val served = serve(dir)
+        assert(served == serve(rebuiltDir),
+          "tombstone-masked BM25 diverged from the rebuild on survivors")
+        val deletedIds = deleted.select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+        assert(served.forall(t => !deletedIds.contains(t._1)))
+
+        // idempotent for unknown ids: stats and results unchanged
+        Retrieval.deleteIndex(Seq(999999L).toDF("doc_id"), dir)
+        assert(serve(dir) == served)
+
+        // purge: physical drop, serving unchanged, tombstones drained
+        Retrieval.purgeIndexDeletes(spark, dir)
+        assert(!new java.io.File(s"$dir/deletes").exists())
+        assert(spark.read.parquet(s"$dir/postings")
+            .filter(col("doc_id").isin(deletedIds.toSeq.map(Long.box): _*))
+            .count() == 0, "a deleted posting survived the purge")
+        assert(serve(dir) == served, "serving changed across the purge")
+        // stored df restored to the exact post-delete value bucket-locally
+        val dfBad = spark.read.parquet(s"$dir/postings")
+          .groupBy("term").agg(max("df").as("stored"), count(lit(1)).as("actual"))
+          .filter(col("stored") =!= col("actual")).count()
+        assert(dfBad == 0, s"$dfBad terms carry a stale stored df after purge")
+      }
+    }
+  }
+
+  test("graph delete masks served results; purge re-stitches connectivity") {
+    val emb = clustered(4, 30, 16, seed = 47)
+    val deleted = emb.filter(col("vec_id").isin(6L, 36L, 66L, 96L))
+    val survivors = emb.join(deleted.select("vec_id"), Seq("vec_id"), "left_anti")
+    val queries = survivors.filter(col("vec_id").isin(5L, 35L, 65L, 95L))
+    withTempDir { dir =>
+      AnnIndex.buildGraphIndex(emb, dir, g = 8, nlist = 8, seed = 42L,
+        nBuckets = 64)
+      AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
+      val deletedIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+      def servedSet() = AnnIndex.graphTopKFromPath(spark, dir, emb, queries,
+        k = 3, beam = 16, hops = 2, seedProbe = 2)
+      val served = servedSet().collect()
+      assert(served.nonEmpty)
+      assert(served.forall(r => !deletedIds.contains(r.getLong(2))),
+        "a deleted node appeared in served graph results")
+      val exact = Similarity.bruteForceTopK(survivors, queries, k = 3)
+      val recall0 = Similarity.meanRecall(servedSet(), exact)
+        .head().getAs[Double]("recall")
+      assert(recall0 >= 0.6, s"masked-serving recall $recall0 below contract")
+
+      // purge: stitched edges keep paths alive, degree cap holds,
+      // untouched buckets byte-identical, tombstones drained
+      val before = fileStamps(s"$dir/edges")
+      val purged = AnnIndex.purgeGraphDeletes(spark, dir, survivors,
+        g = 8, nBuckets = 64)
+      assert(purged.nonEmpty)
+      val after = fileStamps(s"$dir/edges")
+      val surviving = before.keySet.intersect(after.keySet)
+      assert(surviving.nonEmpty, "purge rewrote every bucket — not incremental")
+      surviving.foreach(p =>
+        assert(before(p) == after(p), s"untouched-bucket file changed: $p"))
+      assert(!new java.io.File(s"$dir/deletes").exists())
+      val stored = spark.read.parquet(s"$dir/edges")
+      val delBox = deletedIds.toSeq.map(Long.box)
+      assert(stored.filter(col("src").isin(delBox: _*)
+          || col("dst").isin(delBox: _*)).count() == 0,
+        "an edge touching a deleted node survived the purge")
+      val overG = stored.groupBy("src").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 8).count()
+      assert(overG == 0, "per-src degree cap violated after stitch re-rank")
+      val recall1 = Similarity.meanRecall(servedSet(), exact)
+        .head().getAs[Double]("recall")
+      assert(recall1 >= 0.6, s"post-purge recall $recall1 below contract")
+    }
+  }
+}
