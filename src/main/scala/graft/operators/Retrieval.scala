@@ -254,14 +254,25 @@ object Retrieval {
     * postings BEFORE the df window ([[bm25TopKFromIndex]]), so df,
     * norms, and stats all reflect the surviving corpus: served
     * scores are BIT-IDENTICAL to a full rebuild on corpus-minus-
-    * deleted. Ids absent from the index are ignored (delete is
-    * idempotent for them). [[purgeIndexDeletes]] later folds the
-    * tombstones into a physical rewrite. */
+    * deleted. The call is IDEMPOTENT: ids absent from the index and
+    * ids already tombstoned are filtered out before the decrement
+    * (the existing tombstone set is delete-traffic-sized and
+    * broadcast), so a replayed micro-batch cannot double-count —
+    * `StreamingIndexDelete.bm25Sink` relies on this.
+    * [[purgeIndexDeletes]] later folds the tombstones into a
+    * physical rewrite. */
   def deleteIndex(ids: DataFrame, dir: String): Unit = {
     val spark = ids.sparkSession
+    val fresh = deletesPath(spark, dir) match {
+      case Some(p) =>
+        ids.select(col("doc_id")).distinct()
+          .join(broadcast(spark.read.parquet(p).select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+      case None => ids.select(col("doc_id")).distinct()
+    }
     val dl = spark.read.parquet(s"$dir/postings")
       .select(col("doc_id"), col("dl"))
-      .join(broadcast(ids.select(col("doc_id")).distinct()), Seq("doc_id"))
+      .join(broadcast(fresh), Seq("doc_id"))
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
     val batch = dl.collect() // delete-batch-sized
     if (batch.nonEmpty) {
