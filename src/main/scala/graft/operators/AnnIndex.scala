@@ -92,10 +92,10 @@ object AnnIndex {
     * callers that keep serving in-session. */
   def buildIvfqIndex(corpus: DataFrame, dir: String, nlist: Int,
                      seed: Long = 42L, initMode: String = "k-means||",
-                     sampleMod: Int = 1,
+                     sampleMod: Int = 1, maxIter: Int = 10,
                      filesPerShard: Int = 2): Array[Array[Double]] = {
     val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
-      initMode = initMode, sampleMod = sampleMod)
+      maxIter = maxIter, initMode = initMode, sampleMod = sampleMod)
     writeCentroids(corpus.sparkSession, centroids, dir)
     CorpusSink.writeParquet(ivfqRows(corpus, centroids), s"$dir/vectors",
       shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)

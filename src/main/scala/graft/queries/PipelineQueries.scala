@@ -894,7 +894,12 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_delete")
         .toString
       try {
-        val centroids = AnnIndex.buildIvfqIndex(emb, dir, nlist = 16)
+        // cell QUALITY is irrelevant to a lifecycle contract (parity
+        // shares the centroids across both sides), so the cheap fit —
+        // random init, 4 Lloyd iterations — buys the same proof for
+        // a fraction of the fixed job-latency cost
+        val centroids = AnnIndex.buildIvfqIndex(emb, dir, nlist = 16,
+          initMode = "random", maxIter = 4)
         AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
         val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
           k = 5, nProbe = 4, rerank = 4).cache()
@@ -1828,7 +1833,9 @@ object PipelineQueries {
     // incrementally-maintained stored index — identical oracle text
     "q_retrieval_append" -> bm25OracleSql,
     "q_retrieval_delete" ->
-      bm25OracleSqlOver("(SELECT * FROM documents WHERE doc_id % 4 <> 1)"),
+      // the subquery alias is required by Spark's parser (SqlParity
+      // runs this text through spark.sql too) and harmless to DuckDB
+      bm25OracleSqlOver("(SELECT * FROM documents WHERE doc_id % 4 <> 1) AS live"),
     "q_ann_delete" ->
       ("SELECT count(*) AS n_queries, TRUE AS no_deleted_ok, " +
         "TRUE AS parity_ok, TRUE AS purge_ok " +

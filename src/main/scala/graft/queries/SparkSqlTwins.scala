@@ -28,14 +28,20 @@ object SparkSqlTwins {
   /** Spark-dialect full-corpus BM25 top-10 — shared verbatim by
     * `q_bm25_topk` and `q_retrieval_append` (the stored-index append
     * path serves bit-identically to the inline computation). */
-  private val bm25Twin =
-    "WITH dt AS (SELECT doc_id, term FROM documents " +
+  private val bm25Twin = bm25TwinOver("documents")
+
+  /** The same Spark-dialect BM25 over an arbitrary corpus relation —
+    * `q_retrieval_delete`'s twin runs it over the surviving docs
+    * (mirroring the oracle's corpus-minus-deleted). */
+  private def bm25TwinOver(src: String): String =
+    s"WITH corpus AS (SELECT * FROM $src), " +
+      "dt AS (SELECT doc_id, term FROM corpus " +
       "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS term), " +
       "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term), " +
       "q AS (SELECT term, df FROM df WHERE term NOT IN ('the','a','of','and','in') " +
       "ORDER BY df DESC, term LIMIT 3), " +
       "dl AS (SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS dl " +
-      "FROM documents), " +
+      "FROM corpus), " +
       "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), " +
       "tf AS (SELECT doc_id, dt.term, df, count(*) AS tf FROM dt JOIN q USING (term) " +
       "GROUP BY doc_id, dt.term, df), " +
@@ -577,6 +583,8 @@ object SparkSqlTwins {
     // the append key serves the SAME full-corpus ranking from the
     // incrementally-maintained stored index — identical twin text
     "q_retrieval_append" -> bm25Twin,
+    "q_retrieval_delete" ->
+      bm25TwinOver("(SELECT * FROM documents WHERE doc_id % 4 <> 1) AS live"),
 
     // hybrid RRF: doc 42's top-tf terms → BM25 ranks, its embedding
     // → exact cosine ranks, integer fusion over the top-50 cuts
