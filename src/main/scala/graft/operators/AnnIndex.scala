@@ -36,6 +36,9 @@ import graft.sources.CorpusSink
   *  - `dir/centroids`: (cid int 1-based, centroid array<double>) —
   *    cid numbering matches [[Similarity.assignCells]]'s 1-based
   *    array_position so a loaded sidecar is drop-in for the fit.
+  *  - `dir/manifest`: 1-row (n_built, n_appended, n_deleted) drift
+  *    ledger feeding [[needsRefit]]; `dir/deletes`: the tombstone
+  *    sidecar ([[deleteVectors]]).
   *  - IVF×int8 `dir/vectors`: (vec_id, qv array<tinyint>, scale,
   *    cid) cid-partitioned, in-file sorted by vec_id (the
   *    `IvfqLayoutSpec` form).
@@ -71,6 +74,85 @@ object AnnIndex {
       .orderBy(col("cid")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
 
+  // ---- drift manifest ----
+
+  /** The 1-row drift ledger `dir/manifest` — (n_built, n_appended,
+    * n_deleted): how far the stored corpus has moved from the one
+    * the centroids were FITTED on. Build resets it; every append and
+    * delete adds its batch count (a 1-row read + overwrite, no
+    * corpus scan). [[needsRefit]] reads it; [[refitIvfq]] folds the
+    * drift back to zero. */
+  private def writeManifest(spark: SparkSession, dir: String,
+                            built: Long, appended: Long,
+                            deleted: Long): Unit = {
+    import spark.implicits._
+    Seq((built, appended, deleted))
+      .toDF("n_built", "n_appended", "n_deleted")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  private def readManifest(spark: SparkSession,
+                           dir: String): Option[(Long, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      None
+    else {
+      val r = spark.read.parquet(s"$dir/manifest").head()
+      Some((r.getAs[Long]("n_built"), r.getAs[Long]("n_appended"),
+        r.getAs[Long]("n_deleted")))
+    }
+  }
+
+  private def bumpManifest(spark: SparkSession, dir: String,
+                           appended: Long, deleted: Long): Unit =
+    readManifest(spark, dir).foreach { case (b, a, d) =>
+      writeManifest(spark, dir, b, a + appended, d + deleted)
+    }
+
+  /** REFIT TRIGGER — the drift valve completing the index lifecycle
+    * (build → append/delete → compact → refit): frozen centroids
+    * degrade as the stored corpus drifts from the fitted one, so a
+    * deployment refits once the drifted fraction (appended + deleted
+    * over the current live count) exceeds `maxDrift` — the FAISS
+    * re-train rule of thumb. Pure 1-row arithmetic: no corpus scan,
+    * free to poll from an ingest loop. False for a pre-manifest
+    * index (unknown drift is the caller's policy call, and every
+    * serving contract still holds under frozen centroids — drift
+    * costs recall headroom, never correctness). */
+  def needsRefit(spark: SparkSession, dir: String,
+                 maxDrift: Double = 0.25): Boolean =
+    readManifest(spark, dir).exists { case (b, a, d) =>
+      val live = math.max(1L, b + a - d)
+      (a + d).toDouble / live > maxDrift
+    }
+
+  /** REFIT: re-fit centroids on the CURRENT live corpus and rebuild
+    * the stored rows under them, staged to a sibling temp dir and
+    * swapped whole (readers of the old index are unaffected until
+    * the cutover renames). Serving after a refit equals a fresh
+    * [[buildIvfqIndex]] on the same corpus — same function, so
+    * exact; the manifest's drift folds back to zero. */
+  def refitIvfq(corpus: DataFrame, dir: String, nlist: Int,
+                seed: Long = 42L, initMode: String = "k-means||",
+                sampleMod: Int = 1, maxIter: Int = 10,
+                filesPerShard: Int = 2): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val tmp = s"$dir._refit_tmp"
+    val centroids = buildIvfqIndex(corpus, tmp, nlist, seed, initMode,
+      sampleMod, maxIter, filesPerShard)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("vectors", "centroids", "manifest", "deletes").foreach { part =>
+      val src = new org.apache.hadoop.fs.Path(tmp, part)
+      val dst = new org.apache.hadoop.fs.Path(dir, part)
+      fs.delete(dst, true)
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"refit swap failed for $part")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    centroids
+  }
+
   // ---- IVF × int8 stored index ----
 
   /** The stored row form: int8-quantize, then assign each vector's
@@ -99,6 +181,7 @@ object AnnIndex {
     writeCentroids(corpus.sparkSession, centroids, dir)
     CorpusSink.writeParquet(ivfqRows(corpus, centroids), s"$dir/vectors",
       shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
+    writeManifest(corpus.sparkSession, dir, corpus.count(), 0L, 0L)
     centroids
   }
 
@@ -111,6 +194,8 @@ object AnnIndex {
     val centroids = readCentroids(batch.sparkSession, dir)
     CorpusSink.appendShards(ivfqRows(batch, centroids), s"$dir/vectors",
       shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
+    bumpManifest(batch.sparkSession, dir, appended = batch.count(),
+      deleted = 0L)
   }
 
   /** COMPACTION for [[appendIvfq]]'s file growth — the IVF twin of
@@ -175,9 +260,24 @@ object AnnIndex {
     * physical rewrite of only the cells that hold deleted rows.
     * Family-agnostic: the same sidecar masks an IVF×int8 index's
     * stored rows and a graph index's served results. */
-  def deleteVectors(ids: DataFrame, dir: String): Unit =
-    ids.select(col("vec_id").cast("long"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+  def deleteVectors(ids: DataFrame, dir: String): Unit = {
+    // already-tombstoned ids are dropped (idempotent replays, and the
+    // manifest's n_deleted stays exact). The fresh set is LOCALIZED
+    // before the append — the lazy plan reads the very file the write
+    // extends, so a recompute-after-write would see its own output;
+    // delete batches are revocation-traffic-sized, so the driver hop
+    // is bounded by design (same shape as Retrieval.deleteIndex).
+    val spark = ids.sparkSession
+    val fresh = antiJoinDeletes(
+      ids.select(col("vec_id").cast("long")).distinct(), dir, "vec_id")
+      .collect().map(_.getLong(0))
+    if (fresh.nonEmpty) {
+      import spark.implicits._
+      fresh.toSeq.toDF("vec_id")
+        .coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+      bumpManifest(spark, dir, appended = 0L, deleted = fresh.length.toLong)
+    }
+  }
 
   private def deletesPath(spark: SparkSession,
                           dir: String): Option[String] = {
@@ -262,12 +362,14 @@ object AnnIndex {
     spill.count(); assigned.count() // pre-populate before stages race (graphTopK rule)
     var edges: DataFrame = null
     try {
+      val n = corpus.count()
       edges = Similarity.knnGraphFrom(assigned, spill,
-        corpus.count(), g, refineRounds, randPerVec, seed)
+        n, g, refineRounds, randPerVec, seed)
       CorpusSink.writeParquet(
         edges.withColumn("bucket", pmod(hash(col("src")), lit(nBuckets))),
         s"$dir/edges", shardCol = "bucket", sortCol = "src",
         filesPerShard = filesPerShard)
+      writeManifest(corpus.sparkSession, dir, n, 0L, 0L)
       centroids
     } finally {
       spill.unpersist(blocking = false)
@@ -434,5 +536,6 @@ object AnnIndex {
       .select(col("src"), col("dst"), col("score"), col("bucket"))
     CorpusSink.refreshShards(merged, s"$dir/edges", shardCol = "bucket",
       sortCol = "src", filesPerShard = filesPerShard)
+    bumpManifest(spark, dir, appended = batch.count(), deleted = 0L)
   }
 }
