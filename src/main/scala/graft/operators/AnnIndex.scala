@@ -446,11 +446,16 @@ object AnnIndex {
               .otherwise(lit(-1.0)).as("score"))
           .withColumn("bucket", pmod(hash(col("src")), lit(nBuckets)))
         // touched buckets: any edge touching a tombstone, plus every
-        // stitched edge's src bucket
+        // stitched edge's src bucket. Two broadcast HASH semi-joins,
+        // not one OR-condition join — an OR predicate can't hash and
+        // would run as a broadcast nested loop (n·g × |dels|
+        // comparisons at scale).
         val touchedDf = stored
-          .join(broadcast(dels),
-            col("src") === dels("vec_id") || col("dst") === dels("vec_id"))
+          .join(broadcast(delKeys), col("src") === col("__del"), "left_semi")
           .select(col("bucket").cast("int"))
+          .union(stored
+            .join(broadcast(delKeys), col("dst") === col("__del"), "left_semi")
+            .select(col("bucket").cast("int")))
           .union(stitched.select(col("bucket").cast("int")))
           .distinct()
         val touched = touchedDf.collect().map(_.getInt(0)).toSeq.sorted
