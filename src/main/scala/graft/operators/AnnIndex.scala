@@ -128,10 +128,15 @@ object AnnIndex {
 
   /** REFIT: re-fit centroids on the CURRENT live corpus and rebuild
     * the stored rows under them, staged to a sibling temp dir and
-    * swapped whole (readers of the old index are unaffected until
-    * the cutover renames). Serving after a refit equals a fresh
-    * [[buildIvfqIndex]] on the same corpus — same function, so
-    * exact; the manifest's drift folds back to zero. */
+    * swapped whole. The cutover is a SEQUENCE of per-part renames,
+    * not one atomic commit — a reader racing the swap could pair new
+    * vectors with old centroids for a moment, so run refit inside
+    * the same single-writer maintenance window every compaction here
+    * already assumes (the parquet file-listing caveat
+    * [[Retrieval.compactIndex]] documents). Serving after a refit
+    * equals a fresh [[buildIvfqIndex]] on the same corpus — same
+    * function, so exact; the manifest's drift folds back to zero and
+    * stale tombstones are dropped. */
   def refitIvfq(corpus: DataFrame, dir: String, nlist: Int,
                 seed: Long = 42L, initMode: String = "k-means||",
                 sampleMod: Int = 1, maxIter: Int = 10,
