@@ -259,8 +259,9 @@ object AnnIndex {
 
   /** The tombstone sidecar shared by both stored-index families:
     * `dir/deletes` holds one `vec_id` row per deleted vector, each
-    * delete batch appended as its own small file — O(batch), no
-    * index file is listed or touched. Serving masks tombstones with
+    * delete batch appended as its own small file — no index file is
+    * rewritten (one column-pruned id-membership scan verifies the
+    * batch against the stored rows). Serving masks tombstones with
     * a broadcast anti-join; [[purgeIvfqDeletes]] folds them into a
     * physical rewrite of only the cells that hold deleted rows.
     * Family-agnostic: the same sidecar masks an IVF×int8 index's
@@ -273,9 +274,36 @@ object AnnIndex {
     // delete batches are revocation-traffic-sized, so the driver hop
     // is bounded by design (same shape as Retrieval.deleteIndex).
     val spark = ids.sparkSession
-    val fresh = antiJoinDeletes(
+    val wanted = antiJoinDeletes(
       ids.select(col("vec_id").cast("long")).distinct(), dir, "vec_id")
       .collect().map(_.getLong(0))
+    // …and the ids must EXIST in the stored index (the postings join
+    // Retrieval.deleteIndex already does): a nonexistent id, or a
+    // replay of a batch whose tombstones a purge has since drained,
+    // must not bump n_deleted — else needsRefit's drift fraction
+    // drifts itself. The membership probe is an isin-pushed,
+    // column-pruned scan of the id column only (the batch is
+    // revocation-sized by this op's contract, so the literal list is
+    // bounded); the graph family checks src ∪ dst because a
+    // consolidation can leave a node dst-only.
+    val fresh: Array[Long] =
+      if (wanted.isEmpty) Array.empty
+      else {
+        val lits = wanted.toSeq.map(Long.box)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors")))
+          spark.read.parquet(s"$dir/vectors")
+            .select(col("vec_id")).filter(col("vec_id").isin(lits: _*))
+            .distinct().collect().map(_.getLong(0))
+        else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges")))
+          spark.read.parquet(s"$dir/edges")
+            .filter(col("src").isin(lits: _*) || col("dst").isin(lits: _*))
+            .select(explode(array(col("src"), col("dst"))).as("vec_id"))
+            .filter(col("vec_id").isin(lits: _*))
+            .distinct().collect().map(_.getLong(0))
+        else wanted // no index stored yet: keep the pre-build behavior
+      }
     if (fresh.nonEmpty) {
       import spark.implicits._
       fresh.toSeq.toDF("vec_id")
@@ -332,7 +360,8 @@ object AnnIndex {
               col("cid").cast("int").as("cid"))
           CorpusSink.swapShards(kept, s"$dir/vectors",
             touched.map(c => s"cid=$c"), shardCol = "cid",
-            sortCol = "vec_id", filesPerShard = filesPerShard)
+            sortCol = "vec_id", filesPerShard = filesPerShard,
+            dropDrained = true) // a fully-deleted cell's dir is removed
         }
         val delP = new org.apache.hadoop.fs.Path(p)
         delP.getFileSystem(spark.sessionState.newHadoopConf())
@@ -480,7 +509,8 @@ object AnnIndex {
             .select(col("src"), col("dst"), col("score"), col("bucket"))
           CorpusSink.swapShards(merged, s"$dir/edges",
             touched.map(b => s"bucket=$b"), shardCol = "bucket",
-            sortCol = "src", filesPerShard = filesPerShard)
+            sortCol = "src", filesPerShard = filesPerShard,
+            dropDrained = true) // a bucket whose every edge died is removed
         }
         val delP = new org.apache.hadoop.fs.Path(p)
         delP.getFileSystem(spark.sessionState.newHadoopConf())

@@ -336,7 +336,8 @@ object Retrieval {
               col("df"), col("term_bucket").cast("int").as("term_bucket"))
           graft.sources.CorpusSink.swapShards(kept, s"$dir/postings",
             touched.map(b => s"term_bucket=$b"), shardCol = "term_bucket",
-            sortCol = "term", filesPerShard = filesPerShard)
+            sortCol = "term", filesPerShard = filesPerShard,
+            dropDrained = true) // a bucket whose every posting died is removed
         }
         val delP = new org.apache.hadoop.fs.Path(p)
         delP.getFileSystem(spark.sessionState.newHadoopConf())

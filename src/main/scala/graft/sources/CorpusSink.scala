@@ -93,10 +93,20 @@ object CorpusSink {
     * makes each shard's cutover a single filesystem rename.
     * `shardDirs` are the partition directory names to swap, e.g.
     * `Seq("term_bucket=3", "term_bucket=7")` — `docs` must contain
-    * exactly those partitions' rows. */
+    * exactly those partitions' rows.
+    *
+    * A listed shard with NO replacement rows writes no temp directory
+    * at all (`partitionBy` materializes only observed partition
+    * values), so a missing src is ambiguous: for a compactor it means
+    * rows were lost mid-write (fail LOUDLY, and BEFORE the
+    * destination is deleted), while for a tombstone purge it is the
+    * legitimate fully-drained case — every row of the shard was
+    * deleted, and the swap's job is to remove the directory. Callers
+    * state which they are via `dropDrained`; defaulting to the strict
+    * read keeps a buggy compactor from silently erasing data. */
   def swapShards(docs: DataFrame, path: String, shardDirs: Seq[String],
                  shardCol: String = "source", sortCol: String = "doc_id",
-                 filesPerShard: Int = 4): Unit = {
+                 filesPerShard: Int = 4, dropDrained: Boolean = false): Unit = {
     val tmp = s"$path._compact_tmp"
     writeParquet(docs, tmp, shardCol, sortCol, filesPerShard)
     val fs = new Path(path).getFileSystem(
@@ -104,9 +114,19 @@ object CorpusSink {
     shardDirs.foreach { d =>
       val dst = new Path(path, d)
       val src = new Path(tmp, d)
-      fs.delete(dst, true)
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"compaction swap failed for $d")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"compaction swap failed for $d")
+      } else if (dropDrained) {
+        // the shard lost its last row: removing the directory IS the swap
+        fs.delete(dst, true)
+      } else {
+        // refuse BEFORE touching dst — the old files stay servable
+        fs.delete(new Path(tmp), true)
+        throw new java.io.IOException(
+          s"compaction produced no rows for $d (pass dropDrained=true only for purges)")
+      }
     }
     fs.delete(new Path(tmp), true)
   }

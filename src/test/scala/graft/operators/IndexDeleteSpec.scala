@@ -180,6 +180,76 @@ class IndexDeleteSpec extends SparkTestBase {
     }
   }
 
+  test("ivfq purge drains a fully-deleted cell; replays stay inert across the purge") {
+    import spark.implicits._
+    val emb = clustered(4, 30, 16, seed = 53)
+    withTempDir { dir =>
+      AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L)
+      // pick one STORED cell and tombstone every row it holds — the
+      // fully-drained case the swap used to abort on mid-loop
+      val byCell = spark.read.parquet(s"$dir/vectors")
+        .select(col("cid").cast("int"), col("vec_id")).collect()
+        .groupBy(_.getInt(0))
+      val (cellId, cellRows) = byCell.minBy(_._2.length)
+      val cellIds = cellRows.map(_.getLong(1)).toSeq
+      def nDeleted = spark.read.parquet(s"$dir/manifest")
+        .head().getAs[Long]("n_deleted")
+      AnnIndex.deleteVectors(cellIds.toDF("vec_id"), dir)
+      val d0 = nDeleted
+      assert(d0 == cellIds.size.toLong)
+      // replay before the purge: dropped by the tombstone anti-join
+      AnnIndex.deleteVectors(cellIds.toDF("vec_id"), dir)
+      assert(nDeleted == d0, "pre-purge replay bumped n_deleted")
+      // a vec_id the index never held: dropped by the membership probe
+      AnnIndex.deleteVectors(Seq(999999L).toDF("vec_id"), dir)
+      assert(nDeleted == d0, "nonexistent id bumped n_deleted")
+
+      val queries = emb.filter(col("vec_id").isin(
+        (0L until 120L).filterNot(cellIds.contains).take(5).map(Long.box): _*))
+      val served = resultSet(AnnIndex.ivfqTopKFromPath(spark, dir, emb,
+        queries, k = 3, nProbe = 4, rerank = 4))
+      val purged = AnnIndex.purgeIvfqDeletes(spark, dir)
+      assert(purged.contains(cellId), "the drained cell was not purged")
+      assert(!new java.io.File(s"$dir/vectors/cid=$cellId").exists(),
+        "drained cell directory survived the purge")
+      assert(!new java.io.File(s"$dir/deletes").exists())
+      assert(resultSet(AnnIndex.ivfqTopKFromPath(spark, dir, emb, queries,
+        k = 3, nProbe = 4, rerank = 4)) == served,
+        "serving changed across a drain purge")
+      // replay ACROSS the purge boundary: the rows are physically gone,
+      // so the membership probe keeps the batch out of the manifest
+      AnnIndex.deleteVectors(cellIds.toDF("vec_id"), dir)
+      assert(nDeleted == d0, "replay across the purge bumped n_deleted")
+      assert(!new java.io.File(s"$dir/deletes").exists(),
+        "replay across the purge re-created tombstones")
+    }
+  }
+
+  test("bm25 and graph purges survive a total drain") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val docs = (0 until 20).map(i => (i.toLong, s"alpha beta w$i")).toDF("doc_id", "text")
+      Retrieval.buildIndex(docs, dir, nBuckets = 8, filesPerShard = 2)
+      Retrieval.deleteIndex(docs.select("doc_id"), dir)
+      Retrieval.purgeIndexDeletes(spark, dir) // must not abort on drained buckets
+      val left = new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.getName.startsWith("term_bucket="))
+      assert(left.isEmpty, s"${left.length} drained buckets survived the purge")
+      assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n_docs") == 0L)
+    }
+    withTempDir { dir =>
+      val emb = clustered(3, 20, 16, seed = 59)
+      AnnIndex.buildGraphIndex(emb, dir, g = 4, nlist = 4, seed = 42L, nBuckets = 8)
+      AnnIndex.deleteVectors(emb.select("vec_id"), dir)
+      AnnIndex.purgeGraphDeletes(spark, dir,
+        emb.limit(0), g = 4, nBuckets = 8) // no survivors
+      val left = new java.io.File(s"$dir/edges").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      assert(left.isEmpty, s"${left.length} drained edge buckets survived the purge")
+      assert(!new java.io.File(s"$dir/deletes").exists())
+    }
+  }
+
   test("graph delete masks served results; purge re-stitches connectivity") {
     val emb = clustered(4, 30, 16, seed = 47)
     val deleted = emb.filter(col("vec_id").isin(6L, 36L, 66L, 96L))
