@@ -54,6 +54,48 @@ import graft.sources.CorpusSink
   */
 object AnnIndex {
 
+  // ---- versioned roots ----
+
+  /** An index dir holds either the flat layout (vectors/centroids/
+    * manifest/deletes directly under `dir` — what [[buildIvfqIndex]]
+    * writes) or VERSIONED roots `dir/v_<N>` with the same parts
+    * inside — what [[refitIvfq]] commits. Every reader and mutator
+    * resolves to the highest committed version first, so a refit's
+    * cutover is ONE atomic directory rename: a caller racing the
+    * cutover resolves either the old root or the new one, and in
+    * both cases reads vectors and centroids from the SAME fit — the
+    * mixed-parts window (new vectors under an old sidecar) that a
+    * per-part rename sequence had is gone, and a crash mid-refit
+    * leaves only an ignored staging dir (cleaned by the next refit)
+    * rather than a half-swapped index. Idempotent (a resolved root
+    * has no `v_*` children), so helpers may resolve defensively. */
+  private[operators] def resolveRoot(spark: SparkSession,
+                                     dir: String): String = {
+    val v = currentVersion(spark, dir)
+    if (v == 0L) dir else s"$dir/v_$v"
+  }
+
+  /** A fresh BUILD writes the flat layout and must not leave a higher
+    * version root shadowing it. */
+  private def dropVersionRoots(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v_\\d+"))
+        .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  private def currentVersion(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v_\\d+"))
+      .map(_.getPath.getName.stripPrefix("v_").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
   // ---- centroid sidecar ----
 
   /** Persist k-means centroids as `dir/centroids` — 1-based cid rows
@@ -70,7 +112,7 @@ object AnnIndex {
   /** Load the sidecar back into the in-memory form every serving path
     * takes (array index i ↔ cid i+1). */
   def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$dir/centroids")
+    spark.read.parquet(s"${resolveRoot(spark, dir)}/centroids")
       .orderBy(col("cid")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
 
@@ -93,11 +135,12 @@ object AnnIndex {
 
   private def readManifest(spark: SparkSession,
                            dir: String): Option[(Long, Long, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val root = resolveRoot(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$root/manifest")
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       None
     else {
-      val r = spark.read.parquet(s"$dir/manifest").head()
+      val r = spark.read.parquet(s"$root/manifest").head()
       Some((r.getAs[Long]("n_built"), r.getAs[Long]("n_appended"),
         r.getAs[Long]("n_deleted")))
     }
@@ -106,7 +149,8 @@ object AnnIndex {
   private def bumpManifest(spark: SparkSession, dir: String,
                            appended: Long, deleted: Long): Unit =
     readManifest(spark, dir).foreach { case (b, a, d) =>
-      writeManifest(spark, dir, b, a + appended, d + deleted)
+      writeManifest(spark, resolveRoot(spark, dir), b, a + appended,
+        d + deleted)
     }
 
   /** REFIT TRIGGER — the drift valve completing the index lifecycle
@@ -127,34 +171,43 @@ object AnnIndex {
     }
 
   /** REFIT: re-fit centroids on the CURRENT live corpus and rebuild
-    * the stored rows under them, staged to a sibling temp dir and
-    * swapped whole. The cutover is a SEQUENCE of per-part renames,
-    * not one atomic commit — a reader racing the swap could pair new
-    * vectors with old centroids for a moment, so run refit inside
-    * the same single-writer maintenance window every compaction here
-    * already assumes (the parquet file-listing caveat
-    * [[Retrieval.compactIndex]] documents). Serving after a refit
-    * equals a fresh [[buildIvfqIndex]] on the same corpus — same
-    * function, so exact; the manifest's drift folds back to zero and
-    * stale tombstones are dropped. */
+    * the stored rows under them, staged COMPLETE to a sibling temp
+    * dir and committed by ONE atomic directory rename into the next
+    * version root (`dir/v_<N+1>` — see [[resolveRoot]]). A reader
+    * racing the cutover resolves either version and gets vectors +
+    * centroids from the same fit; a crash mid-refit leaves only the
+    * staging dir, which the next refit cleans, and the committed
+    * index is ALWAYS self-consistent — no recovery step. The
+    * superseded version is garbage-collected after the commit
+    * (post-commit; a crash between commit and GC leaves a stale-but-
+    * ignored old root, re-collected by the next refit). Readers that
+    * resolved the OLD root just before the GC hit the standard
+    * parquet listing caveat any compaction has; everyone else is
+    * unaffected. Serving after a refit equals a fresh
+    * [[buildIvfqIndex]] on the same corpus — same function, so
+    * exact; the manifest's drift folds back to zero and stale
+    * tombstones are dropped. */
   def refitIvfq(corpus: DataFrame, dir: String, nlist: Int,
                 seed: Long = 42L, initMode: String = "k-means||",
                 sampleMod: Int = 1, maxIter: Int = 10,
                 filesPerShard: Int = 2): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    val tmp = s"$dir._refit_tmp"
-    val centroids = buildIvfqIndex(corpus, tmp, nlist, seed, initMode,
-      sampleMod, maxIter, filesPerShard)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("vectors", "centroids", "manifest", "deletes").foreach { part =>
-      val src = new org.apache.hadoop.fs.Path(tmp, part)
-      val dst = new org.apache.hadoop.fs.Path(dir, part)
-      fs.delete(dst, true)
-      if (fs.exists(src) && !fs.rename(src, dst))
-        throw new java.io.IOException(s"refit swap failed for $part")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val oldVersion = currentVersion(spark, dir)
+    val oldRoot = resolveRoot(spark, dir)
+    val tmp = s"$dir._refit_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // crashed-refit leftovers
+    val centroids = buildIvfqIndex(corpus, tmp, nlist, seed, initMode,
+      sampleMod, maxIter, filesPerShard)
+    val next = new org.apache.hadoop.fs.Path(dir, s"v_${oldVersion + 1}")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), next))
+      throw new java.io.IOException(s"refit commit failed for $next")
+    // post-commit GC of the superseded version
+    if (oldRoot == dir)
+      Seq("vectors", "centroids", "manifest", "deletes").foreach(part =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, part), true))
+    else fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
     centroids
   }
 
@@ -181,6 +234,7 @@ object AnnIndex {
                      seed: Long = 42L, initMode: String = "k-means||",
                      sampleMod: Int = 1, maxIter: Int = 10,
                      filesPerShard: Int = 2): Array[Array[Double]] = {
+    dropVersionRoots(corpus.sparkSession, dir) // a rebuild supersedes every version
     val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
       maxIter = maxIter, initMode = initMode, sampleMod = sampleMod)
     writeCentroids(corpus.sparkSession, centroids, dir)
@@ -196,10 +250,11 @@ object AnnIndex {
     * O(batch) end to end. */
   def appendIvfq(batch: DataFrame, dir: String,
                  filesPerShard: Int = 2): Unit = {
-    val centroids = readCentroids(batch.sparkSession, dir)
-    CorpusSink.appendShards(ivfqRows(batch, centroids), s"$dir/vectors",
+    val root = resolveRoot(batch.sparkSession, dir)
+    val centroids = readCentroids(batch.sparkSession, root)
+    CorpusSink.appendShards(ivfqRows(batch, centroids), s"$root/vectors",
       shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
-    bumpManifest(batch.sparkSession, dir, appended = batch.count(),
+    bumpManifest(batch.sparkSession, root, appended = batch.count(),
       deleted = 0L)
   }
 
@@ -219,15 +274,16 @@ object AnnIndex {
   def compactIvfq(spark: SparkSession, dir: String,
                   filesPerShard: Int = 2,
                   maxFilesPerCell: Int = 8): Seq[Int] = {
+    val root = resolveRoot(spark, dir)
     val over = CorpusSink
-      .oversizedShards(spark, s"$dir/vectors", "cid", maxFilesPerCell)
+      .oversizedShards(spark, s"$root/vectors", "cid", maxFilesPerCell)
       .map(_.toInt)
     if (over.nonEmpty) {
-      val rows = spark.read.parquet(s"$dir/vectors")
+      val rows = spark.read.parquet(s"$root/vectors")
         .filter(col("cid").isin(over: _*))
         .select(col("vec_id"), col("qv"), col("scale"),
           col("cid").cast("int").as("cid"))
-      CorpusSink.swapShards(rows, s"$dir/vectors",
+      CorpusSink.swapShards(rows, s"$root/vectors",
         over.map(c => s"cid=$c"), shardCol = "cid", sortCol = "vec_id",
         filesPerShard = filesPerShard)
     }
@@ -246,9 +302,13 @@ object AnnIndex {
   def ivfqTopKFromPath(spark: SparkSession, dir: String,
                        exactCorpus: DataFrame, queries: DataFrame, k: Int,
                        nProbe: Int = 4, rerank: Int = 4): DataFrame = {
-    val centroids = readCentroids(spark, dir)
+    // ONE resolution for the whole call: vectors, centroids, and
+    // tombstones all come from the same committed version even if a
+    // refit commits mid-call
+    val root = resolveRoot(spark, dir)
+    val centroids = readCentroids(spark, root)
     val stored = antiJoinDeletes(
-      spark.read.parquet(s"$dir/vectors"), dir, "vec_id")
+      spark.read.parquet(s"$root/vectors"), root, "vec_id")
     val exact = exactCorpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
@@ -274,8 +334,9 @@ object AnnIndex {
     // delete batches are revocation-traffic-sized, so the driver hop
     // is bounded by design (same shape as Retrieval.deleteIndex).
     val spark = ids.sparkSession
+    val root = resolveRoot(spark, dir)
     val wanted = antiJoinDeletes(
-      ids.select(col("vec_id").cast("long")).distinct(), dir, "vec_id")
+      ids.select(col("vec_id").cast("long")).distinct(), root, "vec_id")
       .collect().map(_.getLong(0))
     // …and the ids must EXIST in the stored index (the postings join
     // Retrieval.deleteIndex already does): a nonexistent id, or a
@@ -290,14 +351,14 @@ object AnnIndex {
       if (wanted.isEmpty) Array.empty
       else {
         val lits = wanted.toSeq.map(Long.box)
-        val fs = new org.apache.hadoop.fs.Path(dir)
+        val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors")))
-          spark.read.parquet(s"$dir/vectors")
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")))
+          spark.read.parquet(s"$root/vectors")
             .select(col("vec_id")).filter(col("vec_id").isin(lits: _*))
             .distinct().collect().map(_.getLong(0))
-        else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges")))
-          spark.read.parquet(s"$dir/edges")
+        else if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/edges")))
+          spark.read.parquet(s"$root/edges")
             .filter(col("src").isin(lits: _*) || col("dst").isin(lits: _*))
             .select(explode(array(col("src"), col("dst"))).as("vec_id"))
             .filter(col("vec_id").isin(lits: _*))
@@ -307,16 +368,17 @@ object AnnIndex {
     if (fresh.nonEmpty) {
       import spark.implicits._
       fresh.toSeq.toDF("vec_id")
-        .coalesce(1).write.mode("append").parquet(s"$dir/deletes")
-      bumpManifest(spark, dir, appended = 0L, deleted = fresh.length.toLong)
+        .coalesce(1).write.mode("append").parquet(s"$root/deletes")
+      bumpManifest(spark, root, appended = 0L, deleted = fresh.length.toLong)
     }
   }
 
   private def deletesPath(spark: SparkSession,
                           dir: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val root = resolveRoot(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(s"$dir/deletes") else None
+    if (fs.exists(p)) Some(s"$root/deletes") else None
   }
 
   /** LEFT ANTI mask against the tombstone sidecar (no-op when no
@@ -345,11 +407,12 @@ object AnnIndex {
     * rows. Returns the purged cids. */
   def purgeIvfqDeletes(spark: SparkSession, dir: String,
                        filesPerShard: Int = 2): Seq[Int] = {
-    deletesPath(spark, dir) match {
+    val root = resolveRoot(spark, dir)
+    deletesPath(spark, root) match {
       case None => Seq.empty
       case Some(p) =>
         val dels = spark.read.parquet(p).select(col("vec_id")).distinct()
-        val stored = spark.read.parquet(s"$dir/vectors")
+        val stored = spark.read.parquet(s"$root/vectors")
         val touched = stored.join(broadcast(dels), Seq("vec_id"))
           .select(col("cid").cast("int")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
@@ -358,7 +421,7 @@ object AnnIndex {
             .join(broadcast(dels), Seq("vec_id"), "left_anti")
             .select(col("vec_id"), col("qv"), col("scale"),
               col("cid").cast("int").as("cid"))
-          CorpusSink.swapShards(kept, s"$dir/vectors",
+          CorpusSink.swapShards(kept, s"$root/vectors",
             touched.map(c => s"cid=$c"), shardCol = "cid",
             sortCol = "vec_id", filesPerShard = filesPerShard,
             dropDrained = true) // a fully-deleted cell's dir is removed
@@ -380,13 +443,15 @@ object AnnIndex {
                       randPerVec: Int = 4, seed: Long = 42L,
                       initMode: String = "k-means||", sampleMod: Int = 1,
                       nBuckets: Int = 16,
-                      filesPerShard: Int = 2): Array[Array[Double]] = {
+                      filesPerShard: Int = 2,
+                      spillCells: Int = 2): Array[Array[Double]] = {
+    dropVersionRoots(corpus.sparkSession, dir) // a rebuild supersedes every version
     val centroids = Similarity.kmeansCentroids(corpus, nlist, seed,
       initMode = initMode, sampleMod = sampleMod)
     writeCentroids(corpus.sparkSession, centroids, dir)
     // one centroid-scoring pass serves both the spill and the argmax
     // (crank 1) — the graphTopK single-pass rule
-    val spill = Similarity.assignTopCells(corpus, centroids).cache()
+    val spill = Similarity.assignTopCells(corpus, centroids, spillCells).cache()
     val assigned = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
@@ -425,12 +490,13 @@ object AnnIndex {
                         corpus: DataFrame, queries: DataFrame, k: Int,
                         beam: Int = 24, hops: Int = 2,
                         seedProbe: Int = 2): DataFrame = {
-    val centroids = readCentroids(spark, dir)
+    val root = resolveRoot(spark, dir)
+    val centroids = readCentroids(spark, root)
     val edges = antiJoinDeletes(antiJoinDeletes(
-        spark.read.parquet(s"$dir/edges").select(col("src"), col("dst")),
-        dir, "src").withColumnRenamed("dst", "vec_id"), dir, "vec_id")
+        spark.read.parquet(s"$root/edges").select(col("src"), col("dst")),
+        root, "src").withColumnRenamed("dst", "vec_id"), root, "vec_id")
       .withColumnRenamed("vec_id", "dst")
-    val live = antiJoinDeletes(corpus, dir, "vec_id")
+    val live = antiJoinDeletes(corpus, root, "vec_id")
     Similarity.graphTopKFromIndex(edges, live, queries, k, centroids,
       beam, hops, seedProbe)
   }
@@ -449,11 +515,12 @@ object AnnIndex {
   def purgeGraphDeletes(spark: SparkSession, dir: String, corpus: DataFrame,
                         g: Int = 8, nBuckets: Int = 16,
                         filesPerShard: Int = 2): Seq[Int] = {
-    deletesPath(spark, dir) match {
+    val root = resolveRoot(spark, dir)
+    deletesPath(spark, root) match {
       case None => Seq.empty
       case Some(p) =>
         val dels = spark.read.parquet(p).select(col("vec_id")).distinct()
-        val stored = spark.read.parquet(s"$dir/edges")
+        val stored = spark.read.parquet(s"$root/edges")
         val delKeys = dels.withColumnRenamed("vec_id", "__del")
         // stitch: in-neighbors of a deleted node adopt its out-edges
         val into = stored
@@ -507,7 +574,7 @@ object AnnIndex {
               Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))))
             .filter(col("rank") <= g)
             .select(col("src"), col("dst"), col("score"), col("bucket"))
-          CorpusSink.swapShards(merged, s"$dir/edges",
+          CorpusSink.swapShards(merged, s"$root/edges",
             touched.map(b => s"bucket=$b"), shardCol = "bucket",
             sortCol = "src", filesPerShard = filesPerShard,
             dropDrained = true) // a bucket whose every edge died is removed
@@ -545,8 +612,9 @@ object AnnIndex {
                   seedProbe: Int = 2, nBuckets: Int = 16,
                   filesPerShard: Int = 2): Unit = {
     val spark = batch.sparkSession
-    val centroids = readCentroids(spark, dir)
-    val stored = spark.read.parquet(s"$dir/edges")
+    val root = resolveRoot(spark, dir)
+    val centroids = readCentroids(spark, root)
+    val stored = spark.read.parquet(s"$root/edges")
     // 1. insert-as-search: top-g of each batch vector over the stored
     //    graph (eager inside, bounded |batch|·g output)
     val newFwd = Similarity.graphTopKFromIndex(
@@ -574,8 +642,8 @@ object AnnIndex {
         Window.partitionBy(col("src")).orderBy(desc("score"), col("dst"))))
       .filter(col("rank") <= g)
       .select(col("src"), col("dst"), col("score"), col("bucket"))
-    CorpusSink.refreshShards(merged, s"$dir/edges", shardCol = "bucket",
+    CorpusSink.refreshShards(merged, s"$root/edges", shardCol = "bucket",
       sortCol = "src", filesPerShard = filesPerShard)
-    bumpManifest(spark, dir, appended = batch.count(), deleted = 0L)
+    bumpManifest(spark, root, appended = batch.count(), deleted = 0L)
   }
 }

@@ -514,9 +514,10 @@ object Similarity {
     * `AnnIndex.buildGraphIndex` do. */
   def knnGraph(corpus: DataFrame, g: Int = 8, nlist: Int = 16,
                refineRounds: Int = 1, randPerVec: Int = 4,
-               seed: Long = 42L, initMode: String = "k-means||"): DataFrame = {
+               seed: Long = 42L, initMode: String = "k-means||",
+               spillCells: Int = 2): DataFrame = {
     val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode)
-    val spill = assignTopCells(corpus, centroids)
+    val spill = assignTopCells(corpus, centroids, spillCells)
     val assigned = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
@@ -640,7 +641,7 @@ object Similarity {
                 nlist: Int = 16, seedProbe: Int = 2,
                 seed: Long = 42L, initMode: String = "k-means||",
                 sampleMod: Int = 1, refineRounds: Int = 1,
-                randPerVec: Int = 4): DataFrame = {
+                randPerVec: Int = 4, spillCells: Int = 2): DataFrame = {
     val centroids = kmeansCentroids(corpus, nlist, seed, initMode = initMode,
       sampleMod = sampleMod)
     // ONE centroid-scoring pass feeds the spilled build candidates
@@ -649,7 +650,7 @@ object Similarity {
     // measured ~¼ of the sf10 build). Cached because the graph build
     // reads both from several join sides. Released below: the
     // traversal is eager, so by return time nothing reads them again.
-    val spill = assignTopCells(corpus, centroids).cache()
+    val spill = assignTopCells(corpus, centroids, spillCells).cache()
     val assigned = corpus.select(col("vec_id"),
         VectorOps.asDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", VectorOps.l2Norm(col("cv")))
@@ -705,21 +706,25 @@ object Similarity {
     * then `hops` rounds of best-first beam expansion over the
     * (symmetrized, cached) edge table.
     *
-    * EAGER, like the SGD driver loop and [[kmeansCentroids]]: each
-    * hop's frontier is COLLECTED to the driver and re-planted as a
-    * local relation before the next hop expands it. Two reasons, both
-    * measured: (1) lineage truncation — the lazy iterated shape
-    * re-optimizes an ever-deepening union-of-joins tree (full of
-    * centroid-literal expressions) on EVERY downstream action,
-    * ~2 s/action of pure driver planning by hop 3 at sf0.1; (2) it
-    * lets the symmetrized edge-table cache be unpersisted before
+    * EAGER per hop, like the SGD driver loop and [[kmeansCentroids]]:
+    * each hop's frontier is `localCheckpoint`ed — materialized to
+    * executor block storage and re-planted as a flat `LogicalRDD` —
+    * before the next hop expands it. The frontier therefore STAYS
+    * DISTRIBUTED (no driver round-trip; an earlier collect-per-hop
+    * shape funneled |Q|·beam rows through the driver each hop, a
+    * bottleneck once the probe set scales with the corpus) while
+    * keeping both measured wins of eager truncation: (1) the lazy
+    * iterated shape re-optimizes an ever-deepening union-of-joins
+    * tree (full of centroid-literal expressions) on EVERY downstream
+    * action, ~2 s/action of pure driver planning by hop 3 at sf0.1;
+    * (2) the symmetrized edge-table cache can be unpersisted before
     * returning with zero recompute risk, because the returned top-k
-    * plan reads only the local frontier (the kmeansCentroids
-    * try/finally discipline — a call leaves NOTHING cached). The
-    * driver round-trip is |Q|·beam skinny rows per hop; `queries` is
-    * broadcast by this operator's contract, so the frontier is
-    * beam× a table already required to be driver-small. A deployment
-    * serving huge query batches shards the batch, not this loop. */
+    * plan reads only the final checkpointed frontier. Superseded
+    * frontiers are unpersisted as soon as their successor is
+    * materialized; the final one (|Q|·beam skinny rows) is owned by
+    * the returned plan and freed by Spark's ContextCleaner when the
+    * caller drops it — checkpoint blocks, unlike a live cache, can
+    * never trigger an upstream recompute. */
   private def searchOverEdges(assigned: DataFrame, directed: DataFrame,
                               queries: DataFrame, k: Int,
                               centroids: Array[Array[Double]],
@@ -760,22 +765,27 @@ object Similarity {
     val seeds = assigned.select(col("cid"), col("vec_id"))
       .join(qCells, Seq("cid"))
       .select(col("qid"), col("vec_id"))
-    // each hop's |Q|·beam frontier becomes a LOCAL relation: the hop
+    // each hop's |Q|·beam frontier becomes a flat LogicalRDD: the hop
     // query (a distributed join against the cached edges/vectors)
-    // runs once, and hop h+1 plans against a flat local scan instead
-    // of the whole hops-0..h lineage
-    val spark = assigned.sparkSession
-    def localize(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-    var cand = localize(topBeam(scoreCands(seeds), beam))
+    // runs once eagerly, and hop h+1 plans against an ExistingRDD
+    // scan instead of the whole hops-0..h lineage — never a
+    // LocalTableScan, so no frontier row visits the driver
+    def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    def truncate(df: DataFrame): DataFrame = df.localCheckpoint()
+    var cand = truncate(topBeam(scoreCands(seeds), beam))
     (1 to hops).foreach { _ =>
       val expanded = cand.select(col("qid"), col("vec_id").as("u"))
         .join(edges, Seq("u"))
         .select(col("qid"), col("v").as("vec_id"))
         .dropDuplicates("qid", "vec_id")
-      cand = localize(topBeam(scoreCands(expanded)
+      val next = truncate(topBeam(scoreCands(expanded)
         .unionByName(cand).dropDuplicates("qid", "vec_id"), beam))
+      // the superseded frontier's blocks are baked into `next` now
+      checkpointedRdd(cand).foreach(_.unpersist(blocking = false))
+      cand = next
     }
     edges.unpersist(blocking = false)
     cand.withColumn("rank", row_number().over(

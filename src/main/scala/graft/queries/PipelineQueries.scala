@@ -19,6 +19,22 @@ import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, 
   */
 object PipelineQueries {
 
+  /** Memo keys for the session-shared stored-index bases
+    * (graft.IndexMemo): every build parameter that matters is encoded
+    * in the key, so no parameter change can ever serve a stale base.
+    * The two IVFQ lifecycle keys share one base (corpus minus the
+    * pinned batch — the delete key appends the batch first, which is
+    * row-identical to a full build under the same centroids); the two
+    * BM25 lifecycle keys share the 2/3-corpus base the same way. */
+  private def ivfqBaseKey(d: String) =
+    s"ivfq_base|$d|minus(vec_id%20=13&lt2000)|nlist=16|seed=42|kmeansbb"
+  private def bm25BaseKey(d: String) =
+    s"bm25_base|$d|docs(doc_id%3!=0)|nBuckets=16"
+  private def graphBaseKey(d: String, nlist: Int, sampleMod: Int,
+                           init: String) =
+    s"graph_base|$d|g=24|spill=3|refine=0|rand=4|nlist=$nlist" +
+      s"|mod=$sampleMod|init=$init|seed=42|nBuckets=16"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_dedup_exact" -> ((s, d) => {
@@ -750,7 +766,12 @@ object PipelineQueries {
       // scaling rule; random init once cells reach the hundreds
       // (k-means||'s driver-local final step dominates there)
       val n = emb.count()
-      val nlist = math.max(16L, n / 256L).toInt
+      // |cell| ≈ 128 (denom halved from the IVF keys' 256): with the
+      // top-3 spill the init pair cost is cells·(3·|cell|)² =
+      // 9·n·|cell|, so halving |cell| pays for the spill — measured
+      // sf10 build wall lands at the old spill-2 level while recall
+      // climbs (see matrix below)
+      val nlist = math.max(16L, n / 128L).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
       // fit on a ~16·nlist hash sample — see q_similarity_scaled
       val sampleMod = math.max(1L, n / (16L * nlist)).toInt
@@ -758,34 +779,76 @@ object PipelineQueries {
       // covers a vanishing corpus fraction as nlist grows — the
       // round-10 sf1 oracle re-check caught recall decaying 0.80 →
       // 0.26 under fixed seeding). Search cost stays o(n): seeds are
-      // |seedProbe|·~256 rows and each hop is |Q|·beam·2g.
+      // |seedProbe|·~128 rows and each hop is |Q|·beam·2g.
       val seedProbe = math.max(2, nlist / 32)
-      // round-11 sf1 re-measure: recall was STILL ~0.3 at sf1, and
-      // deepening NN-Descent (g=16, 2 rounds — the round-10
-      // hypothesis) only moved it to 0.34: the graph was
-      // CELL-DISCONNECTED (see Similarity.assignTopCells), so no
-      // hop count could leave the seed cells. The spilled build
-      // assignment fixes the topology — measured sf1 recall 0.78 at
-      // g=12 / 0.84 at g=16, from 0.29.
-      // NN-Descent refinement is OFF for this key (GraphDebug,
-      // round 11): with corpus-scaled nlist the spilled top-2-cell
-      // init already covers every cell boundary, so the measured
-      // refine payoff is marginal at every decade — sf0.1 (nlist
-      // 16): 0.95 → 0.97 for +10 s, sf1 (nlist 78): 0.79 → 0.84,
-      // sf10 (nlist 781): 0.78 → 0.78 for +47 s of n·(2g)² pair
-      // work — while the 0.65 contract bound holds with ≥20% margin
-      // unrefined. Refinement stays a [[Similarity.knnGraph]] knob
-      // (spec-covered) for deployments whose degree budget can't
-      // cover the cell topology.
-      val ann = Similarity.graphTopK(emb, queries, k = 5, g = 16,
-        beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
-        initMode = initMode, sampleMod = sampleMod,
-        refineRounds = 0)
+      // round-11 sf1 re-measure: recall was STILL ~0.3 at sf1 —
+      // the graph was CELL-DISCONNECTED (see
+      // Similarity.assignTopCells) and the spilled build assignment
+      // fixed the topology. Round 12 tuned the build on a measured
+      // (spill, |cell|, g) matrix at three decades: top-3 spill at
+      // the old |cell|=256 lifted sf1 0.79 → 0.88 but SANK sf10 to
+      // 0.75 at 4× wall (2.25× candidates make the top-g cut
+      // over-local, crowding out the long-range edges the walk
+      // needs); halving |cell| to 128 restores the pair budget and
+      // g=24 keeps the long-range edges — recall 0.98 / 0.88 / 0.86
+      // at sf0.1 / sf1 / sf10 with sf10 build wall at the old
+      // spill-2 level. NN-Descent refinement stays off (measured
+      // marginal at every decade: sf0.1 +0.02 for +10 s, sf10 +0.00
+      // for +47 s) and remains a [[Similarity.knnGraph]] knob for
+      // deployments whose degree budget can't cover the topology.
+      //
+      // Round 12 also made this the STORED-index path: the build
+      // persists edges + centroid sidecar once per session
+      // (graft.IndexMemo, shared with q_similarity_graph_scaled) and
+      // the key serves entirely from disk — the deployment shape,
+      // with serving parity to the in-session build proved by
+      // GraphLayoutSpec.
+      val idxDir = graft.IndexMemo.dir(
+        graphBaseKey(d, nlist, sampleMod, initMode))(base =>
+        AnnIndex.buildGraphIndex(emb, base, g = 24, nlist = nlist,
+          refineRounds = 0, randPerVec = 4, initMode = initMode,
+          sampleMod = sampleMod, spillCells = 3))
+      val ann = AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
+        k = 5, beam = 48, hops = 3, seedProbe = seedProbe)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
-      // bound raised 0.5 → 0.65 once the spilled build held 0.84 at
-      // sf1: the contract now enforces the scale margin itself
+      // bound raised 0.65 → 0.75 once the tuned build held 0.86-0.88
+      // at sf1/sf10: the contract enforces the scale margin itself
       Similarity.meanRecall(ann, exact)
-        .select(col("n_queries"), (col("recall") >= 0.65).as("recall_ok"))
+        .select(col("n_queries"), (col("recall") >= 0.75).as("recall_ok"))
+    }),
+
+    // the graph twin of q_similarity_scaled (round-11 advice: the
+    // IVF and JL families carry corpus-scaled probe contracts, the
+    // graph family only a pinned panel): probes are the UNCAPPED 1%
+    // vec_id stratum, served from the SAME stored graph index as
+    // q_similarity_graph (built once per session), traversed with
+    // the now-distributed frontier — each hop localCheckpoints, so
+    // no frontier row visits the driver and the probe set can scale
+    // with the corpus. Contract: ≥95% of probes fill their top-k
+    // (the q_similarity_scaled coverage rule — an exact-truth branch
+    // over a growing probe set would be quadratic, which is what the
+    // pinned panel's recall contract exists to avoid)
+    "q_similarity_graph_scaled" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val n = emb.count()
+      val nlist = math.max(16L, n / 128L).toInt
+      val initMode = if (nlist > 64) "random" else "k-means||"
+      val sampleMod = math.max(1L, n / (16L * nlist)).toInt
+      val seedProbe = math.max(2, nlist / 32)
+      val idxDir = graft.IndexMemo.dir(
+        graphBaseKey(d, nlist, sampleMod, initMode))(base =>
+        AnnIndex.buildGraphIndex(emb, base, g = 24, nlist = nlist,
+          refineRounds = 0, randPerVec = 4, initMode = initMode,
+          sampleMod = sampleMod, spillCells = 3))
+      val ann = AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
+        k = 5, beam = 48, hops = 3, seedProbe = seedProbe)
+      val perQ = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
+      queries.select(col("vec_id").as("qid"))
+        .join(perQ, Seq("qid"), "left").na.fill(0L, Seq("n_found"))
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(when(col("n_found") >= 5, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)) >= 0.95).as("coverage_ok"))
     }),
 
     // JL ANN at DEPLOYMENT configuration (the round-10 advice gap:
@@ -837,7 +900,15 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_append")
         .toString
       try {
-        val centroids = AnnIndex.buildIvfqIndex(old, dir, nlist = 16)
+        // the BASE index (corpus-minus-batch, frozen params) is a pure
+        // function of the fixture, so it is built ONCE per session and
+        // file-cloned here — q_ann_delete mutates the same base, which
+        // is exactly how a deployment amortizes its stored index
+        // (graft.IndexMemo; the mutation+serve contract runs on the
+        // private clone, untouched)
+        graft.IndexMemo.cloneDir(ivfqBaseKey(d), dir)(base =>
+          AnnIndex.buildIvfqIndex(old, base, nlist = 16))
+        val centroids = AnnIndex.readCentroids(s, dir)
         AnnIndex.appendIvfq(batch, dir)
         // both |Q|·k result sets are read by three checks each —
         // cache so each pipeline runs once (released in the finally)
@@ -894,12 +965,18 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_delete")
         .toString
       try {
-        // cell QUALITY is irrelevant to a lifecycle contract (parity
-        // shares the centroids across both sides), so the cheap fit —
-        // random init, 4 Lloyd iterations — buys the same proof for
-        // a fraction of the fixed job-latency cost
-        val centroids = AnnIndex.buildIvfqIndex(emb, dir, nlist = 16,
-          initMode = "random", maxIter = 4)
+        // same shared base as q_ann_append (corpus MINUS the pinned
+        // batch — `survivors` here IS that corpus, the delete stratum
+        // equals the append stratum by design); appending the batch
+        // under the frozen stored centroids yields the FULL-corpus
+        // index row-identically to a fresh build with these centroids
+        // (append and rebuild share one assignment function), so the
+        // delete contract runs against the same full index as before
+        // while the k-means fit is paid once per session
+        graft.IndexMemo.cloneDir(ivfqBaseKey(d), dir)(base =>
+          AnnIndex.buildIvfqIndex(survivors, base, nlist = 16))
+        AnnIndex.appendIvfq(deleted, dir)
+        val centroids = AnnIndex.readCentroids(s, dir)
         AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
         val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
           k = 5, nProbe = 4, rerank = 4).cache()
@@ -1101,6 +1178,91 @@ object PipelineQueries {
       Retrieval.rrfFuse(sparse, dense, k = 10)
     }),
 
+    // DEPLOYMENT-shaped hybrid retrieval (round-11 advice: promote
+    // HybridRetrievalSpec's stored-index composition into an oracled
+    // key): BOTH legs serve from disk — BM25 from the stored postings
+    // index over the full corpus (memoized 2/3 base + append; the
+    // derived-df serving path is bit-identical to inline, checked
+    // here as sparse_parity_ok) and the dense leg from the stored
+    // IVF×int8 index (memoized base + append = full corpus under the
+    // frozen centroids) — then fused with the same exact-integer RRF.
+    // q_retrieval_hybrid keeps the exact-value oracle (its dense leg
+    // is exact cosine, DuckDB-recomputable); THIS key carries the
+    // contract the exact key can't: the disk-served fusion's top-10
+    // overlaps the exact-composition fusion on ≥6 of 10 (the ANN leg
+    // is approximate, so set-equality would be a flaky lie — the
+    // measured overlap is 9-10/10 at the gate SFs)
+    "q_retrieval_hybrid_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qid = 42L
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hybrid_stored").toString
+      try {
+        // stored BM25 over the FULL corpus
+        graft.IndexMemo.cloneDir(bm25BaseKey(d), s"$root/bm25")(base =>
+          Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
+        Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0),
+          s"$root/bm25")
+        // stored IVFQ over the full embeddings (base + pinned batch)
+        val batch = emb.filter(pmod(col("vec_id"), lit(20)) === 13
+          && col("vec_id") < 2000)
+        graft.IndexMemo.cloneDir(ivfqBaseKey(d), s"$root/ann")(base =>
+          AnnIndex.buildIvfqIndex(
+            emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti"),
+            base, nlist = 16))
+        AnnIndex.appendIvfq(batch, s"$root/ann")
+
+        // dense leg FROM DISK (int8 stage 1 + bounded exact re-rank)
+        val queryVec = emb.filter(col("vec_id") === qid)
+        val denseStored = AnnIndex.ivfqTopKFromPath(s, s"$root/ann", emb,
+          queryVec, k = 50, nProbe = 4, rerank = 4)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        // sparse leg FROM DISK, same query-term rule as the exact key
+        val qterms = docs.filter(col("doc_id") === qid)
+          .select(explode(TextOps.regexTokens(col("text"))).as("term"))
+          .filter(!col("term").isin("the", "a", "of", "and", "in"))
+          .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        // k+1 then re-cut: dropping the query doc from a (k+1)-cut
+        // equals cutting k from corpus-minus-query either way
+        val sparseStored = Retrieval.bm25TopKFromIndex(s, s"$root/bm25",
+            qterms, k = 51)
+          .filter(col("doc_id") =!= qid)
+          .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+        val fusedStored = Retrieval.rrfFuse(sparseStored, denseStored, k = 10)
+          .collect() // localized: the temp indexes die before return
+        // contract 1: the stored sparse leg is BIT-identical to inline
+        import s.implicits._
+        val sparseInline = Retrieval.bm25Scores(docs, qterms.toDF("term"))
+          .filter(col("doc_id") =!= qid)
+          .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val sparseParity = sparseStored
+          .select(col("doc_id"), col("n_hit"), col("bm25_e6"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet == sparseInline
+        // contract 2: fusion overlap vs the exact composition
+        val denseExact = Similarity.bruteForceTopK(emb, queryVec, k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        val sparseExact = sparseStored // already proven bit-identical
+        val fusedExact = Retrieval.rrfFuse(sparseExact, denseExact, k = 10)
+          .collect().map(_.getLong(0)).toSet
+        val overlap = fusedStored.map(_.getLong(0)).count(fusedExact.contains)
+        Seq((fusedStored.length.toLong, sparseParity, overlap >= 6))
+          .toDF("n_rows", "sparse_parity_ok", "fusion_overlap_ok")
+      } finally {
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmr)
+          f.delete()
+        }
+        rmr(new java.io.File(root))
+      }
+    }),
+
     // stored-BM25-index INCREMENTAL MAINTENANCE, exactly oracled:
     // build the term-bucketed postings index on 2/3 of the corpus,
     // appendIndex the held-out 1/3 (touched buckets only + additive
@@ -1113,7 +1275,12 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_append")
         .toString
       try {
-        Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), dir)
+        // the 2/3-corpus base index is session-memoized and file-cloned
+        // (graft.IndexMemo — the tokenize+shuffle of the base build is
+        // the dominant cost and a pure function of the fixture); the
+        // APPEND under test still runs fresh on the private clone
+        graft.IndexMemo.cloneDir(bm25BaseKey(d), dir)(base =>
+          Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
         Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0), dir)
         // same query-term rule as q_bm25_topk (3-row driver probe)
         val qterms = Retrieval.dfCounts(docs)
@@ -1147,7 +1314,14 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_delete")
         .toString
       try {
-        Retrieval.buildIndex(docs, dir)
+        // full-corpus index = the memoized 2/3 base + an append of the
+        // held-out 1/3: served scores after any append sequence are
+        // BIT-IDENTICAL to a one-shot build (RetrievalAppendSpec), so
+        // the delete contract is unchanged while the base build is
+        // shared with q_retrieval_append
+        graft.IndexMemo.cloneDir(bm25BaseKey(d), dir)(base =>
+          Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
+        Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0), dir)
         Retrieval.deleteIndex(
           docs.filter(col("doc_id") % 4 === 1).select(col("doc_id")), dir)
         val live = docs.filter(col("doc_id") % 4 =!= 1)
@@ -1639,6 +1813,9 @@ object PipelineQueries {
     "q_similarity_scaled" ->
       ("SELECT count(*) AS n_queries, TRUE AS coverage_ok FROM embeddings " +
         "WHERE vec_id % 100 = 0"),
+    "q_similarity_graph_scaled" ->
+      ("SELECT count(*) AS n_queries, TRUE AS coverage_ok FROM embeddings " +
+        "WHERE vec_id % 100 = 0"),
     "q_similarity_proj_scaled" ->
       ("SELECT count(*) AS n_queries, TRUE AS coverage_ok FROM embeddings " +
         "WHERE vec_id % 100 = 0"),
@@ -1832,6 +2009,9 @@ object PipelineQueries {
     // the append key serves the SAME full-corpus ranking from the
     // incrementally-maintained stored index — identical oracle text
     "q_retrieval_append" -> bm25OracleSql,
+    "q_retrieval_hybrid_stored" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_rows, TRUE AS sparse_parity_ok, " +
+        "TRUE AS fusion_overlap_ok"),
     "q_retrieval_delete" ->
       // the subquery alias is required by Spark's parser (SqlParity
       // runs this text through spark.sql too) and harmless to DuckDB

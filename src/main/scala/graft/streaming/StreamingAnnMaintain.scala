@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.AnnIndex
+
+/** Streaming ingest WITH the maintenance valves in the loop — the
+  * closing piece of the stored-ANN lifecycle under continuous
+  * arrival. [[StreamingAnnAppend]] appends forever and leaves
+  * compaction and refit to an operator's cron; this sink runs them
+  * BETWEEN micro-batches, where a deployment actually wants them:
+  *
+  *  - every micro-batch lands in the corpus store (plain parquet
+  *    append — the full-precision rows a refit or an exact re-rank
+  *    needs) and in the stored index ([[AnnIndex.appendIvfq]],
+  *    O(batch));
+  *  - after each append the FILE valve polls
+  *    ([[AnnIndex.compactIvfq]] — a driver-side dir listing, free)
+  *    and folds oversized cells back to the layout contract;
+  *  - the DRIFT valve polls [[AnnIndex.needsRefit]] (1-row
+  *    arithmetic) and, when the appended+deleted fraction passes
+  *    `maxDrift`, refits the centroids on the current corpus store
+  *    and commits the rebuilt index as ONE atomic version rename
+  *    ([[AnnIndex.refitIvfq]]) — queries served concurrently resolve
+  *    either the old or the new version, never mixed parts, so the
+  *    stream never pauses for the cutover.
+  *
+  * Serving parity across an in-stream refit is exact, not
+  * approximate: the refit IS [[AnnIndex.buildIvfqIndex]] on the
+  * corpus store, so post-cutover serving equals a fresh build on
+  * everything ingested so far (`StreamingMaintenanceSpec`).
+  *
+  * The corpus store accumulates ALL ingested rows; a deployment that
+  * also deletes purges the corpus store on its own schedule (the
+  * index-side tombstones are [[AnnIndex.deleteVectors]]'s job and
+  * already mask serving). Exactly-once: both writes key off the
+  * micro-batch, so use a checkpointLocation; replays re-append —
+  * upstream admission (`StreamingAdmission`) is the dedup layer, as
+  * everywhere in this pipeline. */
+object StreamingAnnMaintain {
+
+  /** Attach ingest + maintenance to a streaming embeddings frame
+    * (`vec_id`, `embedding`). `indexDir` must hold a built index;
+    * `corpusDir` is the full-precision row store the refit refits
+    * on (bootstrapped here if absent — seed it with the build
+    * corpus for drift fractions to mean what the manifest says). */
+  def sink(vecs: DataFrame, indexDir: String, corpusDir: String,
+           nlist: Int, maxDrift: Double = 0.25,
+           maxFilesPerCell: Int = 8, filesPerShard: Int = 2,
+           seed: Long = 42L, initMode: String = "k-means||",
+           sampleMod: Int = 1): DataStreamWriter[Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      batch.write.mode("append").parquet(corpusDir)
+      AnnIndex.appendIvfq(batch, indexDir, filesPerShard)
+      maintain(spark, indexDir, corpusDir, nlist, maxDrift,
+        maxFilesPerCell, filesPerShard, seed, initMode, sampleMod)
+      ()
+    }
+
+  /** One valve poll — split out so a spec (or an operator cron) can
+    * run the same maintenance decision outside a stream. Returns
+    * true iff a refit committed. */
+  def maintain(spark: SparkSession, indexDir: String, corpusDir: String,
+               nlist: Int, maxDrift: Double = 0.25,
+               maxFilesPerCell: Int = 8, filesPerShard: Int = 2,
+               seed: Long = 42L, initMode: String = "k-means||",
+               sampleMod: Int = 1): Boolean =
+    if (AnnIndex.needsRefit(spark, indexDir, maxDrift)) {
+      AnnIndex.refitIvfq(spark.read.parquet(corpusDir), indexDir, nlist,
+        seed, initMode, sampleMod, filesPerShard = filesPerShard)
+      true
+    } else {
+      AnnIndex.compactIvfq(spark, indexDir, filesPerShard, maxFilesPerCell)
+      false
+    }
+}

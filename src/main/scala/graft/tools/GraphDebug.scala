@@ -10,8 +10,8 @@ import graft.operators.Similarity
   * q_similarity_graph's exact path (corpus-scaled nlist, sampled or
   * full centroid fit, shared assignment, beam search) and prints the
   * measured recall + wall for each (g, refineRounds, sampledFit
-  * [, nlistDenom]) combination. Usage:
-  * runMain graft.tools.GraphDebug <sfDir> <g,rounds,sampled[,denom][:...]> */
+  * [, nlistDenom][, spillCells]) combination. Usage:
+  * runMain graft.tools.GraphDebug <sfDir> <g,rounds,sampled[,denom[,spill]][:...]> */
 object GraphDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -19,7 +19,9 @@ object GraphDebug {
       .split(":").toSeq.map { s =>
         val parts = s.split(",").map(_.trim.toInt)
         (parts(0), parts(1), parts(2) == 1,
-          if (parts.length > 3) parts(3) else 256)
+          if (parts.length > 3) parts(3) else 256,
+          if (parts.length > 4) parts(4) else 2,
+          if (parts.length > 5) parts(5) else 48)
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -35,18 +37,19 @@ object GraphDebug {
     val n = emb.count()
     val exact = Similarity.bruteForceTopK(emb, queries, 5).cache()
     exact.count()
-    combos.foreach { case (g, rounds, sampled, denom) =>
+    combos.foreach { case (g, rounds, sampled, denom, spill, beam) =>
       val nlist = math.max(16L, n / denom).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
       val seedProbe = math.max(2, nlist / 32)
       val sampleMod = if (sampled) math.max(1L, n / (16L * nlist)).toInt else 1
       val t0 = System.nanoTime()
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = g,
-        beam = 48, hops = 3, nlist = nlist, seedProbe = seedProbe,
-        initMode = initMode, sampleMod = sampleMod, refineRounds = rounds)
+        beam = beam, hops = 3, nlist = nlist, seedProbe = seedProbe,
+        initMode = initMode, sampleMod = sampleMod, refineRounds = rounds,
+        spillCells = spill)
       val rec = Similarity.meanRecall(ann, exact).head().getAs[Double]("recall")
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[graphdebug] n=$n denom=$denom nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe -> recall=$rec%.3f wall=$wall%.1f s")
+      println(f"[graphdebug] n=$n denom=$denom nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe spill=$spill beam=$beam -> recall=$rec%.3f wall=$wall%.1f s")
     }
     spark.stop()
   }

@@ -69,6 +69,19 @@ class GraphLayoutSpec extends SparkTestBase {
       val recall = Similarity.meanRecall(fromIndex, exact)
         .head().getAs[Double]("recall")
       assert(recall >= 0.6, s"graph-from-index recall $recall below contract")
+
+      // the frontier stays DISTRIBUTED: each hop re-plants as a
+      // localCheckpoint (Scan ExistingRDD), never a driver-collected
+      // LocalTableScan — the shape that survives a corpus-scaled
+      // probe set
+      val servedPlan = AnnIndex.graphTopKFromPath(spark, dir, emb, queries,
+        k = 3, beam = 16, hops = 2, seedProbe = 2)
+        .queryExecution.executedPlan.toString
+      assert(!servedPlan.contains("LocalTableScan"),
+        "a frontier hop was localized to the driver:\n" + servedPlan)
+      assert(servedPlan.contains("ExistingRDD"),
+        "expected the final frontier as a checkpointed ExistingRDD scan:\n"
+          + servedPlan)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

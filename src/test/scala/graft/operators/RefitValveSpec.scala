@@ -101,4 +101,68 @@ class RefitValveSpec extends SparkTestBase {
       }
     }
   }
+
+  test("refit cutover is one atomic version commit; readers never see mixed parts") {
+    val emb = clustered(4, 30, 16, seed = 23)
+    val queries = emb.filter(col("vec_id").isin(5L, 35L, 65L, 95L))
+    def serve(d: String) = AnnIndex.ivfqTopKFromPath(spark, d, emb,
+      queries, k = 3, nProbe = 2, rerank = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    withTempDir { dir =>
+      AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L)
+      val before = serve(dir)
+
+      // a CRASHED refit: the staging dir exists but was never
+      // committed. Readers must resolve the old root, untouched —
+      // the staging name is not a version root.
+      val tmp = new java.io.File(s"$dir._refit_tmp")
+      tmp.mkdirs()
+      new java.io.File(tmp, "junk").createNewFile()
+      assert(serve(dir) == before,
+        "an uncommitted staging dir changed served results")
+
+      // the refit commits as ONE rename to dir/v_1 and cleans the
+      // crashed staging dir; the flat parts are GC'd post-commit
+      AnnIndex.refitIvfq(emb, dir, nlist = 4, seed = 11L)
+      assert(new java.io.File(s"$dir/v_1/vectors").isDirectory,
+        "refit did not commit a version root")
+      assert(new java.io.File(s"$dir/v_1/centroids").isDirectory,
+        "version root missing its centroid sidecar — mixed-parts risk")
+      assert(!new java.io.File(s"$dir/vectors").exists(),
+        "superseded flat vectors survived GC")
+      assert(!tmp.exists(), "crashed staging dir not cleaned by refit")
+      assert(serve(dir) == before,
+        "refit on the same corpus changed served results")
+
+      // maintenance ops follow the resolved root: append + delete +
+      // purge against the refitted index land inside v_1
+      import spark.implicits._
+      val extra = clustered(1, 5, 16, seed = 91)
+        .withColumn("vec_id", col("vec_id") + 1000L)
+      AnnIndex.appendIvfq(extra, dir)
+      AnnIndex.deleteVectors(Seq(1000L).toDF("vec_id"), dir)
+      assert(new java.io.File(s"$dir/v_1/deletes").exists(),
+        "delete wrote outside the committed version root")
+      val m = spark.read.parquet(s"$dir/v_1/manifest").head()
+      assert(m.getAs[Long]("n_appended") == 5 && m.getAs[Long]("n_deleted") == 1)
+      AnnIndex.purgeIvfqDeletes(spark, dir)
+      assert(!new java.io.File(s"$dir/v_1/deletes").exists())
+      assert(serve(dir).forall(_._3 != 1000L))
+
+      // a second refit commits v_2 and GCs v_1
+      AnnIndex.refitIvfq(emb.unionByName(extra)
+        .join(Seq(1000L).toDF("vec_id"), Seq("vec_id"), "left_anti"),
+        dir, nlist = 4, seed = 11L)
+      assert(new java.io.File(s"$dir/v_2/vectors").isDirectory)
+      assert(!new java.io.File(s"$dir/v_1").exists(),
+        "superseded version root survived GC")
+
+      // a fresh BUILD supersedes every version root
+      AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L)
+      assert(!new java.io.File(s"$dir/v_2").exists(),
+        "a rebuild left a higher version shadowing it")
+      assert(serve(dir) == before)
+    }
+  }
 }

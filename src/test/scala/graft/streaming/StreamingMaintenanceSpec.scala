@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.AnnIndex
+
+/** The maintenance valves IN the ingest loop
+  * ([[StreamingAnnMaintain]]): a stream whose drift crosses the
+  * refit bound mid-run must commit a refit BETWEEN micro-batches —
+  * atomically, as a version root — and keep serving exactly the
+  * fresh-build answers before, across, and after the cutover. */
+class StreamingMaintenanceSpec extends SparkTestBase {
+
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    (for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val id = (c * perCluster + i).toLong
+      (id, centers(c).map(v => (v + rnd.nextGaussian()).toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
+  test("in-stream refit commits between micro-batches with serve parity across the cutover") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = clustered(4, 40, 16, seed = 37)
+    val base = emb.filter(col("vec_id") % 2 === 0)   // 80 rows built offline
+    val arriving = emb.filter(col("vec_id") % 2 =!= 0) // 80 rows stream in
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val queries = emb.filter(col("vec_id").isin(4L, 44L, 84L, 124L))
+    val indexDir = Files.createTempDirectory("maint_idx").toString
+    val corpusDir = Files.createTempDirectory("maint_corpus").toString + "/rows"
+    val freshDir = Files.createTempDirectory("maint_fresh").toString
+    try {
+      AnnIndex.buildIvfqIndex(base, indexDir, nlist = 4, seed = 11L)
+      base.write.mode("overwrite").parquet(corpusDir) // seed the row store
+
+      val stream = MemoryStream[(Long, Seq[Float])]
+      // maxDrift = 0.30: batch 1 appends 40/80 → drift 0.5 → REFIT
+      // fires after the first micro-batch, mid-stream by construction
+      val q = StreamingAnnMaintain.sink(
+          stream.toDS().toDF("vec_id", "embedding"), indexDir, corpusDir,
+          nlist = 4, maxDrift = 0.30, seed = 11L)
+        .option("checkpointLocation",
+          Files.createTempDirectory("maint_ckpt").toString)
+        .start()
+      try {
+        stream.addData(arriving.take(40): _*); q.processAllAvailable()
+        assert(new java.io.File(s"$indexDir/v_1/vectors").isDirectory,
+          "drift crossed the bound but no refit committed mid-stream")
+        // serving right after the cutover: exactly a fresh build on
+        // everything ingested so far
+        AnnIndex.buildIvfqIndex(
+          spark.read.parquet(corpusDir), freshDir, nlist = 4, seed = 11L)
+        def serve(d: String) = AnnIndex.ivfqTopKFromPath(spark, d,
+          spark.read.parquet(corpusDir), queries, k = 3, nProbe = 2,
+          rerank = 4).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2)).toList
+        assert(serve(indexDir) == serve(freshDir),
+          "post-cutover serving diverged from a fresh build")
+
+        // keep streaming AFTER the refit: appends land inside the new
+        // version root and drift re-accumulates from zero
+        stream.addData(arriving.drop(40): _*); q.processAllAvailable()
+        val m = spark.read.parquet(s"$indexDir/v_1/manifest").head()
+        assert(m.getAs[Long]("n_built") == 120 &&
+          m.getAs[Long]("n_appended") == 40,
+          s"post-refit manifest off: $m")
+        // parity twin under the REFITTED centroids (append parity is
+        // rebuild-under-same-centroids, not fresh-fit)
+        import graft.functions.VectorOps
+        import graft.operators.Similarity
+        val centroids = AnnIndex.readCentroids(spark, indexDir)
+        val corpus = spark.read.parquet(corpusDir)
+        val exact = corpus.select(col("vec_id"),
+            VectorOps.asDoubleArray(col("embedding")).as("cv"))
+          .withColumn("cn", VectorOps.l2Norm(col("cv")))
+        val rebuilt = Similarity.ivfqRerank(
+            Similarity.quantizedCorpus(corpus), exact, queries, centroids,
+            k = 3, nProbe = 2, rerank = 4).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2)).toList
+        assert(serve(indexDir) == rebuilt,
+          "serving diverged after post-refit appends")
+      } finally q.stop()
+    } finally {
+      rm(new java.io.File(indexDir))
+      rm(new java.io.File(corpusDir).getParentFile)
+      rm(new java.io.File(freshDir))
+    }
+  }
+}
