@@ -103,7 +103,8 @@ class SketchLinearRegression extends Serializable {
         agg.lossSum / n, weights, regularizationConstant)
       lossHistory += curLoss
       val eta = learningRateMethod.rate(stepSize, t, regularizationConstant)
-      val meanGrad = Array.tabulate(dim)(i => agg.grad(i) / n)
+      val gradSum = agg.grad // densifies a sparse aggregate once, driver-side
+      val meanGrad = Array.tabulate(dim)(i => gradSum(i) / n)
       val w2 = weights.clone()
       regularizationPenalty.takeStep(w2, meanGrad, regularizationConstant, eta)
       weights = w2

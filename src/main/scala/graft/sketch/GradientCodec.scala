@@ -12,8 +12,27 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 trait GradientCodec extends Serializable {
   def encode(dense: Array[Double]): Array[Byte]
   def decode(bytes: Array[Byte]): Array[Double]
+
+  /** Encode an (index → sum) accumulation WITHOUT materializing a
+    * dim-length array — the task-memory bound for high-dim sparse
+    * SGD (the reference's `SparseDoubleGradient` wire path,
+    * `SketchGradientDescent.scala:215`). `keys` need not be sorted
+    * and may alias scratch storage; zeros are dropped by the codec's
+    * own eps rule so a sparse and a dense encoding of the same
+    * logical gradient produce the SAME bytes. */
+  def encodeSparse(dim: Int, nnz: Int, keys: Array[Int],
+                   vals: Array[Double]): Array[Byte]
+
+  /** Decode to a sparse view (keys/vals aligned, key order
+    * unspecified) without materializing a dim-length array. */
+  def decodeSparse(bytes: Array[Byte]): SparseGrad
+
   def name: String
 }
+
+/** Sparse decoded gradient: `keys(i)` holds value `vals(i)`; order
+  * unspecified, keys distinct, `dim` is the logical length. */
+final case class SparseGrad(dim: Int, keys: Array[Int], vals: Array[Double])
 
 /** Lossless raw-doubles codec — the `compressionType=None` /
   * `FlinkGradientDescent` baseline path
@@ -30,11 +49,58 @@ object IdentityCodec extends GradientCodec {
   }
   def decode(bytes: Array[Byte]): Array[Double] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val dim = in.readInt()
-    val arr = new Array[Double](dim)
+    val first = in.readInt()
+    if (first >= 0) {
+      val dim = first
+      val arr = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { arr(i) = in.readDouble(); i += 1 }
+      arr
+    } else { // sparse frame (encodeSparse): densify on demand
+      val sg = readSparseBody(in)
+      val arr = new Array[Double](sg.dim)
+      var i = 0
+      while (i < sg.keys.length) { arr(sg.keys(i)) = sg.vals(i); i += 1 }
+      arr
+    }
+  }
+  // sparse frame: [-1][dim][nnz][(key,val)*] — a negative first int
+  // distinguishes it from the dense frame's non-negative dim
+  def encodeSparse(dim: Int, nnz: Int, keys: Array[Int],
+                   vals: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(12 * nnz + 12)
+    val out = new DataOutputStream(bos)
+    out.writeInt(-1); out.writeInt(dim); out.writeInt(nnz)
     var i = 0
-    while (i < dim) { arr(i) = in.readDouble(); i += 1 }
-    arr
+    while (i < nnz) {
+      out.writeInt(keys(i)); out.writeDouble(vals(i)); i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+  def decodeSparse(bytes: Array[Byte]): SparseGrad = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val first = in.readInt()
+    if (first < 0) readSparseBody(in)
+    else { // dense frame: stream it, keeping only nonzeros
+      val dim = first
+      val kb = Array.newBuilder[Int]
+      val vb = Array.newBuilder[Double]
+      var i = 0
+      while (i < dim) {
+        val v = in.readDouble()
+        if (v != 0.0) { kb += i; vb += v }
+        i += 1
+      }
+      SparseGrad(dim, kb.result(), vb.result())
+    }
+  }
+  private def readSparseBody(in: DataInputStream): SparseGrad = {
+    val dim = in.readInt(); val nnz = in.readInt()
+    val keys = new Array[Int](nnz)
+    val vals = new Array[Double](nnz)
+    var i = 0
+    while (i < nnz) { keys(i) = in.readInt(); vals(i) = in.readDouble(); i += 1 }
+    SparseGrad(dim, keys, vals)
   }
 }
 
@@ -77,11 +143,7 @@ final class SketchCodec(
     var nnz = 0
     var i = 0
     while (i < dim) { if (math.abs(dense(i)) > eps) nnz += 1; i += 1 }
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    if (nnz == 0) { // ZeroGradient marker
-      out.writeByte(0); out.writeInt(dim); out.flush(); return bos.toByteArray
-    }
+    if (nnz == 0) return zeroFrame(dim)
     val keys = new Array[Int](nnz)
     val vals = new Array[Double](nnz)
     var k = 0
@@ -90,6 +152,56 @@ final class SketchCodec(
       if (math.abs(dense(i)) > eps) { keys(k) = i; vals(k) = dense(i); k += 1 }
       i += 1
     }
+    encodeNonzeros(dim, keys, vals)
+  }
+
+  /** Same frame from a sparse accumulation — the eps rule and the
+    * key-ascending order match [[encode]]'s dense scan exactly, so
+    * the bytes (and thus the lossy decode) are identical for the
+    * same logical gradient. */
+  def encodeSparse(dim: Int, nnz0: Int, keys0: Array[Int],
+                   vals0: Array[Double]): Array[Byte] = {
+    // eps-filter, then sort pairs by key (the dense scan's order)
+    var nnz = 0
+    var i = 0
+    while (i < nnz0) { if (math.abs(vals0(i)) > eps) nnz += 1; i += 1 }
+    if (nnz == 0) return zeroFrame(dim)
+    val order = new Array[Long](nnz) // (key << 32 | idx) — one sort, no boxing
+    var k = 0
+    i = 0
+    while (i < nnz0) {
+      if (math.abs(vals0(i)) > eps) {
+        order(k) = (keys0(i).toLong << 32) | (i.toLong & 0xffffffffL)
+        k += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(order)
+    val keys = new Array[Int](nnz)
+    val vals = new Array[Double](nnz)
+    k = 0
+    while (k < nnz) {
+      keys(k) = (order(k) >>> 32).toInt
+      vals(k) = vals0((order(k) & 0xffffffffL).toInt)
+      k += 1
+    }
+    encodeNonzeros(dim, keys, vals)
+  }
+
+  private def zeroFrame(dim: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeByte(0); out.writeInt(dim); out.flush(); bos.toByteArray
+  }
+
+  /** The shared frame writer: `keys` ascending, `vals` aligned, all
+    * |v| > eps, nnz ≥ 1. */
+  private def encodeNonzeros(dim: Int, keys: Array[Int],
+                             vals: Array[Double]): Array[Byte] = {
+    val nnz = keys.length
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var k = 0
     // 1. quantile bins from the sorted nonzero values
     val sorted = vals.clone(); java.util.Arrays.sort(sorted)
     val edges = new Array[Double](binNum - 1)
@@ -179,6 +291,47 @@ final class SketchCodec(
       g += 1
     }
     dense
+  }
+
+  /** [[decode]] without the dim-length materialization: the frame
+    * already carries explicit keys per group, so the sparse view is
+    * a straight read — O(nnz) memory at every tree-merge level. */
+  def decodeSparse(bytes: Array[Byte]): SparseGrad = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val marker = in.readByte()
+    if (marker == 0)
+      return SparseGrad(in.readInt(), Array.empty, Array.empty)
+    val dim = in.readInt(); val nnz = in.readInt()
+    val bn = in.readInt(); val gn = in.readInt(); val rn = in.readInt()
+    val gb = bn / gn
+    val reps = new Array[Double](bn)
+    var b = 0
+    while (b < bn) { reps(b) = in.readDouble(); b += 1 }
+    val outKeys = new Array[Int](nnz)
+    val outVals = new Array[Double](nnz)
+    var w = 0
+    var g = 0
+    while (g < gn) {
+      val cnt = in.readInt()
+      if (cnt > 0) {
+        val cols = in.readInt()
+        val keys = new Array[Int](cnt)
+        var prev = 0
+        var k = 0
+        while (k < cnt) { prev += readVarInt(in); keys(k) = prev; k += 1 }
+        val sk = new MinMaxSketch(rn, cols)
+        in.readFully(sk.table)
+        val lo = g * gb
+        k = 0
+        while (k < cnt) {
+          outKeys(w) = keys(k)
+          outVals(w) = reps(lo + math.min(sk.query(keys(k)), gb - 1))
+          w += 1; k += 1
+        }
+      }
+      g += 1
+    }
+    SparseGrad(dim, outKeys, outVals)
   }
 
   /** index of the first edge > v (values ≤ edge fall in that bin). */

@@ -257,4 +257,68 @@ class SgdSpec extends SparkTestBase {
     assert(mae <= 0.2 * scale,
       s"sketch drifted: MAE $mae vs plain ${plain.weights.toSeq} / sketch ${sketch.weights.toSeq}")
   }
+
+  test("sparse high-dim accumulation: bounded buffers, weights equal the dense path's") {
+    import org.apache.spark.ml.linalg.Vectors
+    val dim = 1000000
+    // 60 sparse rows over 3 active features spread across the index
+    // space — the regime where a dense per-task buffer would burn
+    // 8 MB for 3 live entries
+    val active = Array(0, 499999, 999999)
+    val rnd = new scala.util.Random(7)
+    val wTrue = Array(1.5, -2.0, 0.5)
+    val rows = (0 until 60).map { _ =>
+      val xs = active.map(_ => rnd.nextGaussian())
+      val y = xs.zip(wTrue).map { case (a, c) => a * c }.sum + 0.3
+      (y, Vectors.sparse(dim, active, xs))
+    }
+    // the same data geometry at dim = 3: per-coordinate gradient math
+    // is identical (IdentityCodec — no lossy stage), so the fitted
+    // weights agree to within treeAggregate's driver-merge float
+    // reorder (RDD.reduce folds partials in task-COMPLETION order, a
+    // ±few-ULP wobble that exists between any two runs, dense or not)
+    val big = new SketchLinearRegression().setIterations(15).setStepsize(0.2)
+      .fitRDD(spark.sparkContext.parallelize(rows, 4))
+    val small = new SketchLinearRegression().setIterations(15).setStepsize(0.2)
+      .fitRDD(spark.sparkContext.parallelize(
+        rows.map { case (y, v) =>
+          (y, Vectors.dense(active.map(v.apply))) }, 4))
+    active.zipWithIndex.foreach { case (i, j) =>
+      assert(math.abs(big.weights(i) - small.weights(j)) < 1e-9,
+        s"sparse-path weight at $i diverged: ${big.weights(i)} vs ${small.weights(j)}")
+    }
+    assert(math.abs(big.intercept - small.intercept) < 1e-9)
+    assert(big.weights.count(_ != 0.0) == active.length,
+      "inactive coordinates moved in the sparse fit")
+
+    // buffer-level contract: the accumulator stays sparse through
+    // adds, a serialization round-trip, and sparse∪sparse merges —
+    // and densifies when a dense row arrives, with equal sums
+    val acc = new GradientAccumulator(dim, graft.sketch.IdentityCodec)
+    val w0 = new Array[Double](dim)
+    rows.take(20).foreach { case (y, x) => acc.add(w0, 0.0, x, y) }
+    assert(acc.isSparse, "sparse rows densified the buffer")
+    val ser = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(ser); oos.writeObject(acc); oos.close()
+    assert(ser.size() < 64 * 1024,
+      s"sparse wire frame is ${ser.size()} B — a densified frame would be ~8 MB")
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(ser.toByteArray))
+      .readObject().asInstanceOf[GradientAccumulator]
+    assert(back.isSparse, "deserialization densified the buffer")
+    val other = new GradientAccumulator(dim, graft.sketch.IdentityCodec)
+    rows.drop(20).foreach { case (y, x) => other.add(w0, 0.0, x, y) }
+    back.merge(other)
+    assert(back.isSparse, "sparse ∪ sparse merge densified")
+    val direct = new GradientAccumulator(dim, graft.sketch.IdentityCodec)
+    rows.foreach { case (y, x) => direct.add(w0, 0.0, x, y) }
+    active.foreach { i =>
+      assert(math.abs(back.grad(i) - direct.grad(i)) < 1e-12,
+        s"merged sparse sum diverged at $i")
+    }
+    val denseRow = (1.0, Vectors.dense(Array.fill(dim)(0.0).updated(5, 1.0)))
+    val forced = new GradientAccumulator(dim, graft.sketch.IdentityCodec)
+    forced.add(w0, 0.0, denseRow._2, denseRow._1)
+    assert(!forced.isSparse, "a dense row should densify the buffer")
+  }
 }
