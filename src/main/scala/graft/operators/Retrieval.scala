@@ -165,6 +165,9 @@ object Retrieval {
     *    too (query-term selection, diagnostics) but serving derives
     *    the exact value from the scan so appends can't stale it.
     *  - `dir/stats`: the 1-row (n_docs, sum_dl) scalar table.
+    *  - `dir/emptydocs`: doc_ids of zero-token documents (usually
+    *    empty — see [[emptyDocs]]; they have no postings but DO count
+    *    in the stats, and [[deleteIndex]] needs their membership).
     *
     * The text column never enters the index, so no serving scan can
     * read it — `RetrievalLayoutSpec` proves both the file pruning
@@ -175,7 +178,20 @@ object Retrieval {
       s"$dir/postings",
       shardCol = "term_bucket", sortCol = "term", filesPerShard = filesPerShard)
     corpusStats(docs).write.mode("overwrite").parquet(s"$dir/stats")
+    emptyDocs(docs).write.mode("overwrite").parquet(s"$dir/emptydocs")
   }
+
+  /** `dir/emptydocs`: doc_ids of ZERO-TOKEN documents. They are
+    * counted in the stats (n_docs, dl = 0 → they move avgdl, so they
+    * shift every served score) but own no postings row — without
+    * this sidecar, [[deleteIndex]]'s postings-based dl recovery could
+    * never see them, leaving n_docs one high versus a rebuild on the
+    * survivors. Almost always empty (rows only for genuinely token-
+    * free texts); the filter's survivors are repartition(1)-folded so
+    * the corpus scan stays parallel. */
+  private def emptyDocs(docs: DataFrame): DataFrame =
+    docs.filter(size(TextOps.regexTokens(col("text"))) === 0)
+      .select(col("doc_id")).repartition(1)
 
   /** The (term, df, doc_id, dl, tf, term_bucket) postings rows for one
     * document set — `df` is SEGMENT-LOCAL (the df among `docs` only).
@@ -241,13 +257,15 @@ object Retrieval {
     import spark.implicits._
     Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    emptyDocs(newDocs).write.mode("append").parquet(s"$dir/emptydocs")
   }
 
   /** TOMBSTONE DELETE for the stored index — the retrieval twin of
     * `AnnIndex.deleteVectors`: removing documents without rewriting a
     * single postings file. A (doc_id, dl)-pruned scan recovers each
     * deleted doc's length (any one of its postings carries it — the
-    * only two columns read), the tombstones land as one small
+    * only two columns read; zero-token docs come from the emptydocs
+    * sidecar with dl = 0), the tombstones land as one small
     * appended file under `dir/deletes`, and the 1-row stats table is
     * decremented by the batch's (count, Σdl) — the additive inverse
     * of [[appendIndex]]'s merge. Serving then masks tombstoned
@@ -274,7 +292,19 @@ object Retrieval {
       .select(col("doc_id"), col("dl"))
       .join(broadcast(fresh), Seq("doc_id"))
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-    val batch = dl.collect() // delete-batch-sized
+    // zero-token documents own no postings row but are counted in the
+    // stats (dl = 0 still moves avgdl via n_docs) — recover them from
+    // the emptydocs sidecar so their delete decrements n_docs exactly
+    // like the rebuild-on-survivors would
+    val emptiesP = new org.apache.hadoop.fs.Path(s"$dir/emptydocs")
+    val withEmpties =
+      if (emptiesP.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(emptiesP))
+        dl.unionByName(spark.read.parquet(s"$dir/emptydocs")
+          .join(broadcast(fresh), Seq("doc_id"))
+          .distinct().withColumn("dl", lit(0L)))
+      else dl
+    val batch = withEmpties.collect() // delete-batch-sized
     if (batch.nonEmpty) {
       import spark.implicits._
       batch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"))).toSeq
@@ -338,6 +368,26 @@ object Retrieval {
             touched.map(b => s"term_bucket=$b"), shardCol = "term_bucket",
             sortCol = "term", filesPerShard = filesPerShard,
             dropDrained = true) // a bucket whose every posting died is removed
+        }
+        // fold tombstoned ZERO-TOKEN docs out of the emptydocs sidecar
+        // as well: after the tombstones drain, a replayed delete must
+        // find no membership anywhere — postings are physically gone
+        // for worded docs, and this keeps the same invariant for empty
+        // ones (else the replay would re-decrement n_docs)
+        val ep = s"$dir/emptydocs"
+        val epPath = new org.apache.hadoop.fs.Path(ep)
+        val fs = epPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(epPath) &&
+            spark.read.parquet(ep)
+              .join(broadcast(dels), Seq("doc_id"), "left_semi")
+              .limit(1).count() > 0) {
+          spark.read.parquet(ep)
+            .join(broadcast(dels), Seq("doc_id"), "left_anti")
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$ep._tmp")
+          fs.delete(epPath, true)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(s"$ep._tmp"), epPath))
+            throw new java.io.IOException("emptydocs sidecar swap failed")
         }
         val delP = new org.apache.hadoop.fs.Path(p)
         delP.getFileSystem(spark.sessionState.newHadoopConf())

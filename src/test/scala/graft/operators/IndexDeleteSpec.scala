@@ -225,6 +225,51 @@ class IndexDeleteSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 delete of a zero-token document decrements stats exactly") {
+    import spark.implicits._
+    // docs 100 and 101 tokenize to NOTHING (punctuation only): they
+    // carry no postings row but count in n_docs — and n_docs moves
+    // avgdl, so every served score depends on deleting them exactly
+    val docs = (0 until 30).map(i => (i.toLong, s"alpha beta w$i term${i % 4}"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((100L, "???"), (101L, "...")).toDF("doc_id", "text"))
+    val deleted = Seq(100L, 3L).toDF("doc_id") // one empty, one worded
+    val survivors = docs.join(deleted, Seq("doc_id"), "left_anti")
+    withTempDir { dir =>
+      withTempDir { rebuiltDir =>
+        Retrieval.buildIndex(docs, dir, nBuckets = 8, filesPerShard = 2)
+        Retrieval.deleteIndex(deleted, dir)
+        Retrieval.buildIndex(survivors, rebuiltDir, nBuckets = 8,
+          filesPerShard = 2)
+        val sDel = spark.read.parquet(s"$dir/stats").head()
+        val sReb = spark.read.parquet(s"$rebuiltDir/stats").head()
+        assert(sDel.getAs[Long]("n_docs") == sReb.getAs[Long]("n_docs"),
+          "empty-doc delete left n_docs high vs the rebuild")
+        assert(sDel.getAs[Long]("sum_dl") == sReb.getAs[Long]("sum_dl"))
+        // served scores bit-identical to the rebuild (avgdl matches)
+        val qterms = Retrieval.dfCounts(survivors)
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        def serve(d: String) = Retrieval.bm25TopKFromIndex(spark, d, qterms,
+          k = 10, nBuckets = 8).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        assert(serve(dir) == serve(rebuiltDir))
+        // purge, then REPLAY the delete: the emptydocs sidecar was
+        // folded, so the replay finds no membership and stays inert
+        Retrieval.purgeIndexDeletes(spark, dir)
+        Retrieval.deleteIndex(deleted, dir)
+        val sAfter = spark.read.parquet(s"$dir/stats").head()
+        assert(sAfter.getAs[Long]("n_docs") == sReb.getAs[Long]("n_docs"),
+          "replayed delete across the purge re-decremented n_docs")
+        assert(!new java.io.File(s"$dir/deletes").exists(),
+          "replayed delete across the purge re-created tombstones")
+        // the OTHER empty doc still counts (only the deleted one left)
+        assert(spark.read.parquet(s"$dir/emptydocs").collect()
+          .map(_.getLong(0)).toSet == Set(101L))
+      }
+    }
+  }
+
   test("bm25 and graph purges survive a total drain") {
     import spark.implicits._
     withTempDir { dir =>
