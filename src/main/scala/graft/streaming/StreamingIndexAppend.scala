@@ -37,4 +37,24 @@ object StreamingIndexAppend {
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       Retrieval.appendIndex(batch, dir, nBuckets, filesPerShard)
     }
+
+  /** The append sink WITH the compaction valve in the loop — the
+    * lexical twin of [[StreamingAnnMaintain.sink]]: after each
+    * micro-batch lands, [[Retrieval.compactIndex]] polls the
+    * per-bucket file counts (driver-side dir listing, free) and
+    * folds any bucket past `maxFilesPerBucket` back to the layout
+    * contract. Serving is bit-unchanged across a fold
+    * (`IndexCompactionSpec`), so the stream never pauses for it;
+    * there is no BM25 refit valve because the lexical index has no
+    * fitted component to drift — df and stats are exact under any
+    * append sequence by construction. */
+  def maintainingSink(docs: DataFrame, dir: String, nBuckets: Int = 16,
+                      filesPerShard: Int = 2,
+                      maxFilesPerBucket: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      Retrieval.appendIndex(batch, dir, nBuckets, filesPerShard)
+      Retrieval.compactIndex(batch.sparkSession, dir, filesPerShard,
+        maxFilesPerBucket)
+      ()
+    }
 }

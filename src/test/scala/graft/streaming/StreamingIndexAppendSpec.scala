@@ -67,4 +67,42 @@ class StreamingIndexAppendSpec extends SparkTestBase {
         "stream-ingested index serves differently from the batch build")
     } finally { rm(Paths.get(streamDir).toFile); rm(Paths.get(batchDir).toFile) }
   }
+
+  test("maintaining sink compacts mid-stream with serving unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus
+    val streamDir = Files.createTempDirectory("bm25_maintain").toString
+    val batchDir = Files.createTempDirectory("bm25_maintref").toString
+    try {
+      val stream = MemoryStream[(Long, String)]
+      // 6 micro-batches × ≤2 files/bucket against a 3-file cap: the
+      // compaction valve MUST fire mid-stream for counts to stay legal
+      val q = StreamingIndexAppend.maintainingSink(
+          stream.toDS().toDF("doc_id", "text"), streamDir,
+          nBuckets = nBuckets, maxFilesPerBucket = 3)
+        .start()
+      try {
+        docs.grouped(10).foreach { g =>
+          stream.addData(g: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // every bucket's file count is back under the cap…
+      val over = graft.sources.CorpusSink.oversizedShards(spark,
+        s"$streamDir/postings", "term_bucket", maxFiles = 3)
+      assert(over.isEmpty, s"buckets past the cap after maintenance: $over")
+      // …and serving is bit-identical to a batch build
+      val batch = docs.toDF("doc_id", "text")
+      Retrieval.buildIndex(batch, batchDir, nBuckets = nBuckets,
+        filesPerShard = 2)
+      val qterms = Retrieval.dfCounts(batch)
+        .filter(!col("term").isin("the", "a", "of", "and", "in"))
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def serve(d: String) = Retrieval.bm25TopKFromIndex(spark, d, qterms,
+        k = 10, nBuckets = nBuckets).collect().map(_.toSeq).toSeq
+      assert(serve(streamDir) == serve(batchDir),
+        "maintained stream index serves differently from the batch build")
+    } finally { rm(Paths.get(streamDir).toFile); rm(Paths.get(batchDir).toFile) }
+  }
 }
