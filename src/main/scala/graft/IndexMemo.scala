@@ -66,8 +66,14 @@ object IndexMemo {
     * entry point for keys that mutate (append / delete / purge). The
     * clone lands in the caller's `into` directory (typically a
     * per-key temp dir the key already removes in its finally). */
-  def cloneDir(key: String, into: String)(build: String => Unit): Unit = {
-    val src = Paths.get(dir(key)(build))
+  def cloneDir(key: String, into: String)(build: String => Unit): Unit =
+    copyTree(dir(key)(build), into)
+
+  /** Recursive file-level copy of an existing directory tree —
+    * [[cloneDir]] without the memo lookup, for callers that already
+    * hold a built base's path. */
+  def copyTree(from: String, into: String): Unit = {
+    val src = Paths.get(from)
     val dst = Paths.get(into)
     Files.walk(src).forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)

@@ -35,6 +35,33 @@ object PipelineQueries {
     s"graph_base|$d|g=24|spill=3|refine=0|rand=4|nlist=$nlist" +
       s"|mod=$sampleMod|init=$init|seed=42|nBuckets=16"
 
+  /** Second-level memo bases: the FULL-corpus indexes (base + the
+    * pinned batch appended under the frozen fit) that q_ann_delete,
+    * q_retrieval_delete, and q_retrieval_hybrid_stored all need.
+    * Appends are row-identical to a rebuild under the same fit, so
+    * one appended clone serves every full-corpus consumer; each key
+    * still clones privately before mutating. The build closures
+    * derive the SAME slices the base keys encode. */
+  private def ivfqFullDir(s: SparkSession, d: String): String =
+    graft.IndexMemo.dir(ivfqBaseKey(d) + "|plus_batch") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val batch = emb.filter(pmod(col("vec_id"), lit(20)) === 13
+        && col("vec_id") < 2000)
+      graft.IndexMemo.cloneDir(ivfqBaseKey(d), dir)(base =>
+        AnnIndex.buildIvfqIndex(
+          emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti"),
+          base, nlist = 16))
+      AnnIndex.appendIvfq(batch, dir)
+    }
+
+  private def bm25FullDir(s: SparkSession, d: String): String =
+    graft.IndexMemo.dir(bm25BaseKey(d) + "|plus_third") { dir =>
+      val docs = Tables.documents(s, d)
+      graft.IndexMemo.cloneDir(bm25BaseKey(d), dir)(base =>
+        Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
+      Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0), dir)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_dedup_exact" -> ((s, d) => {
@@ -965,17 +992,14 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_delete")
         .toString
       try {
-        // same shared base as q_ann_append (corpus MINUS the pinned
-        // batch — `survivors` here IS that corpus, the delete stratum
-        // equals the append stratum by design); appending the batch
-        // under the frozen stored centroids yields the FULL-corpus
-        // index row-identically to a fresh build with these centroids
-        // (append and rebuild share one assignment function), so the
-        // delete contract runs against the same full index as before
-        // while the k-means fit is paid once per session
-        graft.IndexMemo.cloneDir(ivfqBaseKey(d), dir)(base =>
-          AnnIndex.buildIvfqIndex(survivors, base, nlist = 16))
-        AnnIndex.appendIvfq(deleted, dir)
+        // clone of the session-shared FULL-corpus index (the memoized
+        // base + the pinned batch appended under the frozen fit —
+        // row-identical to a fresh build with these centroids, since
+        // append and rebuild share one assignment function); the
+        // delete contract mutates the private clone, the k-means fit
+        // and the append are paid once per session across the three
+        // full-corpus consumers
+        graft.IndexMemo.copyTree(ivfqFullDir(s, d), dir)
         val centroids = AnnIndex.readCentroids(s, dir)
         AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
         val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
@@ -1196,71 +1220,52 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
       val qid = 42L
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_hybrid_stored").toString
-      try {
-        // stored BM25 over the FULL corpus
-        graft.IndexMemo.cloneDir(bm25BaseKey(d), s"$root/bm25")(base =>
-          Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
-        Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0),
-          s"$root/bm25")
-        // stored IVFQ over the full embeddings (base + pinned batch)
-        val batch = emb.filter(pmod(col("vec_id"), lit(20)) === 13
-          && col("vec_id") < 2000)
-        graft.IndexMemo.cloneDir(ivfqBaseKey(d), s"$root/ann")(base =>
-          AnnIndex.buildIvfqIndex(
-            emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti"),
-            base, nlist = 16))
-        AnnIndex.appendIvfq(batch, s"$root/ann")
-
-        // dense leg FROM DISK (int8 stage 1 + bounded exact re-rank)
-        val queryVec = emb.filter(col("vec_id") === qid)
-        val denseStored = AnnIndex.ivfqTopKFromPath(s, s"$root/ann", emb,
-          queryVec, k = 50, nProbe = 4, rerank = 4)
-          .select(col("neighbor_id").as("doc_id"), col("rank"))
-        // sparse leg FROM DISK, same query-term rule as the exact key
-        val qterms = docs.filter(col("doc_id") === qid)
-          .select(explode(TextOps.regexTokens(col("text"))).as("term"))
-          .filter(!col("term").isin("the", "a", "of", "and", "in"))
-          .groupBy(col("term")).agg(count(lit(1)).as("tf"))
-          .orderBy(col("tf").desc, col("term")).limit(3)
-          .collect().map(_.getString(0)).toSeq
-        // k+1 then re-cut: dropping the query doc from a (k+1)-cut
-        // equals cutting k from corpus-minus-query either way
-        val sparseStored = Retrieval.bm25TopKFromIndex(s, s"$root/bm25",
-            qterms, k = 51)
-          .filter(col("doc_id") =!= qid)
-          .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
-        val fusedStored = Retrieval.rrfFuse(sparseStored, denseStored, k = 10)
-          .collect() // localized: the temp indexes die before return
-        // contract 1: the stored sparse leg is BIT-identical to inline
-        import s.implicits._
-        val sparseInline = Retrieval.bm25Scores(docs, qterms.toDF("term"))
-          .filter(col("doc_id") =!= qid)
-          .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        val sparseParity = sparseStored
-          .select(col("doc_id"), col("n_hit"), col("bm25_e6"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          .toSet == sparseInline
-        // contract 2: fusion overlap vs the exact composition
-        val denseExact = Similarity.bruteForceTopK(emb, queryVec, k = 50)
-          .select(col("neighbor_id").as("doc_id"), col("rank"))
-        val sparseExact = sparseStored // already proven bit-identical
-        val fusedExact = Retrieval.rrfFuse(sparseExact, denseExact, k = 10)
-          .collect().map(_.getLong(0)).toSet
-        val overlap = fusedStored.map(_.getLong(0)).count(fusedExact.contains)
-        Seq((fusedStored.length.toLong, sparseParity, overlap >= 6))
-          .toDF("n_rows", "sparse_parity_ok", "fusion_overlap_ok")
-      } finally {
-        def rmr(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmr)
-          f.delete()
-        }
-        rmr(new java.io.File(root))
-      }
+      // this key only SERVES, so it reads the session-shared
+      // full-corpus indexes directly (no clone, no temp dir) — the
+      // read-only half of the IndexMemo contract
+      val bm25Dir = bm25FullDir(s, d)
+      val annDir = ivfqFullDir(s, d)
+      // dense leg FROM DISK (int8 stage 1 + bounded exact re-rank)
+      val queryVec = emb.filter(col("vec_id") === qid)
+      val denseStored = AnnIndex.ivfqTopKFromPath(s, annDir, emb,
+        queryVec, k = 50, nProbe = 4, rerank = 4)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      // sparse leg FROM DISK, same query-term rule as the exact key
+      val qterms = docs.filter(col("doc_id") === qid)
+        .select(explode(TextOps.regexTokens(col("text"))).as("term"))
+        .filter(!col("term").isin("the", "a", "of", "and", "in"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      // k+1 then re-cut: dropping the query doc from a (k+1)-cut
+      // equals cutting k from corpus-minus-query either way
+      val sparseStored = Retrieval.bm25TopKFromIndex(s, bm25Dir,
+          qterms, k = 51)
+        .filter(col("doc_id") =!= qid)
+        .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+      val fusedStored = Retrieval.rrfFuse(sparseStored, denseStored, k = 10)
+        .collect()
+      // contract 1: the stored sparse leg is BIT-identical to inline
+      import s.implicits._
+      val sparseInline = Retrieval.bm25Scores(docs, qterms.toDF("term"))
+        .filter(col("doc_id") =!= qid)
+        .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sparseParity = sparseStored
+        .select(col("doc_id"), col("n_hit"), col("bm25_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == sparseInline
+      // contract 2: fusion overlap vs the exact composition
+      val denseExact = Similarity.bruteForceTopK(emb, queryVec, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val sparseExact = sparseStored // already proven bit-identical
+      val fusedExact = Retrieval.rrfFuse(sparseExact, denseExact, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val overlap = fusedStored.map(_.getLong(0)).count(fusedExact.contains)
+      Seq((fusedStored.length.toLong, sparseParity, overlap >= 6))
+        .toDF("n_rows", "sparse_parity_ok", "fusion_overlap_ok")
     }),
 
     // stored-BM25-index INCREMENTAL MAINTENANCE, exactly oracled:
@@ -1314,14 +1319,12 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_delete")
         .toString
       try {
-        // full-corpus index = the memoized 2/3 base + an append of the
-        // held-out 1/3: served scores after any append sequence are
-        // BIT-IDENTICAL to a one-shot build (RetrievalAppendSpec), so
-        // the delete contract is unchanged while the base build is
-        // shared with q_retrieval_append
-        graft.IndexMemo.cloneDir(bm25BaseKey(d), dir)(base =>
-          Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
-        Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0), dir)
+        // clone of the session-shared FULL-corpus index (memoized 2/3
+        // base + held-out 1/3 appended — served scores after any
+        // append sequence are BIT-IDENTICAL to a one-shot build,
+        // RetrievalAppendSpec), so the delete contract is unchanged
+        // while build AND append are paid once per session
+        graft.IndexMemo.copyTree(bm25FullDir(s, d), dir)
         Retrieval.deleteIndex(
           docs.filter(col("doc_id") % 4 === 1).select(col("doc_id")), dir)
         val live = docs.filter(col("doc_id") % 4 =!= 1)
