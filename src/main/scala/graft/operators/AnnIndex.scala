@@ -433,6 +433,30 @@ object AnnIndex {
     }
   }
 
+  /** UPSERT into the stored IVF×int8 index — replace-or-insert each
+    * batch vector, the read-modify-write every re-embedding /
+    * re-curation pipeline wants. Composition of the existing
+    * lifecycle ops, in the one order that is exact: tombstone the
+    * ids that already exist ([[deleteVectors]] — the membership
+    * probe keeps genuinely-new ids out of the manifest), PURGE those
+    * tombstones physically ([[purgeIvfqDeletes]] — required, not
+    * optional: tombstones mask by vec_id, so appending a replacement
+    * under a live tombstone would mask the NEW row too), then append
+    * the batch under the frozen centroids ([[appendIvfq]]). Serving
+    * afterwards equals a rebuild over (corpus minus replaced plus
+    * batch) under the same centroids — every step individually
+    * carries that parity. Cost: O(batch) plus a rewrite of only the
+    * cells that held replaced rows; batch vec_ids must be unique.
+    * Returns the physically rewritten cids (empty = pure insert). */
+  def upsertIvfq(batch: DataFrame, dir: String,
+                 filesPerShard: Int = 2): Seq[Int] = {
+    val spark = batch.sparkSession
+    deleteVectors(batch.select(col("vec_id")), dir)
+    val purged = purgeIvfqDeletes(spark, dir, filesPerShard)
+    appendIvfq(batch, dir, filesPerShard)
+    purged
+  }
+
   // ---- graph stored index ----
 
   /** Fit + k-NN-graph build + store: `dir/edges` (src-hash-bucketed)

@@ -116,6 +116,54 @@ class AnnAppendSpec extends SparkTestBase {
     }
   }
 
+  test("ivfq upsert replaces and inserts, serving exactly the rebuild on the new corpus") {
+    import spark.implicits._
+    val emb = clustered(4, 30, 16, seed = 83)
+    withTempDir { dir =>
+      val centroids = AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L)
+      // batch: 4 REPLACEMENTS (existing ids, embeddings moved to a
+      // different cluster's center so the change is visible in the
+      // top-k) + 3 pure inserts
+      val rnd = new scala.util.Random(9)
+      val moved = Array.fill(16)((rnd.nextGaussian() * 5).toFloat)
+      val batch = (Seq(3L, 33L, 63L, 93L).map(id =>
+          (id, moved.map(v => v + rnd.nextGaussian().toFloat * 0.1f).toSeq)) ++
+        Seq(500L, 501L, 502L).map(id =>
+          (id, moved.map(v => v + rnd.nextGaussian().toFloat * 0.1f).toSeq)))
+        .toDF("vec_id", "embedding")
+      val purged = AnnIndex.upsertIvfq(batch, dir)
+      assert(purged.nonEmpty, "replacements should rewrite their old cells")
+      // corpus after the upsert
+      val after = emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(batch)
+      val queries = after.filter(col("vec_id").isin(3L, 500L, 5L, 35L))
+      val served = resultSet(AnnIndex.ivfqTopKFromPath(spark, dir, after,
+        queries, k = 3, nProbe = 2, rerank = 4))
+      import graft.functions.VectorOps
+      val exact = after.select(col("vec_id"),
+          VectorOps.asDoubleArray(col("embedding")).as("cv"))
+        .withColumn("cn", VectorOps.l2Norm(col("cv")))
+      val rebuilt = resultSet(Similarity.ivfqRerank(
+        Similarity.quantizedCorpus(after), exact, queries, centroids,
+        k = 3, nProbe = 2, rerank = 4))
+      assert(served == rebuilt,
+        "upsert serving diverged from a rebuild on the upserted corpus")
+      // manifest: replaced rows drift as BOTH deleted and appended
+      val m = spark.read.parquet(s"$dir/manifest").head()
+      assert(m.getAs[Long]("n_appended") == 7 && m.getAs[Long]("n_deleted") == 4,
+        s"manifest off after upsert: $m")
+      // idempotent-ish replay: same batch again = 7 more appends, 7
+      // more deletes (the previous generation is replaced in full)
+      AnnIndex.upsertIvfq(batch, dir)
+      val m2 = spark.read.parquet(s"$dir/manifest").head()
+      assert(m2.getAs[Long]("n_appended") == 14 && m2.getAs[Long]("n_deleted") == 11,
+        s"manifest off after replayed upsert: $m2")
+      assert(resultSet(AnnIndex.ivfqTopKFromPath(spark, dir, after,
+        queries, k = 3, nProbe = 2, rerank = 4)) == rebuilt,
+        "replayed upsert changed served results")
+    }
+  }
+
   test("graph append wires new nodes via search and clears the rebuild contract") {
     val emb = clustered(4, 30, 16, seed = 47)
     // a SMALL batch against MANY buckets: the incremental claim is
