@@ -610,6 +610,32 @@ object AnnIndex {
     }
   }
 
+  /** UPSERT into the stored graph index — the [[upsertIvfq]] twin,
+    * same composition and same ordering constraint (the purge must
+    * land between delete and append, because tombstones mask by
+    * vec_id and would hide the replacement too): tombstone the
+    * existing ids, physically consolidate them out of the graph
+    * ([[purgeGraphDeletes]] — in-neighbors inherit out-neighbors, so
+    * connectivity survives the removal), then wire the batch in via
+    * insert-as-search against the SURVIVING corpus
+    * ([[appendGraph]]). `oldCorpus` is the pre-upsert vector store
+    * (old versions included — the survivors are derived here).
+    * Returns the consolidated bucket ids (empty = pure insert). */
+  def upsertGraph(batch: DataFrame, oldCorpus: DataFrame, dir: String,
+                  g: Int = 8, beam: Int = 24, hops: Int = 2,
+                  seedProbe: Int = 2, nBuckets: Int = 16,
+                  filesPerShard: Int = 2): Seq[Int] = {
+    val spark = batch.sparkSession
+    val survivors = oldCorpus
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    deleteVectors(batch.select(col("vec_id")), dir)
+    val purged = purgeGraphDeletes(spark, dir, survivors, g, nBuckets,
+      filesPerShard)
+    appendGraph(batch, survivors, dir, g, beam, hops, seedProbe,
+      nBuckets, filesPerShard)
+    purged
+  }
+
   /** Incremental graph append — an INSERT IS A SEARCH (the
     * HNSW/DiskANN insertion rule composed from the existing serving
     * path): each batch vector's top-g neighbors come from

@@ -164,6 +164,51 @@ class AnnAppendSpec extends SparkTestBase {
     }
   }
 
+  test("graph upsert replaces nodes with connectivity intact") {
+    import spark.implicits._
+    val emb = clustered(4, 30, 16, seed = 89)
+    withTempDir { dir =>
+      AnnIndex.buildGraphIndex(emb, dir, g = 8, nlist = 8, seed = 42L,
+        nBuckets = 64)
+      // move 3 existing nodes onto a fresh center + insert 2 new ones
+      val rnd = new scala.util.Random(17)
+      val moved = Array.fill(16)((rnd.nextGaussian() * 5).toFloat)
+      val batch = (Seq(7L, 37L, 67L) ++ Seq(700L, 701L)).map(id =>
+          (id, moved.map(v => v + rnd.nextGaussian().toFloat * 0.1f).toSeq))
+        .toDF("vec_id", "embedding")
+      val purged = AnnIndex.upsertGraph(batch, emb, dir, g = 8,
+        beam = 16, hops = 2, seedProbe = 2, nBuckets = 64)
+      assert(purged.nonEmpty, "replacements should consolidate their buckets")
+      assert(!new java.io.File(s"$dir/deletes").exists(),
+        "tombstones survived the upsert (the purge must drain them)")
+      val after = emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(batch)
+      // the upserted nodes form their own tight cluster: each must
+      // find its batch-mates (and never an old-version embedding can
+      // be served — old rows are gone from the store we pass)
+      val queries = after.filter(col("vec_id").isin(7L, 700L))
+      val served = AnnIndex.graphTopKFromPath(spark, dir, after, queries,
+        k = 3, beam = 16, hops = 2, seedProbe = 2).collect()
+      assert(served.nonEmpty)
+      val batchIds = Set(7L, 37L, 67L, 700L, 701L)
+      val top1 = served.filter(_.getLong(1) == 1L).map(_.getLong(2))
+      assert(top1.forall(batchIds.contains),
+        s"an upserted node's nearest neighbor is not a batch-mate: ${top1.toSeq}")
+      // recall vs exact over the upserted corpus still clears the bar
+      val exact = Similarity.bruteForceTopK(after, queries, k = 3)
+      val recall = Similarity.meanRecall(
+        AnnIndex.graphTopKFromPath(spark, dir, after, queries, k = 3,
+          beam = 16, hops = 2, seedProbe = 2), exact)
+        .head().getAs[Double]("recall")
+      assert(recall >= 0.6, s"post-upsert recall $recall below contract")
+      // degree cap survives the consolidate + rewire
+      val overG = spark.read.parquet(s"$dir/edges")
+        .groupBy("src").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 8).count()
+      assert(overG == 0, "per-src degree cap violated after upsert")
+    }
+  }
+
   test("graph append wires new nodes via search and clears the rebuild contract") {
     val emb = clustered(4, 30, 16, seed = 47)
     // a SMALL batch against MANY buckets: the incremental claim is
