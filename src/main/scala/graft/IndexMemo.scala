@@ -57,7 +57,20 @@ object IndexMemo {
       val d = root.resolve(
         key.replaceAll("[^A-Za-z0-9._-]", "_").take(120) +
           "_" + Integer.toHexString(key.hashCode))
-      build(d.toString)
+      // a failed build must not leave a half-written directory for the
+      // retry to build ON TOP OF (appends and cloneDir file copies
+      // assume a clean target): delete the dir before rethrowing, so
+      // a retry starts from scratch exactly like the first attempt
+      try build(d.toString)
+      catch {
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(d.toFile)
+          throw e
+      }
       d.toString
     })
   }

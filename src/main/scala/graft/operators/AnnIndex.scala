@@ -44,7 +44,10 @@ import graft.sources.CorpusSink
   *    `IvfqLayoutSpec` form).
   *  - graph `dir/edges`: (src, dst, score, bucket) partitioned by
   *    `bucket = pmod(hash(src), nBuckets)`, in-file sorted by src
-  *    (the `GraphLayoutSpec` form; serving reads (src, dst) only).
+  *    (the `GraphLayoutSpec` form; serving reads (src, dst) only);
+  *    `dir/nodes`: the exact live-membership sidecar (see
+  *    [[writeNodes]]) — deletes probe it, because consolidation can
+  *    erase a live node from `edges` entirely.
   *
   * At 100 TB: an append touches `filesPerShard` new files per
   * occupied cell (IVF) or the touched src buckets (graph — bucket
@@ -325,51 +328,87 @@ object AnnIndex {
     * a broadcast anti-join; [[purgeIvfqDeletes]] folds them into a
     * physical rewrite of only the cells that hold deleted rows.
     * Family-agnostic: the same sidecar masks an IVF×int8 index's
-    * stored rows and a graph index's served results. */
-  def deleteVectors(ids: DataFrame, dir: String): Unit = {
-    // already-tombstoned ids are dropped (idempotent replays, and the
-    // manifest's n_deleted stays exact). The fresh set is LOCALIZED
-    // before the append — the lazy plan reads the very file the write
-    // extends, so a recompute-after-write would see its own output;
-    // delete batches are revocation-traffic-sized, so the driver hop
-    // is bounded by design (same shape as Retrieval.deleteIndex).
+    * stored rows and a graph index's served results.
+    *
+    * Membership exactness (a nonexistent id, or a replay of a batch
+    * whose tombstones a purge has since drained, must not bump
+    * n_deleted — else [[needsRefit]]'s drift fraction drifts itself):
+    * the IVF family probes `vectors`; the graph family probes the
+    * `nodes` sidecar, which tracks the LIVE node set exactly — edges
+    * alone cannot, because [[purgeGraphDeletes]] can consolidate a
+    * still-servable node out of the edge table entirely. A legacy
+    * graph index without `nodes` falls back to tombstoning the whole
+    * fresh batch: an unprovable id must still be masked (discarding
+    * it would keep serving a vector the caller revoked), at the cost
+    * of possible drift over-count on a replay-after-purge.
+    *
+    * Batches up to `bulkThreshold` take the isin-pushed driver probe
+    * (revocation traffic — bounded by design, same shape as
+    * Retrieval.deleteIndex); larger batches (bulk erasure, GDPR-style
+    * sweeps) switch to a distributed semi-join with an on-disk
+    * staging localization, so no id list ever rides the driver or
+    * the plan as a literal. */
+  def deleteVectors(ids: DataFrame, dir: String,
+                    bulkThreshold: Int = 10000): Unit = {
     val spark = ids.sparkSession
     val root = resolveRoot(spark, dir)
-    val wanted = antiJoinDeletes(
-      ids.select(col("vec_id").cast("long")).distinct(), root, "vec_id")
-      .collect().map(_.getLong(0))
-    // …and the ids must EXIST in the stored index (the postings join
-    // Retrieval.deleteIndex already does): a nonexistent id, or a
-    // replay of a batch whose tombstones a purge has since drained,
-    // must not bump n_deleted — else needsRefit's drift fraction
-    // drifts itself. The membership probe is an isin-pushed,
-    // column-pruned scan of the id column only (the batch is
-    // revocation-sized by this op's contract, so the literal list is
-    // bounded); the graph family checks src ∪ dst because a
-    // consolidation can leave a node dst-only.
-    val fresh: Array[Long] =
-      if (wanted.isEmpty) Array.empty
-      else {
-        val lits = wanted.toSeq.map(Long.box)
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/vectors")))
-          spark.read.parquet(s"$root/vectors")
-            .select(col("vec_id")).filter(col("vec_id").isin(lits: _*))
-            .distinct().collect().map(_.getLong(0))
-        else if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/edges")))
-          spark.read.parquet(s"$root/edges")
-            .filter(col("src").isin(lits: _*) || col("dst").isin(lits: _*))
-            .select(explode(array(col("src"), col("dst"))).as("vec_id"))
-            .filter(col("vec_id").isin(lits: _*))
-            .distinct().collect().map(_.getLong(0))
-        else wanted // no index stored yet: keep the pre-build behavior
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def part(name: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+      if (fs.exists(p)) Some(s"$root/$name") else None
+    }
+    val batch = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val nBatch = batch.count()
+    if (nBatch == 0) return
+    val membership: Option[DataFrame] =
+      part("vectors").map(p => spark.read.parquet(p).select(col("vec_id")))
+        .orElse(part("nodes").map(p => spark.read.parquet(p).select(col("vec_id"))))
+    if (nBatch <= bulkThreshold) {
+      // small path: the fresh set is LOCALIZED on the driver before
+      // the append — the lazy plan reads the very file the write
+      // extends, so a recompute-after-write would see its own output
+      val wanted = antiJoinDeletes(batch, root, "vec_id")
+        .collect().map(_.getLong(0))
+      val fresh: Array[Long] =
+        if (wanted.isEmpty) Array.empty
+        else membership match {
+          case Some(m) =>
+            val lits = wanted.toSeq.map(Long.box)
+            m.filter(col("vec_id").isin(lits: _*))
+              .distinct().collect().map(_.getLong(0))
+          case None =>
+            // legacy graph (edges, no nodes) or pre-build: tombstone
+            // the whole fresh batch — see the membership note above
+            wanted
+        }
+      if (fresh.nonEmpty) {
+        import spark.implicits._
+        fresh.toSeq.toDF("vec_id")
+          .coalesce(1).write.mode("append").parquet(s"$root/deletes")
+        bumpManifest(spark, root, appended = 0L, deleted = fresh.length.toLong)
       }
-    if (fresh.nonEmpty) {
-      import spark.implicits._
-      fresh.toSeq.toDF("vec_id")
-        .coalesce(1).write.mode("append").parquet(s"$root/deletes")
-      bumpManifest(spark, root, appended = 0L, deleted = fresh.length.toLong)
+    } else {
+      // bulk path: anti-join away existing tombstones, semi-join the
+      // membership source (a hash semi-join on vec_id — both sides
+      // arbitrarily large), and localize ON DISK via a staging dir
+      // instead of the driver, then fold the staged files into the
+      // sidecar. Crash between stage and append leaves only an
+      // overwritten-next-time staging dir.
+      val wanted = antiJoinDeletes(batch, root, "vec_id")
+      val fresh = membership match {
+        case Some(m) => wanted.join(m, Seq("vec_id"), "left_semi")
+        case None    => wanted
+      }
+      val stage = s"$root/_delete_stage"
+      fresh.write.mode("overwrite").parquet(stage)
+      val staged = spark.read.parquet(stage)
+      val nFresh = staged.count()
+      if (nFresh > 0) {
+        staged.write.mode("append").parquet(s"$root/deletes")
+        bumpManifest(spark, root, appended = 0L, deleted = nFresh)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     }
   }
 
@@ -380,6 +419,22 @@ object AnnIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(s"$root/deletes") else None
   }
+
+  /** Whether the index currently carries any tombstones — the 1-RPC
+    * poll a maintenance valve uses to decide if a refit's input
+    * corpus needs masking ([[liveRows]]) and a row store needs a
+    * physical fold before its tombstone ledger is dropped. */
+  def hasDeletes(spark: SparkSession, dir: String): Boolean =
+    deletesPath(spark, dir).isDefined
+
+  /** PUBLIC tombstone mask: `rows` minus the index's current
+    * tombstones — what a refit must be fed so deleted vectors cannot
+    * resurrect into the rebuilt index (the refit drops the tombstone
+    * ledger, so masking at serve time alone is not enough: the
+    * refit's input IS the post-refit truth). */
+  def liveRows(rows: DataFrame, dir: String,
+               idCol: String = "vec_id"): DataFrame =
+    antiJoinDeletes(rows, dir, idCol)
 
   /** LEFT ANTI mask against the tombstone sidecar (no-op when no
     * delete has ever run). The tombstone set is delete-batch-sized,
@@ -459,9 +514,57 @@ object AnnIndex {
 
   // ---- graph stored index ----
 
+  /** The graph family's exact LIVE-NODE membership sidecar,
+    * `dir/nodes`: one `vec_id` row per live node, bucketed by
+    * `nbucket = pmod(hash(vec_id), nBuckets)` and in-file sorted —
+    * the same bounded layout as `edges`, so every maintenance touch
+    * is per-bucket, never O(corpus). The edge table CANNOT serve as
+    * a membership source: [[purgeGraphDeletes]] consolidation can
+    * leave a still-servable node (it seeds from the corpus at serve
+    * time) with no edge at all, and a delete of such a node must
+    * still tombstone it. Build resets the sidecar; [[appendGraph]]
+    * appends the batch's ids as new bucket files;
+    * [[purgeGraphDeletes]] rewrites only the buckets that held a
+    * deleted id ([[CorpusSink.swapShards]], drained buckets
+    * dropped). */
+  private def writeNodes(ids: DataFrame, dir: String, nBuckets: Int,
+                         append: Boolean): Unit = {
+    val rows = ids.select(col("vec_id"))
+      .withColumn("nbucket", pmod(hash(col("vec_id")), lit(nBuckets)))
+    if (append)
+      CorpusSink.appendShards(rows, s"$dir/nodes", shardCol = "nbucket",
+        sortCol = "vec_id", filesPerShard = 1)
+    else
+      CorpusSink.writeParquet(rows, s"$dir/nodes", shardCol = "nbucket",
+        sortCol = "vec_id", filesPerShard = 1)
+  }
+
+  /** Drop tombstoned ids from the `nodes` sidecar — only the buckets
+    * holding a deleted id are rewritten; a bucket whose every node
+    * died is removed. */
+  private def purgeNodes(spark: SparkSession, root: String,
+                         dels: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/nodes")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      return // legacy index without the sidecar
+    val nodes = spark.read.parquet(s"$root/nodes")
+    val touched = nodes.join(broadcast(dels), Seq("vec_id"), "left_semi")
+      .select(col("nbucket").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val kept = nodes.filter(col("nbucket").isin(touched: _*))
+        .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("nbucket").cast("int").as("nbucket"))
+      CorpusSink.swapShards(kept, s"$root/nodes",
+        touched.map(b => s"nbucket=$b"), shardCol = "nbucket",
+        sortCol = "vec_id", filesPerShard = 1, dropDrained = true)
+    }
+  }
+
   /** Fit + k-NN-graph build + store: `dir/edges` (src-hash-bucketed)
-    * + `dir/centroids` (the traversal's seed cells). Returns the
-    * centroids for in-session callers. */
+    * + `dir/nodes` (exact live-membership sidecar) + `dir/centroids`
+    * (the traversal's seed cells). Returns the centroids for
+    * in-session callers. */
   def buildGraphIndex(corpus: DataFrame, dir: String, g: Int = 8,
                       nlist: Int = 16, refineRounds: Int = 1,
                       randPerVec: Int = 4, seed: Long = 42L,
@@ -492,6 +595,7 @@ object AnnIndex {
         edges.withColumn("bucket", pmod(hash(col("src")), lit(nBuckets))),
         s"$dir/edges", shardCol = "bucket", sortCol = "src",
         filesPerShard = filesPerShard)
+      writeNodes(corpus.select(col("vec_id")), dir, nBuckets, append = false)
       writeManifest(corpus.sparkSession, dir, n, 0L, 0L)
       centroids
     } finally {
@@ -603,6 +707,7 @@ object AnnIndex {
             sortCol = "src", filesPerShard = filesPerShard,
             dropDrained = true) // a bucket whose every edge died is removed
         }
+        purgeNodes(spark, root, dels) // membership sidecar loses the ids too
         val delP = new org.apache.hadoop.fs.Path(p)
         delP.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(delP, true)
@@ -694,6 +799,11 @@ object AnnIndex {
       .select(col("src"), col("dst"), col("score"), col("bucket"))
     CorpusSink.refreshShards(merged, s"$root/edges", shardCol = "bucket",
       sortCol = "src", filesPerShard = filesPerShard)
+    // membership sidecar gains the batch (legacy indexes without one
+    // stay legacy — deleteVectors falls back to tombstone-all there)
+    val fsRoot = new org.apache.hadoop.fs.Path(s"$root/nodes")
+    if (fsRoot.getFileSystem(spark.sessionState.newHadoopConf()).exists(fsRoot))
+      writeNodes(batch.select(col("vec_id")), root, nBuckets, append = true)
     bumpManifest(spark, root, appended = batch.count(), deleted = 0L)
   }
 }

@@ -60,15 +60,15 @@ object Tokenizer {
       .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
   }
 
-  /** Learn `rounds` merges; returns one row per round:
-    * (round, pair_a, pair_b, cnt). */
-  def bpeLearn(docs: DataFrame, rounds: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
-    // ONE cached corpus-derived table; each round layers a lazy
-    // narrow `replace` projection on top — recomputing r cheap
-    // projections over the cached vocab per round beats r
-    // persist+materialize jobs (no extra actions, no cache churn)
-    val base = wordFreq(docs).persist()
+  /** The induction loop shared by [[bpeLearn]] and [[bpeEncode]]:
+    * each round's argmax is a bounded 1-row driver probe (the SGD
+    * driver-loop pattern); `base` must be the persisted
+    * [[wordFreq]] table — each round layers a lazy narrow `replace`
+    * projection on top, so recomputing r cheap projections over the
+    * cached vocab per round beats r persist+materialize jobs (no
+    * extra actions, no cache churn). */
+  private def learnMerges(base: DataFrame,
+                          rounds: Int): Seq[(Int, String, String, Long)] = {
     var wf = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -83,8 +83,83 @@ object Tokenizer {
           col("n"))
       }
     }
+    merges.result()
+  }
+
+  /** Learn `rounds` merges; returns one row per round:
+    * (round, pair_a, pair_b, cnt). */
+  def bpeLearn(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val base = wordFreq(docs).persist()
+    val merges = learnMerges(base, rounds)
     base.unpersist()
     import spark.implicits._
-    merges.result().toDF("round", "pair_a", "pair_b", "cnt")
+    merges.toDF("round", "pair_a", "pair_b", "cnt")
+  }
+
+  /** ENCODE with the learned merges — the apply half of the Sennrich
+    * ACL'16 pair (train-without-apply is half a tokenizer): learn
+    * `rounds` merges, replay them over the VOCABULARY in learned
+    * order (the same delimiter-wrapped greedy `replace` the
+    * induction used, so encode(word) is exactly the symbol string
+    * the final learning round saw), assign each distinct final
+    * symbol a deterministic id (lexicographic rank — the vocabulary
+    * is a few thousand symbols, so the one-partition ranking window
+    * is bounded by construction, like the centroid sidecar), and
+    * emit per document the ordered trained-tokenizer ids.
+    *
+    * Returns (doc_id, n_tokens, token_ids) where `token_ids` is the
+    * space-joined id sequence in document order — a string, not an
+    * array, so the row is hashable by any engine's canonical
+    * compare.
+    *
+    * Scale shape: merge replay and id assignment are VOCAB-sized
+    * (never touch the corpus); the corpus is scanned once into
+    * per-word positions, each word buys its id string via a
+    * broadcast join against the vocab, and one doc-keyed shuffle
+    * reassembles documents. Documents with no `[a-z0-9]` token
+    * encode to zero tokens and are kept (empty id string). */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val base = wordFreq(docs).persist()
+    try {
+      val merges = learnMerges(base, rounds)
+      // replay the merges over the vocab as one chained projection
+      val symFinal = merges.foldLeft(col("sym")) { case (c, (_, a, b, _)) =>
+        replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+      val vocab = base.select(col("word"),
+        regexp_extract_all(symFinal, lit("[^<>]+"), lit(0)).as("syms"))
+      // deterministic token ids: 1-based lexicographic rank over the
+      // distinct final symbols (vocab-sized single-partition window —
+      // bounded like every sidecar; NOT corpus data)
+      val symtab = vocab.select(explode(col("syms")).as("symbol")).distinct()
+        .withColumn("tid",
+          row_number().over(Window.orderBy(col("symbol"))).cast("int"))
+      // word → (ordered id string, token count): vocab-sized
+      val wordIds = vocab
+        .select(col("word"), posexplode(col("syms")).as(Seq("spos", "symbol")))
+        .join(broadcast(symtab), Seq("symbol"))
+        .groupBy(col("word"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("spos"), col("tid")))),
+            s => s.getField("tid").cast("string")), " ").as("wids"),
+          count(lit(1)).cast("long").as("wn"))
+      // corpus pass: one explode, one word-keyed join (the optimizer
+      // broadcasts the word table while it fits and hash-joins past
+      // that — corpus vocabulary grows with the corpus, unlike the
+      // symbol table, so forcing a broadcast would be a 100 TB trap),
+      // one doc-keyed shuffle; word order via the exploded position
+      docs.select(col("doc_id"),
+          posexplode_outer(TextOps.regexTokens(col("text")))
+            .as(Seq("wpos", "word")))
+        .join(wordIds, Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          coalesce(sum(col("wn")), lit(0L)).as("n_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("wpos"), col("wids")))),
+            s => s.getField("wids")), " ").as("token_ids"))
+    } finally base.unpersist()
   }
 }

@@ -17,9 +17,13 @@ trait GradientCodec extends Serializable {
     * dim-length array — the task-memory bound for high-dim sparse
     * SGD (the reference's `SparseDoubleGradient` wire path,
     * `SketchGradientDescent.scala:215`). `keys` need not be sorted
-    * and may alias scratch storage; zeros are dropped by the codec's
-    * own eps rule so a sparse and a dense encoding of the same
-    * logical gradient produce the SAME bytes. */
+    * and may alias scratch storage. Contract: a sparse and a dense
+    * encoding of the same logical gradient decode to the SAME
+    * values (value-identity). Byte-identity is NOT promised at this
+    * level — [[SketchCodec]] additionally guarantees it (eps-filter
+    * + key-sort canonicalize the frame), while [[IdentityCodec]]
+    * deliberately emits a distinct sparse frame (unsorted keys,
+    * exact zeros kept) to stay lossless without a sort. */
   def encodeSparse(dim: Int, nnz: Int, keys: Array[Int],
                    vals: Array[Double]): Array[Byte]
 

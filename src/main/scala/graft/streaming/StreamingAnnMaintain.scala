@@ -31,13 +31,24 @@ import graft.operators.AnnIndex
   * corpus store, so post-cutover serving equals a fresh build on
   * everything ingested so far (`StreamingMaintenanceSpec`).
   *
-  * The corpus store accumulates ALL ingested rows; a deployment that
-  * also deletes purges the corpus store on its own schedule (the
-  * index-side tombstones are [[AnnIndex.deleteVectors]]'s job and
-  * already mask serving). Exactly-once: both writes key off the
-  * micro-batch, so use a checkpointLocation; replays re-append —
-  * upstream admission (`StreamingAdmission`) is the dedup layer, as
-  * everywhere in this pipeline. */
+  * Deletes compose with the valve: the corpus store physically
+  * retains rows that [[AnnIndex.deleteVectors]] tombstoned on the
+  * index (tombstones mask serving, and deletes themselves RAISE the
+  * drift fraction, so deleting is precisely what fires the refit) —
+  * a refit fed the raw store would therefore resurrect deleted
+  * vectors into serving, and dropping the tombstone ledger at the
+  * cutover would make the resurrection permanent. So the refit leg
+  * first FOLDS the tombstones into the row store (live rows staged
+  * to a sibling dir, two renames — a crash at any point leaves
+  * either the old store or the folded one, both correct because the
+  * index-side mask is still active until the refit commits) and then
+  * refits on the folded store, so post-cutover serving equals a
+  * fresh build on exactly the live corpus
+  * (`StreamingMaintenanceSpec`'s delete-triggered-refit case).
+  * Exactly-once: both writes key off the micro-batch, so use a
+  * checkpointLocation; replays re-append — upstream admission
+  * (`StreamingAdmission`) is the dedup layer, as everywhere in this
+  * pipeline. */
 object StreamingAnnMaintain {
 
   /** Attach ingest + maintenance to a streaming embeddings frame
@@ -68,6 +79,27 @@ object StreamingAnnMaintain {
                seed: Long = 42L, initMode: String = "k-means||",
                sampleMod: Int = 1): Boolean =
     if (AnnIndex.needsRefit(spark, indexDir, maxDrift)) {
+      // Fold index-side tombstones into the row store BEFORE the
+      // refit reads it — refitIvfq drops the tombstone ledger at the
+      // cutover, so any deleted row still physically present here
+      // would resurrect into serving (this refit or the next one).
+      // Stage-and-rename: old → ._old, staged live → corpusDir; the
+      // mask stays active until the refit commits, so every crash
+      // window serves correctly.
+      if (AnnIndex.hasDeletes(spark, indexDir)) {
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val stage = new org.apache.hadoop.fs.Path(s"$corpusDir._live_tmp")
+        val old = new org.apache.hadoop.fs.Path(s"$corpusDir._old")
+        fs.delete(stage, true); fs.delete(old, true) // crashed-fold leftovers
+        AnnIndex.liveRows(spark.read.parquet(corpusDir), indexDir)
+          .write.mode("overwrite").parquet(stage.toString)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(corpusDir), old) ||
+            !fs.rename(stage, new org.apache.hadoop.fs.Path(corpusDir)))
+          throw new java.io.IOException(
+            s"tombstone fold swap failed for $corpusDir")
+        fs.delete(old, true)
+      }
       AnnIndex.refitIvfq(spark.read.parquet(corpusDir), indexDir, nlist,
         seed, initMode, sampleMod, filesPerShard = filesPerShard)
       true

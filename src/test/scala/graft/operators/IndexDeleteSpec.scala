@@ -295,6 +295,92 @@ class IndexDeleteSpec extends SparkTestBase {
     }
   }
 
+  test("graph delete tombstones a node consolidated out of the edge table") {
+    import spark.implicits._
+    // The edge table is NOT a membership source: consolidation can
+    // erase every edge touching a still-servable node (serving seeds
+    // from the corpus, so the node keeps being returned). A delete of
+    // such a node used to be silently discarded by the edges probe;
+    // the nodes sidecar makes it exact.
+    val emb = clustered(3, 20, 16, seed = 61)
+    val x = 7L
+    withTempDir { dir =>
+      AnnIndex.buildGraphIndex(emb, dir, g = 4, nlist = 4, seed = 42L,
+        nBuckets = 8)
+      // simulate a consolidation that stripped x from the edge table
+      val kept = spark.read.parquet(s"$dir/edges")
+        .filter(col("src") =!= x && col("dst") =!= x)
+        .select(col("src"), col("dst"), col("score"), col("bucket"))
+        .collect().toSeq
+      val keptDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(kept),
+        spark.read.parquet(s"$dir/edges").schema)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$dir/edges"))
+      keptDf.write.partitionBy("bucket").parquet(s"$dir/edges")
+      // x is edge-free but still servable: a query carrying x's exact
+      // embedding (fresh qid — the traversal filters qid == vec_id)
+      // seeds from x's cell and returns x at score 1
+      val qx = emb.filter(col("vec_id") === x)
+        .select(lit(900L).as("vec_id"), col("embedding"))
+      val servedBefore = AnnIndex.graphTopKFromPath(spark, dir, emb, qx,
+        k = 3, beam = 16, hops = 2, seedProbe = 2).collect()
+      assert(servedBefore.exists(_.getLong(2) == x),
+        "precondition broke: consolidated-out node not served")
+      def nDeleted = spark.read.parquet(s"$dir/manifest")
+        .head().getAs[Long]("n_deleted")
+      val d0 = nDeleted
+      AnnIndex.deleteVectors(Seq(x).toDF("vec_id"), dir)
+      assert(nDeleted == d0 + 1,
+        "delete of a consolidated-out node was discarded by the probe")
+      val servedAfter = AnnIndex.graphTopKFromPath(spark, dir, emb, qx,
+        k = 3, beam = 16, hops = 2, seedProbe = 2).collect()
+      assert(servedAfter.forall(_.getLong(2) != x),
+        "deleted node still served after tombstone")
+      // purge folds the nodes sidecar too; a replay stays inert
+      AnnIndex.purgeGraphDeletes(spark, dir, emb.filter(col("vec_id") =!= x),
+        g = 4, nBuckets = 8)
+      assert(spark.read.parquet(s"$dir/nodes")
+        .filter(col("vec_id") === x).count() == 0,
+        "purged node survived in the membership sidecar")
+      AnnIndex.deleteVectors(Seq(x).toDF("vec_id"), dir)
+      assert(nDeleted == d0 + 1, "replay across the purge bumped n_deleted")
+    }
+  }
+
+  test("bulk delete takes the semi-join path and keeps the manifest exact") {
+    import spark.implicits._
+    val emb = clustered(4, 30, 16, seed = 67) // ids 0..119
+    withTempDir { dir =>
+      AnnIndex.buildIvfqIndex(emb, dir, nlist = 4, seed = 11L)
+      // 100k-id erasure batch, of which exactly 70 exist (50..119):
+      // far past bulkThreshold, so no isin literal list and no driver
+      // localization — the fresh set goes through the staging dir
+      val batch = spark.range(50L, 100050L).select(col("id").as("vec_id"))
+      AnnIndex.deleteVectors(batch, dir)
+      def nDeleted = spark.read.parquet(s"$dir/manifest")
+        .head().getAs[Long]("n_deleted")
+      assert(nDeleted == 70L,
+        s"bulk membership probe off: n_deleted=$nDeleted (want 70)")
+      assert(spark.read.parquet(s"$dir/deletes").count() == 70L)
+      assert(!new java.io.File(s"$dir/_delete_stage").exists(),
+        "bulk staging dir survived")
+      // replay of the whole batch: every live id is already
+      // tombstoned, every other id fails membership — fully inert
+      AnnIndex.deleteVectors(batch, dir)
+      assert(nDeleted == 70L, "bulk replay bumped n_deleted")
+      // serving masks the bulk tombstones like any other delete
+      val queries = emb.filter(col("vec_id") < 5)
+      val served = AnnIndex.ivfqTopKFromPath(spark, dir, emb, queries,
+        k = 3, nProbe = 4, rerank = 4).collect()
+      assert(served.nonEmpty && served.forall(_.getLong(2) < 50L),
+        "a bulk-deleted vector appeared in served results")
+    }
+  }
+
   test("graph delete masks served results; purge re-stitches connectivity") {
     val emb = clustered(4, 30, 16, seed = 47)
     val deleted = emb.filter(col("vec_id").isin(6L, 36L, 66L, 96L))

@@ -100,4 +100,70 @@ class StreamingMaintenanceSpec extends SparkTestBase {
       rm(new java.io.File(freshDir))
     }
   }
+
+  test("delete-triggered in-stream refit folds tombstones instead of resurrecting them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Deletes RAISE the drift fraction, so deleting is precisely what
+    // fires the refit — and the refit rebuilds from the corpus store,
+    // which still physically holds the deleted rows. Without the
+    // tombstone fold the refit would resurrect every deleted vector
+    // into serving and drop the ledger that masked them.
+    val emb = clustered(4, 40, 16, seed = 41)
+    val base = emb.filter(col("vec_id") < 120) // 120 rows built offline
+    val deleted = base.filter(col("vec_id") % 4 === 1) // 30 rows revoked
+    val arriving = emb.filter(col("vec_id") >= 120) // 40 rows stream in
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val indexDir = Files.createTempDirectory("maintd_idx").toString
+    val corpusDir = Files.createTempDirectory("maintd_corpus").toString + "/rows"
+    val freshDir = Files.createTempDirectory("maintd_fresh").toString
+    try {
+      AnnIndex.buildIvfqIndex(base, indexDir, nlist = 4, seed = 11L)
+      base.write.mode("overwrite").parquet(corpusDir)
+      AnnIndex.deleteVectors(deleted.select("vec_id"), indexDir)
+      // drift after batch 1 (20 rows): (20 + 30) / (120 + 20 - 30)
+      // = 0.45 > 0.30 → the refit fires BECAUSE of the deletes
+      val stream = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingAnnMaintain.sink(
+          stream.toDS().toDF("vec_id", "embedding"), indexDir, corpusDir,
+          nlist = 4, maxDrift = 0.30, seed = 11L)
+        .option("checkpointLocation",
+          Files.createTempDirectory("maintd_ckpt").toString)
+        .start()
+      try {
+        stream.addData(arriving.take(20): _*); q.processAllAvailable()
+        assert(new java.io.File(s"$indexDir/v_1/vectors").isDirectory,
+          "delete-raised drift crossed the bound but no refit committed")
+        val deletedIds = deleted.select("vec_id").collect()
+          .map(_.getLong(0)).toSet
+        val delBox = deletedIds.toSeq.map(Long.box)
+        // the refitted index must NOT hold the deleted rows…
+        assert(spark.read.parquet(s"$indexDir/v_1/vectors")
+            .filter(col("vec_id").isin(delBox: _*)).count() == 0,
+          "in-stream refit resurrected deleted vectors into the index")
+        // …and the corpus store was folded, so NO future refit can
+        // resurrect them either (the ledger is gone after the cutover)
+        assert(spark.read.parquet(corpusDir)
+            .filter(col("vec_id").isin(delBox: _*)).count() == 0,
+          "tombstoned rows survived in the corpus store across the refit")
+        // serving parity: exactly a fresh build on the live corpus
+        val live = spark.read.parquet(corpusDir)
+        AnnIndex.buildIvfqIndex(live, freshDir, nlist = 4, seed = 11L)
+        val queries = emb.filter(col("vec_id").isin(0L, 44L, 84L, 124L))
+        def serve(d: String) = AnnIndex.ivfqTopKFromPath(spark, d, live,
+          queries, k = 3, nProbe = 2, rerank = 4).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2)).toList
+        val served = serve(indexDir)
+        assert(served == serve(freshDir),
+          "post-refit serving diverged from a fresh build on the live corpus")
+        assert(served.forall(t => !deletedIds.contains(t._3)),
+          "a deleted vector appeared in post-refit served results")
+      } finally q.stop()
+    } finally {
+      rm(new java.io.File(indexDir))
+      rm(new java.io.File(corpusDir).getParentFile)
+      rm(new java.io.File(freshDir))
+    }
+  }
 }
