@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer}
+import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -1039,6 +1039,76 @@ object PipelineQueries {
       }
     }),
 
+    // UPSERT on the stored IVF×int8 index — replace-or-insert, the
+    // read-modify-write every re-embedding pipeline runs (lifecycle
+    // closure over q_ann_append + q_ann_delete): a pinned stratum's
+    // embeddings are REPLACED (reversed vectors) and a disjoint id
+    // range INSERTED, via delete→purge→append under the frozen
+    // centroids. parity_ok = serving from the upserted index is
+    // IDENTICAL to an in-session rebuild over the upserted corpus
+    // under the same centroids; replace_ok = the replaced rows were
+    // physically rewritten (the purge touched their cells);
+    // replay_ok = re-upserting the same batch leaves served results
+    // bit-identical (idempotent replays, the streaming-sink
+    // contract)
+    "q_ann_upsert" -> ((s, d) => {
+      import graft.functions.VectorOps
+      // project label away up front: the upserted corpus is a union
+      // of original and re-embedded rows, and only (vec_id,
+      // embedding) participates in the index lifecycle
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val stratum = emb.filter(pmod(col("vec_id"), lit(20)) === 7
+        && col("vec_id") < 2000)
+      val replaced = stratum.select(col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val inserted = stratum.select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val batch = replaced.unionByName(inserted)
+      val upserted = emb
+        .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(batch)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0
+        && col("vec_id") < 2000)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_upsert")
+        .toString
+      try {
+        graft.IndexMemo.copyTree(ivfqFullDir(s, d), dir)
+        val centroids = AnnIndex.readCentroids(s, dir)
+        val purged = AnnIndex.upsertIvfq(batch, dir)
+        val served = AnnIndex.ivfqTopKFromPath(s, dir, upserted, queries,
+          k = 5, nProbe = 4, rerank = 4).cache()
+        val exact = upserted.select(col("vec_id"),
+            VectorOps.asDoubleArray(col("embedding")).as("cv"))
+          .withColumn("cn", VectorOps.l2Norm(col("cv")))
+        val rebuilt = Similarity.ivfqRerank(
+          Similarity.quantizedCorpus(upserted), exact, queries, centroids,
+          k = 5, nProbe = 4, rerank = 4).cache()
+        try {
+          val parityOk = served.exceptAll(rebuilt).isEmpty &&
+            rebuilt.exceptAll(served).isEmpty
+          val servedRows = served.collect().toSet
+          AnnIndex.upsertIvfq(batch, dir) // replay the whole upsert
+          val after = AnnIndex.ivfqTopKFromPath(s, dir, upserted, queries,
+            k = 5, nProbe = 4, rerank = 4).collect().toSet
+          import s.implicits._
+          Seq((queries.count(), parityOk, purged.nonEmpty,
+              after == servedRows))
+            .toDF("n_queries", "parity_ok", "replace_ok", "replay_ok")
+        } finally {
+          served.unpersist(blocking = false)
+          rebuilt.unpersist(blocking = false)
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
+    }),
+
     // cross-doc duplicated-substring spans (Lee et al. exact-substring
     // dedup, span granularity): per-doc count of maximal duplicated
     // 8-gram spans + duplicated/kept token totals — the trim-don't-drop
@@ -1360,7 +1430,37 @@ object PipelineQueries {
     // the word-frequency table, then 5 merge rounds over the
     // vocab-sized table only — (round, merged pair, count)
     "q_bpe_merges" -> ((s, d) =>
-      Tokenizer.bpeLearn(Tables.documents(s, d), rounds = 5))
+      Tokenizer.bpeLearn(Tables.documents(s, d), rounds = 5)),
+
+    // BPE ENCODE (the apply half of the tokenizer): replay the 5
+    // learned merges over the vocab, rank the final symbols into
+    // deterministic ids, and emit each document's ordered
+    // trained-tokenizer id sequence + its true token count
+    "q_bpe_encode" -> ((s, d) =>
+      Tokenizer.bpeEncode(Tables.documents(s, d), rounds = 5)
+        .orderBy(col("doc_id"))),
+
+    // concat-and-chunk packing fed by the TRAINED tokenizer's token
+    // counts (q_pack_chunks's layout under real BPE lengths instead
+    // of the bytes/4 estimate) — seq_len 512 so fixture docs span
+    // multiple chunks
+    "q_pack_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = Tokenizer.bpeEncode(docs, rounds = 5)
+        .select(col("doc_id"), col("n_tokens"))
+      Packing.packChunks(docs.join(enc, Seq("doc_id")),
+          tokensCol = col("n_tokens"), seqLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML ingestion (crawl front door): planted single-line pages
+    // over the documents table — script/style payloads, nav/footer
+    // boilerplate, entities inside corpus text — extracted back to
+    // clean text + the markup stats a curation stage filters on.
+    // The oracle re-builds the same pages and extracts with RE2.
+    "q_html_extract" -> ((s, d) =>
+      Html.extract(Html.plantedPage(Tables.documents(s, d)), col("html"))
+        .orderBy(col("doc_id")))
   )
 
   /** Full-corpus BM25 top-10 — shared verbatim by `q_bm25_topk`
@@ -2023,6 +2123,10 @@ object PipelineQueries {
       ("SELECT count(*) AS n_queries, TRUE AS no_deleted_ok, " +
         "TRUE AS parity_ok, TRUE AS purge_ok " +
         "FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000"),
+    "q_ann_upsert" ->
+      ("SELECT count(*) AS n_queries, TRUE AS parity_ok, " +
+        "TRUE AS replace_ok, TRUE AS replay_ok " +
+        "FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000"),
     // JL signed projection: the implicit xorshift-multiply sign
     // matrix recomputed in SQL (exact 64-bit integer math, every
     // intermediate < 2^52 so DuckDB's strict BIGINT never overflows);
@@ -2043,17 +2147,23 @@ object PipelineQueries {
         (0 until 8).map(j =>
           s"CAST(sum(CASE WHEN j = $j THEN sq END) AS BIGINT) AS p${j}_e6").mkString(", ") +
         " FROM sg GROUP BY vec_id ORDER BY vec_id"),
-    "q_bpe_merges" -> bpeOracleSql(5)
+    "q_bpe_merges" -> bpeOracleSql(5),
+    "q_bpe_encode" -> bpeEncodeOracleSql(5),
+    "q_pack_bpe" -> bpePackOracleSql(5, 512),
+    "q_html_extract" -> htmlExtractOracleSql
     // q_dedup_minhash / q_dedup_simhash: engine-hash semantics — rows-only.
   )
 
-  /** Unrolled-CTE BPE oracle: round r counts adjacent symbol pairs of
-    * wf(r-1) (1-based array indexing), takes the (cnt desc, pair asc)
+  /** The unrolled-CTE BPE induction chain shared by the three BPE
+    * oracles: round r counts adjacent symbol pairs of wf(r-1)
+    * (1-based array indexing), takes the (cnt desc, pair asc)
     * argmax, and rewrites via `replace` over the delimiter-wrapped
     * symbol string ("<a><b><c>", see Tokenizer.wordFreq) — with
     * per-symbol wrapping, plain non-overlapping left-to-right
-    * `replace` IS the reference greedy merge. */
-  private def bpeOracleSql(rounds: Int): String = {
+    * `replace` IS the reference greedy merge. `finalWf` additionally
+    * materializes wf`rounds` (the fully-merged vocab the ENCODE
+    * oracles read; the merges oracle stops at the argmaxes). */
+  private def bpeChainSql(rounds: Int, finalWf: Boolean): String = {
     val sb = new StringBuilder
     sb ++= ("WITH wf0 AS (SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS sym, n " +
       "FROM (SELECT word, count(*) AS n FROM " +
@@ -2064,14 +2174,94 @@ object PipelineQueries {
       sb ++= (s", pc$r AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt " +
         s"FROM (SELECT tk, n, unnest(range(1, len(tk))) AS i FROM tk$r) GROUP BY 1, 2)")
       sb ++= s", top$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1)"
-      if (r < rounds)
+      if (r < rounds || finalWf)
         sb ++= (s", wf$r AS (SELECT word, replace(sym, (SELECT '<' || a || '><' || b || '>' FROM top$r), " +
           s"(SELECT '<' || a || b || '>' FROM top$r)) AS sym, n FROM wf$p)")
     }
+    sb.toString
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(bpeChainSql(rounds, finalWf = false))
     sb ++= " SELECT * FROM ("
     sb ++= (1 to rounds).map(r =>
       s"SELECT $r AS round, a AS pair_a, b AS pair_b, cnt FROM top$r").mkString(" UNION ALL ")
     sb ++= ") ORDER BY round"
     sb.toString
+  }
+
+  /** BPE-encode oracle: rank the distinct final symbols
+    * lexicographically into ids, join each word's ordered symbols to
+    * ids, and reassemble each document's id sequence in (word pos,
+    * symbol pos) order. unnest + generate_subscripts share one
+    * SELECT (either alone in a subquery re-expands per row). */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeChainSql(rounds, finalWf = true) +
+      s", vocab AS (SELECT word, regexp_extract_all(sym, '[^<>]+') AS syms FROM wf$rounds)" +
+      ", symtab AS (SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS INT) AS tid " +
+      "FROM (SELECT DISTINCT unnest(syms) AS symbol FROM vocab))" +
+      ", wsym AS (SELECT word, generate_subscripts(syms, 1) AS spos, unnest(syms) AS symbol FROM vocab)" +
+      ", wids AS (SELECT word, string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY spos) AS wids, " +
+      "CAST(count(*) AS BIGINT) AS wn FROM wsym JOIN symtab USING (symbol) GROUP BY word)" +
+      ", dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word " +
+      "FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws FROM documents))" +
+      " SELECT d.doc_id, CAST(coalesce(sum(j.wn), 0) AS BIGINT) AS n_tokens, " +
+      "coalesce(string_agg(j.wids, ' ' ORDER BY j.wpos), '') AS token_ids " +
+      "FROM documents d LEFT JOIN (SELECT dw.doc_id, dw.wpos, wids.wids, wids.wn " +
+      "FROM dw JOIN wids USING (word)) j ON d.doc_id = j.doc_id " +
+      "GROUP BY d.doc_id ORDER BY d.doc_id"
+
+  /** Trained-tokenizer packing oracle: the q_pack_chunks layout with
+    * the bytes/4 estimate replaced by the BPE-encode token counts. */
+  private def bpePackOracleSql(rounds: Int, seqLen: Int): String =
+    bpeChainSql(rounds, finalWf = true) +
+      s", wcnt AS (SELECT word, CAST(len(regexp_extract_all(sym, '[^<>]+')) AS BIGINT) AS wn FROM wf$rounds)" +
+      ", dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word FROM documents)" +
+      ", tok AS (SELECT d.doc_id, d.source, CAST(coalesce(sum(j.wn), 0) AS BIGINT) AS n_tok " +
+      "FROM documents d LEFT JOIN (SELECT dw.doc_id, wcnt.wn FROM dw JOIN wcnt USING (word)) j " +
+      "ON d.doc_id = j.doc_id GROUP BY d.doc_id, d.source)" +
+      ", off AS (SELECT doc_id, source, n_tok, " +
+      "CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM tok) " +
+      "SELECT doc_id, source, n_tok, start_tok, " +
+      s"start_tok // $seqLen AS chunk_id, " +
+      "CASE WHEN n_tok = 0 THEN 0 ELSE " +
+      s"(start_tok + n_tok - 1) // $seqLen - start_tok // $seqLen + 1 END AS n_chunks " +
+      "FROM off ORDER BY doc_id"
+
+  /** HTML-extraction oracle: rebuild the planted page (the same
+    * concatenation as Html.plantedPage), then extract with DuckDB's
+    * RE2 — block drops in the operator's order, comment/tag strip,
+    * entity decode with &amp; last, whitespace collapse. */
+  private def htmlExtractOracleSql: String = {
+    val page = "'<html><head><title>doc ' || doc_id || '</title>' || " +
+      "'<style>body { color: #000; font: 12px; }</style>' || " +
+      "'<script>var x = 1; if (x < 2) { x = \"&amp;\"; }</script>' || " +
+      "'</head><body>' || " +
+      "'<nav><ul><li><a href=\"/home\">home</a></li>" +
+      "<li><a href=\"/about\">about</a></li></ul></nav>' || " +
+      "'<h1>' || source || ' ' || doc_id || '</h1>' || " +
+      "'<p>intro &amp; summary &lt;generated&gt;</p>' || " +
+      "'<p>' || replace(text, 'spark', '&quot;spark&quot;') || '</p>' || " +
+      "'<footer><a href=\"/tos\">terms</a> of use</footer>' || " +
+      "'</body></html>'"
+    val noBlocks = Seq("script", "style", "nav", "header", "footer", "aside")
+      .foldLeft("html") { (c, t) =>
+        s"regexp_replace($c, '(?i)<$t[^>]*>.*?</$t>', ' ', 'g')"
+      }
+    val noTags =
+      s"regexp_replace(regexp_replace($noBlocks, '<!--.*?-->', ' ', 'g'), '<[^>]+>', ' ', 'g')"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => s"replace($c, '$e', '$v')" }
+    s"WITH h AS (SELECT doc_id, $page AS html FROM documents), " +
+      s"c AS (SELECT doc_id, html, trim(regexp_replace($decoded, ' +', ' ', 'g')) AS clean_text FROM h) " +
+      "SELECT doc_id, clean_text, " +
+      "CAST(length(clean_text) AS BIGINT) AS n_clean_chars, " +
+      "CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags, " +
+      "CAST(len(regexp_extract_all(html, '(?i)<a[^>]*>')) AS BIGINT) AS n_links, " +
+      "CAST(len(regexp_extract_all(html, '&[a-z]+;')) AS BIGINT) AS n_entities, " +
+      "CAST(floor(CAST(length(clean_text) AS DOUBLE) / length(html) * 1000000) AS BIGINT) AS content_ratio_e6 " +
+      "FROM c ORDER BY doc_id"
   }
 }

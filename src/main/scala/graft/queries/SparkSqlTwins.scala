@@ -670,13 +670,50 @@ object SparkSqlTwins {
           s"sum(CASE WHEN j = $j THEN sq END) AS p${j}_e6").mkString(", ") +
         " FROM sg GROUP BY vec_id ORDER BY vec_id"),
 
-    "q_bpe_merges" -> bpeTwin(5)
+    "q_bpe_merges" -> bpeTwin(5),
+    "q_bpe_encode" -> bpeEncodeTwin(5),
+    "q_pack_bpe" -> bpePackTwin(5, 512),
+    "q_html_extract" -> htmlExtractTwin
   )
 
-  /** Spark-dialect unroll of PipelineQueries.bpeOracleSql — same
+  /** Spark-dialect twin of htmlExtractOracleSql (regexp_replace is
+    * global by default; size/len, backslash-escaped quote). */
+  private def htmlExtractTwin: String = {
+    val page = "'<html><head><title>doc ' || doc_id || '</title>' || " +
+      "'<style>body { color: #000; font: 12px; }</style>' || " +
+      "'<script>var x = 1; if (x < 2) { x = \"&amp;\"; }</script>' || " +
+      "'</head><body>' || " +
+      "'<nav><ul><li><a href=\"/home\">home</a></li>" +
+      "<li><a href=\"/about\">about</a></li></ul></nav>' || " +
+      "'<h1>' || source || ' ' || doc_id || '</h1>' || " +
+      "'<p>intro &amp; summary &lt;generated&gt;</p>' || " +
+      "'<p>' || replace(text, 'spark', '&quot;spark&quot;') || '</p>' || " +
+      "'<footer><a href=\"/tos\">terms</a> of use</footer>' || " +
+      "'</body></html>'"
+    val noBlocks = Seq("script", "style", "nav", "header", "footer", "aside")
+      .foldLeft("html") { (c, t) =>
+        s"regexp_replace($c, '(?i)<$t[^>]*>.*?</$t>', ' ')"
+      }
+    val noTags =
+      s"regexp_replace(regexp_replace($noBlocks, '<!--.*?-->', ' '), '<[^>]+>', ' ')"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "\\'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => s"replace($c, '$e', '$v')" }
+    s"WITH h AS (SELECT doc_id, $page AS html FROM documents), " +
+      s"c AS (SELECT doc_id, html, trim(regexp_replace($decoded, ' +', ' ')) AS clean_text FROM h) " +
+      "SELECT doc_id, clean_text, " +
+      "CAST(length(clean_text) AS BIGINT) AS n_clean_chars, " +
+      "CAST(size(regexp_extract_all(html, '<[^>]+>', 0)) AS BIGINT) AS n_tags, " +
+      "CAST(size(regexp_extract_all(html, '(?i)<a[^>]*>', 0)) AS BIGINT) AS n_links, " +
+      "CAST(size(regexp_extract_all(html, '&[a-z]+;', 0)) AS BIGINT) AS n_entities, " +
+      "CAST(floor(CAST(length(clean_text) AS DOUBLE) / length(html) * 1000000) AS BIGINT) AS content_ratio_e6 " +
+      "FROM c ORDER BY doc_id"
+  }
+
+  /** Spark-dialect unroll of PipelineQueries.bpeChainSql — same
     * delimiter-wrapped replace semantics; sequence() guarded against
     * Spark's descending-range behavior on single-symbol words. */
-  private def bpeTwin(rounds: Int): String = {
+  private def bpeChainTwin(rounds: Int, finalWf: Boolean): String = {
     val sb = new StringBuilder
     sb ++= ("WITH wf0 AS (SELECT word, regexp_replace(word, '(.)', '<$1>') AS sym, n " +
       "FROM (SELECT word, count(*) AS n FROM (SELECT word FROM documents " +
@@ -688,14 +725,58 @@ object SparkSqlTwins {
         s"sum(n) AS cnt FROM (SELECT tk, n FROM tk$r WHERE size(tk) >= 2) " +
         s"LATERAL VIEW explode(sequence(1, size(tk) - 1)) u AS i GROUP BY a, b)")
       sb ++= s", top$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1)"
-      if (r < rounds)
+      if (r < rounds || finalWf)
         sb ++= (s", wf$r AS (SELECT word, replace(sym, (SELECT concat('<', a, '><', b, '>') FROM top$r), " +
           s"(SELECT concat('<', a, b, '>') FROM top$r)) AS sym, n FROM wf$p)")
     }
+    sb.toString
+  }
+
+  private def bpeTwin(rounds: Int): String = {
+    val sb = new StringBuilder(bpeChainTwin(rounds, finalWf = false))
     sb ++= " SELECT * FROM ("
     sb ++= (1 to rounds).map(r =>
       s"SELECT $r AS round, a AS pair_a, b AS pair_b, cnt FROM top$r").mkString(" UNION ALL ")
     sb ++= ") ORDER BY round"
     sb.toString
   }
+
+  /** Spark-dialect twin of bpeEncodeOracleSql: posexplode for the
+    * ordinality, collect_list + array_sort + transform for the
+    * ORDER BY string_agg. */
+  private def bpeEncodeTwin(rounds: Int): String =
+    bpeChainTwin(rounds, finalWf = true) +
+      s", vocab AS (SELECT word, regexp_extract_all(sym, '[^<>]+', 0) AS syms FROM wf$rounds)" +
+      ", symtab AS (SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS INT) AS tid " +
+      "FROM (SELECT DISTINCT symbol FROM vocab LATERAL VIEW explode(syms) e AS symbol))" +
+      ", wsym AS (SELECT word, spos, symbol FROM vocab " +
+      "LATERAL VIEW posexplode(syms) e AS spos, symbol)" +
+      ", wids AS (SELECT word, array_join(transform(array_sort(" +
+      "collect_list(struct(spos, tid))), s -> CAST(s.tid AS STRING)), ' ') AS wids, " +
+      "count(1) AS wn FROM wsym JOIN symtab USING (symbol) GROUP BY word)" +
+      ", dw AS (SELECT doc_id, wpos, word FROM documents " +
+      "LATERAL VIEW posexplode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS wpos, word)" +
+      " SELECT d.doc_id, coalesce(sum(j.wn), 0) AS n_tokens, " +
+      "coalesce(array_join(transform(array_sort(" +
+      "collect_list(struct(j.wpos, j.wids))), s -> s.wids), ' '), '') AS token_ids " +
+      "FROM documents d LEFT JOIN (SELECT dw.doc_id, dw.wpos, wids.wids, wids.wn " +
+      "FROM dw JOIN wids USING (word)) j ON d.doc_id = j.doc_id " +
+      "GROUP BY d.doc_id ORDER BY d.doc_id"
+
+  private def bpePackTwin(rounds: Int, seqLen: Int): String =
+    bpeChainTwin(rounds, finalWf = true) +
+      s", wcnt AS (SELECT word, CAST(size(regexp_extract_all(sym, '[^<>]+', 0)) AS BIGINT) AS wn FROM wf$rounds)" +
+      ", dw AS (SELECT doc_id, word FROM documents " +
+      "LATERAL VIEW explode(regexp_extract_all(text, '[a-z0-9]+', 0)) e AS word)" +
+      ", tok AS (SELECT d.doc_id, d.source, coalesce(sum(j.wn), 0) AS n_tok " +
+      "FROM documents d LEFT JOIN (SELECT dw.doc_id, wcnt.wn FROM dw JOIN wcnt USING (word)) j " +
+      "ON d.doc_id = j.doc_id GROUP BY d.doc_id, d.source)" +
+      ", off AS (SELECT doc_id, source, n_tok, " +
+      "coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM tok) " +
+      "SELECT doc_id, source, n_tok, start_tok, " +
+      s"start_tok div $seqLen AS chunk_id, " +
+      "CASE WHEN n_tok = 0 THEN 0 ELSE " +
+      s"(start_tok + n_tok - 1) div $seqLen - start_tok div $seqLen + 1 END AS n_chunks " +
+      "FROM off ORDER BY doc_id"
 }

@@ -21,7 +21,8 @@ object GraphDebug {
         (parts(0), parts(1), parts(2) == 1,
           if (parts.length > 3) parts(3) else 256,
           if (parts.length > 4) parts(4) else 2,
-          if (parts.length > 5) parts(5) else 48)
+          if (parts.length > 5) parts(5) else 48,
+          if (parts.length > 6) parts(6) else 3)
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -37,19 +38,19 @@ object GraphDebug {
     val n = emb.count()
     val exact = Similarity.bruteForceTopK(emb, queries, 5).cache()
     exact.count()
-    combos.foreach { case (g, rounds, sampled, denom, spill, beam) =>
+    combos.foreach { case (g, rounds, sampled, denom, spill, beam, hops) =>
       val nlist = math.max(16L, n / denom).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
       val seedProbe = math.max(2, nlist / 32)
       val sampleMod = if (sampled) math.max(1L, n / (16L * nlist)).toInt else 1
       val t0 = System.nanoTime()
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = g,
-        beam = beam, hops = 3, nlist = nlist, seedProbe = seedProbe,
+        beam = beam, hops = hops, nlist = nlist, seedProbe = seedProbe,
         initMode = initMode, sampleMod = sampleMod, refineRounds = rounds,
         spillCells = spill)
       val rec = Similarity.meanRecall(ann, exact).head().getAs[Double]("recall")
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[graphdebug] n=$n denom=$denom nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe spill=$spill beam=$beam -> recall=$rec%.3f wall=$wall%.1f s")
+      println(f"[graphdebug] n=$n denom=$denom nlist=$nlist g=$g rounds=$rounds sampledFit=$sampled seedProbe=$seedProbe spill=$spill beam=$beam hops=$hops -> recall=$rec%.3f wall=$wall%.1f s")
     }
     spark.stop()
   }

@@ -66,6 +66,56 @@ class TokenizerSpec extends SparkTestBase {
     assert(got == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)), got.toString)
   }
 
+  /** Reference encoder: apply the reference learner's merges to a
+    * word greedily left-to-right, per learned round order. */
+  private def refEncode(word: String,
+                        merges: Seq[(Int, String, String, Long)]): Seq[String] = {
+    var syms: Seq[String] = word.toSeq.map(_.toString)
+    merges.sortBy(_._1).foreach { case (_, pa, pb, _) =>
+      val merged = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == pa && syms(i + 1) == pb) {
+          merged += pa + pb; i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.toSeq
+    }
+    syms
+  }
+
+  test("encode applies the learned merges and round-trips through the id table") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaab aaab banana"),
+      (1L, "banana bandana aaab"),
+      (2L, "aaab abab banana banana"),
+      (3L, "???") // no [a-z0-9] token: 0 tokens, empty id string
+    ).toDF("doc_id", "text")
+    val words = Seq("aaab", "aaab", "banana", "banana", "bandana", "aaab",
+      "aaab", "abab", "banana", "banana")
+    val freq = words.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val merges = refBpe(freq, 4)
+    // expected: per doc, concatenate each word's reference encoding,
+    // then map symbols to lexicographic-rank ids
+    val docWords = Map(
+      0L -> Seq("aaab", "aaab", "banana"),
+      1L -> Seq("banana", "bandana", "aaab"),
+      2L -> Seq("aaab", "abab", "banana", "banana"),
+      3L -> Seq.empty[String])
+    val symSeqs = docWords.map { case (id, ws) =>
+      id -> ws.flatMap(w => refEncode(w, merges))
+    }
+    val symtab = symSeqs.values.flatten.toSeq.distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1) }.toMap
+    val expected = symSeqs.map { case (id, syms) =>
+      (id, syms.size.toLong, syms.map(symtab).mkString(" "))
+    }.toSet
+    val got = Tokenizer.bpeEncode(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("word-frequency table keeps the stable word key") {
     import spark.implicits._
     val docs = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
