@@ -437,16 +437,26 @@ object AnnIndex {
     antiJoinDeletes(rows, dir, idCol)
 
   /** LEFT ANTI mask against the tombstone sidecar (no-op when no
-    * delete has ever run). The tombstone set is delete-batch-sized,
-    * so the anti-join broadcasts; it sits between the scan and the
-    * cell-probe join, leaving cid partition pruning intact. */
+    * delete has ever run). Revocation-sized tombstone sets broadcast
+    * (the hint sits between the scan and the cell-probe join,
+    * leaving cid partition pruning intact); a sidecar grown past
+    * `BroadcastDeletesBytes` by bulk erasures drops the hint and
+    * hash-anti-joins instead — the file-size poll is one driver RPC,
+    * and forcing a multi-GB broadcast would be the same 100 TB trap
+    * the bulk path's isin guard removed. */
+  private val BroadcastDeletesBytes = 32L << 20
   private[operators] def antiJoinDeletes(rows: DataFrame, dir: String,
                                          idCol: String): DataFrame =
     deletesPath(rows.sparkSession, dir) match {
       case Some(p) =>
         val dels = rows.sparkSession.read.parquet(p)
           .select(col("vec_id").as(idCol)).distinct()
-        rows.join(broadcast(dels), Seq(idCol), "left_anti")
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val small = hp.getFileSystem(
+            rows.sparkSession.sessionState.newHadoopConf())
+          .getContentSummary(hp).getLength <= BroadcastDeletesBytes
+        rows.join(if (small) broadcast(dels) else dels, Seq(idCol),
+          "left_anti")
       case None => rows
     }
 

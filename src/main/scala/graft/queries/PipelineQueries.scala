@@ -807,7 +807,14 @@ object PipelineQueries {
       // round-10 sf1 oracle re-check caught recall decaying 0.80 →
       // 0.26 under fixed seeding). Search cost stays o(n): seeds are
       // |seedProbe|·~128 rows and each hop is |Q|·beam·2g.
-      val seedProbe = math.max(2, nlist / 32)
+      // Round 13 widened the SERVE side only (build untouched): the
+      // residual recall gap was measured serve-limited at sf1
+      // (beam 48→96: 0.88→0.96, identical build) and seed-limited at
+      // sf10 (beam alone 0.86→0.88; nlist/32→nlist/16 seeding with
+      // beam 96: →0.93) — while the build-side levers were measured
+      // NOT worth their wall (g=32: 0.89; NN-Descent refine at g=32
+      // spilled its 820M-pair round at sf10)
+      val seedProbe = math.max(2, nlist / 16)
       // round-11 sf1 re-measure: recall was STILL ~0.3 at sf1 —
       // the graph was CELL-DISCONNECTED (see
       // Similarity.assignTopCells) and the spilled build assignment
@@ -836,12 +843,13 @@ object PipelineQueries {
           refineRounds = 0, randPerVec = 4, initMode = initMode,
           sampleMod = sampleMod, spillCells = 3))
       val ann = AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
-        k = 5, beam = 48, hops = 3, seedProbe = seedProbe)
+        k = 5, beam = 96, hops = 3, seedProbe = seedProbe)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
-      // bound raised 0.65 → 0.75 once the tuned build held 0.86-0.88
-      // at sf1/sf10: the contract enforces the scale margin itself
+      // bound raised 0.65 → 0.75 (r12) → 0.85 (r13, after the serve
+      // retune measured 0.98 / 0.96 / 0.93 at sf0.1 / sf1 / sf10):
+      // the contract enforces the scale margin itself
       Similarity.meanRecall(ann, exact)
-        .select(col("n_queries"), (col("recall") >= 0.75).as("recall_ok"))
+        .select(col("n_queries"), (col("recall") >= 0.85).as("recall_ok"))
     }),
 
     // the graph twin of q_similarity_scaled (round-11 advice: the
@@ -862,6 +870,12 @@ object PipelineQueries {
       val nlist = math.max(16L, n / 128L).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
       val sampleMod = math.max(1L, n / (16L * nlist)).toInt
+      // serve params deliberately NOT the panel key's recall-tuned
+      // ones (beam 96, nlist/16 seeding): this key's contract is
+      // top-k COVERAGE over a probe set that grows with the corpus,
+      // and its job is proving the distributed frontier at that
+      // scale — the narrower beam keeps the |Q|·beam hop joins at
+      // the pinned cost while the panel key carries the recall bar
       val seedProbe = math.max(2, nlist / 32)
       val idxDir = graft.IndexMemo.dir(
         graphBaseKey(d, nlist, sampleMod, initMode))(base =>

@@ -22,7 +22,8 @@ object GraphDebug {
           if (parts.length > 3) parts(3) else 256,
           if (parts.length > 4) parts(4) else 2,
           if (parts.length > 5) parts(5) else 48,
-          if (parts.length > 6) parts(6) else 3)
+          if (parts.length > 6) parts(6) else 3,
+          if (parts.length > 7) parts(7) else 0)
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -38,10 +39,10 @@ object GraphDebug {
     val n = emb.count()
     val exact = Similarity.bruteForceTopK(emb, queries, 5).cache()
     exact.count()
-    combos.foreach { case (g, rounds, sampled, denom, spill, beam, hops) =>
+    combos.foreach { case (g, rounds, sampled, denom, spill, beam, hops, sp) =>
       val nlist = math.max(16L, n / denom).toInt
       val initMode = if (nlist > 64) "random" else "k-means||"
-      val seedProbe = math.max(2, nlist / 32)
+      val seedProbe = if (sp > 0) sp else math.max(2, nlist / 32)
       val sampleMod = if (sampled) math.max(1L, n / (16L * nlist)).toInt else 1
       val t0 = System.nanoTime()
       val ann = Similarity.graphTopK(emb, queries, k = 5, g = g,

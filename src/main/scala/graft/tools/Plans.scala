@@ -467,6 +467,46 @@ object Plans {
         "(the SGD-loop pattern). At 100 TB rounds cost vocab-table " +
         "jobs, not corpus scans — the subword-nmt/SentencePiece " +
         "scaling shape."),
+    "q_bpe_encode" ->
+      ("The apply half of the tokenizer keeps the train half's " +
+        "corpus discipline: merge replay and symbol-id ranking run " +
+        "over the VOCAB (chained replace projections + one " +
+        "vocab-sized ranking window), and the corpus is touched by " +
+        "exactly one scan — posexplode to per-word positions, a " +
+        "word-keyed join against the id table (broadcast while it " +
+        "fits, hash join past that; vocabulary grows with the " +
+        "corpus, so forcing broadcast would be a 100 TB trap), and " +
+        "ONE doc-keyed exchange to reassemble ordered id sequences. " +
+        "No per-round corpus pass, no window over exploded corpus " +
+        "tokens."),
+    "q_pack_bpe" ->
+      ("q_pack_chunks's per-shard running-offset layout fed by the " +
+        "TRAINED tokenizer's counts instead of the bytes/4 estimate: " +
+        "the encode plan above collapses to (doc_id, n_tokens) " +
+        "before the packing window, so the analytic sort carries one " +
+        "long per document and the chunk arithmetic stays pure " +
+        "64-bit integer (div, never double) — bit-reproducible at " +
+        "any shard size."),
+    "q_html_extract" ->
+      ("Crawl-ingestion front door: block drops, tag strip, entity " +
+        "decode, and whitespace collapse are ONE chained " +
+        "regexp_replace projection per row — whole-stage codegen, " +
+        "zero shuffle, embarrassingly parallel at any corpus size; " +
+        "the markup stats (tags/links/entities/content ratio) ride " +
+        "the same scan. The planted single-line pages avoid dotall " +
+        "so the identical patterns run under Java regex and the " +
+        "oracle's RE2."),
+    "q_ann_upsert" ->
+      ("Replace-or-insert composed from the lifecycle ops in the one " +
+        "exact order (tombstone -> physical purge -> append; the " +
+        "purge is REQUIRED between, else the tombstone would mask " +
+        "the replacement row too): membership probe and tombstone " +
+        "write are O(batch), the purge rewrites ONLY the cells that " +
+        "held replaced rows, and the append assigns the batch under " +
+        "the frozen stored centroids — serving equals a rebuild over " +
+        "the upserted corpus without any O(corpus) step, and a " +
+        "replayed batch is idempotent (the streaming-sink " +
+        "contract)."),
     "q_dedup_incr_embed" ->
       ("Vector-space incremental admission: the pinned planted batch " +
         "joins the corpus's LSH bucket table on (tbl, bucket) — " +
