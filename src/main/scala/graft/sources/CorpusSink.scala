@@ -131,6 +131,43 @@ object CorpusSink {
     fs.delete(new Path(tmp), true)
   }
 
+  /** ID-KEYED UPSERT into a shard-partitioned store — replace-or-
+    * insert `rows` by `idCol`, touching ONLY the shard directories
+    * the batch lands in: current rows of the touched shards minus
+    * the batch's ids, unioned with the batch, staged and swapped
+    * per-directory ([[swapShards]] — computed-from-self safe, every
+    * untouched shard's files byte-identical). This is the missing
+    * replace semantics of a parquet row store: [[appendShards]] can
+    * only add, so a re-embedding / re-curation stream would
+    * otherwise accumulate stale versions that any downstream refit
+    * or exact re-rank would read. `rows` must already carry
+    * `shardCol` (callers derive it from the id — e.g.
+    * `pmod(hash(id), nBuckets)` — so a replacement lands in the SAME
+    * shard as the row it replaces). Batch ids must be unique.
+    * Bootstraps an absent store. Returns the touched shard values.
+    * Cost: O(batch + touched-shard rows), never O(store). */
+  def upsertShards(rows: DataFrame, path: String,
+                   shardCol: String = "source", idCol: String = "doc_id",
+                   filesPerShard: Int = 4): Seq[String] = {
+    val spark = rows.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) {
+      writeParquet(rows, path, shardCol, idCol, filesPerShard)
+      return rows.select(col(shardCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+    val touched = rows.select(col(shardCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val cur = spark.read.parquet(path)
+      .filter(col(shardCol).cast("string").isin(touched: _*))
+      .join(rows.select(col(idCol)), Seq(idCol), "left_anti")
+    swapShards(cur.unionByName(rows.select(cur.columns.map(col): _*)),
+      path, touched.map(v => s"$shardCol=$v"), shardCol, idCol,
+      filesPerShard)
+    touched
+  }
+
   /** Incremental refresh: overwrite ONLY the shard partitions present
     * in `docs` (dynamic partition overwrite), leaving every other
     * shard's directory and files byte-for-byte untouched. This is the

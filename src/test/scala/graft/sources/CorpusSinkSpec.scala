@@ -91,4 +91,48 @@ class CorpusSinkSpec extends SparkTestBase {
       rm(Paths.get(dir).toFile)
     }
   }
+
+  test("upsertShards replaces by id, inserts the rest, leaves untouched shards byte-identical") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("corpus_upsert").toString
+    try {
+      CorpusSink.writeParquet(docs, dir, filesPerShard = 2)
+      def snapshot(shard: String) =
+        new java.io.File(s"$dir/source=$shard").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet
+      val src2Before = snapshot("src2")
+      val src3Before = snapshot("src3")
+
+      // replace two existing docs in src0/src1, insert two new ones
+      val batch = Seq(
+        (4L, "src0", "revised 4"), (5L, "src1", "revised 5"),
+        (1001L, "src0", "new 1001"), (1002L, "src1", "new 1002")
+      ).toDF("doc_id", "source", "text")
+      val touched = CorpusSink.upsertShards(batch, dir,
+        shardCol = "source", idCol = "doc_id", filesPerShard = 2)
+      assert(touched == Seq("src0", "src1"))
+      assert(snapshot("src2") == src2Before && snapshot("src3") == src3Before,
+        "an untouched shard was rewritten")
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 202L) // 200 - 2 replaced + 2 replaced + 2 new
+      assert(back.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+        "a replaced doc kept a stale version")
+      val revised = back.filter(col("doc_id").isin(4L, 5L))
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(revised == Set("revised 4", "revised 5"))
+      // replay is a no-op
+      CorpusSink.upsertShards(batch, dir, shardCol = "source",
+        idCol = "doc_id", filesPerShard = 2)
+      assert(spark.read.parquet(dir).count() == 202L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(Paths.get(dir).toFile)
+    }
+  }
 }
