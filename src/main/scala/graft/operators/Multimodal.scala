@@ -1565,4 +1565,135 @@ object Multimodal {
         }
       })
   }
+
+  // ---- video: RIFF/AVI container + MJPEG frames ----
+
+  /** Frames per planted video (3..7 — exercises varying movi chunk
+    * counts) and the per-frame JPEG seed. The seed stride 1144 =
+    * 8·11·13 keeps [[plantedWidth]]/[[plantedHeight]] (mod 13 / 11)
+    * AND the APP0 pad (mod 8) IDENTICAL across a video's frames —
+    * frames of one stream share geometry, as a real stream's do —
+    * while the luma/chroma formulas (mod 256, stride 1144 ∤ 256)
+    * vary per frame, so every sampled frame decodes to distinct,
+    * doc_id+frame-arithmetic-recomputable content. */
+  def plantedVideoFrames(docId: Long): Int = (docId % 5 + 3).toInt
+  def plantedFrameSeed(docId: Long, f: Int): Long = docId + f * 1144L
+
+  /** Plant a complete, valid RIFF/AVI container with MJPEG frames —
+    * the video counterpart of [[plantWav]]: `RIFF('AVI ')` holding a
+    * `LIST('hdrl')` with a real 56-byte `avih` main header (frame
+    * count, geometry, 25 fps) and a `LIST('movi')` whose `00dc`
+    * chunks each carry one [[plantJpeg]] frame, the RIFF even-
+    * padding rule applied per chunk (baseline JPEG streams are
+    * frequently odd-length, so the pad path is genuinely on the
+    * walk). */
+  def plantAvi(docId: Long): Array[Byte] = {
+    val nf = plantedVideoFrames(docId)
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(body.length + 10)
+      o.write(id.getBytes("US-ASCII")); le32(o, body.length); o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF even-padding rule
+      o.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = new java.io.ByteArrayOutputStream(56)
+    le32(avih, 40000); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+    le32(avih, nf); le32(avih, 0); le32(avih, 1); le32(avih, 0)
+    le32(avih, plantedWidth(docId)); le32(avih, plantedHeight(docId))
+    (0 until 4).foreach(_ => le32(avih, 0))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray))
+    val movi = list("movi",
+      (0 until nf).map(f => chunk("00dc", plantJpeg(plantedFrameSeed(docId, f))))
+        .reduce(_ ++ _))
+    val out = new java.io.ByteArrayOutputStream(hdrl.length + movi.length + 12)
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 4 + hdrl.length + movi.length)
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write(hdrl); out.write(movi)
+    out.toByteArray
+  }
+
+  /** REAL RIFF/AVI walk — the video twin of [[decodeWav]]: verify
+    * `RIFF`/`AVI ` and the declared size, iterate top-level chunks
+    * with the even-padding rule, descend into `LIST('movi')`, and
+    * collect each `00dc`/`01dc` video chunk's payload (the per-frame
+    * compressed stream — MJPEG here). Returns the frame payloads in
+    * stream order; any malformed container → None, never a throw. */
+  def decodeAvi(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def le32(i: Int): Int =
+      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    def tagIs(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
+    try {
+      if (bytes.length < 12 || !tagIs(0, "RIFF") || !tagIs(8, "AVI ")) return None
+      if (le32(4) != bytes.length - 8) return None
+      val frames = Seq.newBuilder[Array[Byte]]
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz > bytes.length) return None
+        if (tagIs(i, "LIST") && sz >= 4 && tagIs(i + 8, "movi")) {
+          var j = i + 12
+          val end = i + 8 + sz
+          while (j + 8 <= end) {
+            val fsz = le32(j + 4)
+            if (fsz < 0 || j + 8 + fsz > end) return None
+            if ((tagIs(j, "00dc") || tagIs(j, "01dc")) && fsz > 0)
+              frames += java.util.Arrays.copyOfRange(bytes, j + 8, j + 8 + fsz)
+            j += 8 + fsz + (fsz % 2) // even-padding rule
+          }
+        }
+        i += 8 + sz + (sz % 2)
+      }
+      Some(frames.result())
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** One row per SAMPLED frame: temporal subsample (every `everyN`-th
+    * frame — the pretraining video-ingest rate reduction) + full
+    * per-frame baseline-JPEG decode, per-channel sums exact. */
+  final case class VideoFrame(doc_id: Long, frame_idx: Long,
+                              n_frames: Long, width: Int, height: Int,
+                              chan_sums: Array[Long], n_px: Long)
+
+  def withPlantedVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, plantAvi(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-partition container walk + sampled-frame decode → typed
+    * rows. Linear CPU, zero shuffle (one flatMap over the scan);
+    * undecodable containers/frames emit nothing rather than failing
+    * the stage — the [[decodeFeatures]] tolerance contract. */
+  def videoFrames(withVideo: DataFrame, everyN: Int = 2): Dataset[VideoFrame] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val spark = withVideo.sparkSession
+    import spark.implicits._
+    withVideo.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeAvi(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex
+            .filter { case (_, f) => f % everyN == 0 }
+            .flatMap { case (fb, f) =>
+              decodeJpeg(fb).map { case (w, h, px) =>
+                val sums = new Array[Long](3)
+                var i = 0
+                while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+                VideoFrame(id, f.toLong, frames.length.toLong, w, h,
+                  sums, w.toLong * h)
+              }
+            }
+        }
+      })
+  }
 }

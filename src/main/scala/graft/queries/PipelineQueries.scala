@@ -1237,6 +1237,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // VIDEO end-to-end: every doc planted as a complete valid
+    // RIFF/AVI container (real avih header, LIST movi, 00dc chunks
+    // with the even-padding rule) whose frames are MJPEG — temporal
+    // subsample every 2nd frame through the REAL chunk walk, then
+    // full baseline-JPEG decode of each sampled frame; per-frame
+    // channel means exactly oracled by the planted (doc_id, frame)
+    // arithmetic (frame seed stride 8·11·13 keeps geometry constant
+    // within a stream while the content formulas vary per frame)
+    "q_multimodal_video" -> ((s, d) =>
+      Multimodal.videoFrames(
+          Multimodal.withPlantedVideo(Tables.documents(s, d)), everyN = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          expr("element_at(chan_sums, 1) * 1000000 div (n_px * 255)")
+            .as("mean_r_e6"),
+          expr("element_at(chan_sums, 2) * 1000000 div (n_px * 255)")
+            .as("mean_g_e6"),
+          expr("element_at(chan_sums, 3) * 1000000 div (n_px * 255)")
+            .as("mean_b_e6"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // multimodal frame sampling (video-pipeline temporal subsample):
     // frame COUNTS are byte-length arithmetic → oracle-checkable,
     // while the typed path carries the sampled frame payloads
@@ -1947,6 +1970,37 @@ object PipelineQueries {
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
         "CAST(ceil(ceil(octet_length(encode(text))/256.0)/4.0) AS BIGINT) AS n_sampled " +
         "FROM documents ORDER BY doc_id"),
+    // per sampled (doc, frame): the q_multimodal_decode JPEG block
+    // arithmetic replayed at the frame seed doc_id + f·1144 — the
+    // stride keeps w/h/pad constant within a stream (1144 ≡ 0 mod
+    // 8, 11, 13) while luma/chroma vary per frame
+    "q_multimodal_video" ->
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
+        "(doc_id*17+3) % 11 + 3 AS h, doc_id % 5 + 3 AS nf FROM documents), " +
+        "sel AS (SELECT doc_id, w, h, nf, f, doc_id + f*1144 AS fid " +
+        "FROM (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM d) " +
+        "WHERE f % 2 = 0), " +
+        "jb AS (SELECT doc_id, f, nf, w, h, " +
+        "(fid*11 + bx*53 + by*29) % 256 AS yv, " +
+        "(fid*19+35) % 256 AS cb, (fid*23+71) % 256 AS cr, " +
+        "(CASE WHEN bx = 0 THEN least(w, 8) ELSE greatest(w - 8, 0) END) * " +
+        "(CASE WHEN by = 0 THEN least(h, 8) ELSE greatest(h - 8, 0) END) AS npx " +
+        "FROM sel CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) AS blk(bx, by)), " +
+        "j AS (SELECT doc_id, f, nf, w, h, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1402000*(cr-128) " +
+        "+ 500000 + 256000000) // 1000000 - 256))) AS sum_r, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv - 344136*(cb-128) " +
+        "- 714136*(cr-128) + 500000 + 256000000) // 1000000 - 256))) AS sum_g, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1772000*(cb-128) " +
+        "+ 500000 + 256000000) // 1000000 - 256))) AS sum_b " +
+        "FROM jb GROUP BY doc_id, f, nf, w, h) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST(nf AS BIGINT) AS n_frames, " +
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(sum_r * 1000000 // (w*h*255) AS BIGINT) AS mean_r_e6, " +
+        "CAST(sum_g * 1000000 // (w*h*255) AS BIGINT) AS mean_g_e6, " +
+        "CAST(sum_b * 1000000 // (w*h*255) AS BIGINT) AS mean_b_e6 " +
+        "FROM j ORDER BY doc_id, frame_idx"),
     "q_dedup_incr_bloom" ->
       ("SELECT count(*) AS n_batch, TRUE AS sound, TRUE AS loss_ok " +
         "FROM documents WHERE doc_id % 3 = 0"),

@@ -670,6 +670,34 @@ object SparkSqlTwins {
           s"sum(CASE WHEN j = $j THEN sq END) AS p${j}_e6").mkString(", ") +
         " FROM sg GROUP BY vec_id ORDER BY vec_id"),
 
+    "q_multimodal_video" ->
+      ("WITH d AS (SELECT doc_id, (doc_id*31+7) % 13 + 4 AS w, " +
+        "(doc_id*17+3) % 11 + 3 AS h, doc_id % 5 + 3 AS nf FROM documents), " +
+        "sel AS (SELECT doc_id, w, h, nf, f, doc_id + f*1144 AS fid " +
+        "FROM (SELECT doc_id, w, h, nf, explode(sequence(0, nf - 1)) AS f FROM d) " +
+        "WHERE f % 2 = 0), " +
+        "jb AS (SELECT doc_id, f, nf, w, h, " +
+        "(fid*11 + bx*53 + by*29) % 256 AS yv, " +
+        "(fid*19+35) % 256 AS cb, (fid*23+71) % 256 AS cr, " +
+        "(CASE WHEN bx = 0 THEN least(w, 8) ELSE greatest(w - 8, 0) END) * " +
+        "(CASE WHEN by = 0 THEN least(h, 8) ELSE greatest(h - 8, 0) END) AS npx " +
+        "FROM sel CROSS JOIN (SELECT * FROM VALUES (0,0),(0,1),(1,0),(1,1) AS t(bx, by)) blk), " +
+        "j AS (SELECT doc_id, f, nf, w, h, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1402000*(cr-128) " +
+        "+ 500000 + 256000000) div 1000000 - 256))) AS sum_r, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv - 344136*(cb-128) " +
+        "- 714136*(cr-128) + 500000 + 256000000) div 1000000 - 256))) AS sum_g, " +
+        "sum(npx * least(255, greatest(0, (1000000*yv + 1772000*(cb-128) " +
+        "+ 500000 + 256000000) div 1000000 - 256))) AS sum_b " +
+        "FROM jb GROUP BY doc_id, f, nf, w, h) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST(nf AS BIGINT) AS n_frames, " +
+        "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(sum_r * 1000000 div (w*h*255) AS BIGINT) AS mean_r_e6, " +
+        "CAST(sum_g * 1000000 div (w*h*255) AS BIGINT) AS mean_g_e6, " +
+        "CAST(sum_b * 1000000 div (w*h*255) AS BIGINT) AS mean_b_e6 " +
+        "FROM j ORDER BY doc_id, frame_idx"),
+
     "q_bpe_merges" -> bpeTwin(5),
     "q_bpe_encode" -> bpeEncodeTwin(5),
     "q_pack_bpe" -> bpePackTwin(5, 512),

@@ -507,6 +507,17 @@ object Plans {
         "the upserted corpus without any O(corpus) step, and a " +
         "replayed batch is idempotent (the streaming-sink " +
         "contract)."),
+    "q_multimodal_video" ->
+      ("Video ingest end-to-end with zero shuffle: the RIFF/AVI " +
+        "container walk, the every-2nd-frame temporal subsample, and " +
+        "the per-frame baseline-JPEG decode are ONE typed flatMap " +
+        "over the binary-column scan — each row expands to its " +
+        "sampled frames' feature rows in place, so the stage is " +
+        "embarrassingly parallel and the only exchange is the gate's " +
+        "output sort. At 100 TB the same shape holds: frame decode " +
+        "cost rides the scan tasks, and the sampled-frame rows (a " +
+        "few dozen bytes each) are all that survives into downstream " +
+        "shuffles."),
     "q_dedup_incr_embed" ->
       ("Vector-space incremental admission: the pinned planted batch " +
         "joins the corpus's LSH bucket table on (tbl, bucket) — " +
