@@ -194,6 +194,19 @@ object Dedup {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
+  /** nlist at or above which [[semanticDedup]] switches from the
+    * flat centroid fit+assign to the two-level hierarchy. The flat
+    * path's assign is O(n·nlist) and its fit O(sample·nlist) per
+    * iteration — with corpus-scaled nlist both turn quadratic; the
+    * hier path is O(n·√nlist) but carries a fixed few-job overhead
+    * (coarse fit, sample assign, per-cell fine fits). Measured
+    * crossover on this host sits between nlist 82 (sf1: flat 4.7 s
+    * vs hier 6.1 s) and nlist 820 (sf10: hier 18.5 s vs flat
+    * 19.9 s, and the gap widens ~linearly in nlist beyond); 256
+    * splits that range so every corpus-scaled caller past ~65k
+    * vectors rides the linear-at-100-TB path. */
+  private val HierNlist = 256
+
   /** MinHash signatures via grouped min-aggregates: permutation k is
     * h_k(s) = (base·(2k+1) + k·c) mod p over base = murmur3(s)&maxint.
     * One groupBy(doc_id) with numHashes min() columns — map-side
@@ -583,13 +596,28 @@ object Dedup {
     // corpus-scaled nlist the MLlib fit is the single largest
     // production stage (15.3 s of 25.9 s at sf10 with the default 10
     // iterations — measured; 4 halves it with no contract movement).
-    val centroids = Similarity.kmeansCentroids(qAsEmb, nlist, seed,
-      maxIter = 4, sampleMod = sampleMod, initMode = "random")
+    // Corpus-scaled nlist (the SemDeDup configuration: nlist ∝ n to
+    // hold |cell| constant) takes the TWO-LEVEL hierarchy — a flat
+    // fit+assign is O(n·nlist) = O(n²/256) there, measured 18.3×
+    // wall at 10× data; coarse√nlist → fine-within-cell assignment
+    // is O(n·√nlist) and stays linear as nlist grows
+    // ([[Similarity.hierCentroids]]). Small fixed nlist keeps the
+    // flat path (fewer moving parts, identical contract).
+    val assignedCells =
+      if (nlist >= HierNlist) {
+        val (coarse, fine) = Similarity.hierCentroids(qAsEmb, nlist, seed,
+          maxIter = 4, sampleMod = sampleMod)
+        Similarity.assignCellsHier(qAsEmb, coarse, fine)
+      } else {
+        val centroids = Similarity.kmeansCentroids(qAsEmb, nlist, seed,
+          maxIter = 4, sampleMod = sampleMod, initMode = "random")
+        Similarity.assignCells(qAsEmb, centroids)
+      }
     // the in-session stand-in for the stored cid-bucketed quantized
     // index a deployment reads here: (id, cid, int8 vector, norm),
     // ~100 B/row, cached because both self-join sides read it. The
     // int8 self-norm is precomputed per ROW, not per pair.
-    val qside = Similarity.assignCells(qAsEmb, centroids)
+    val qside = assignedCells
       .select(col("vec_id"), col("embedding").as("qv"), col("cid"))
       .withColumn("qn", sqrt(DotProductInt8.dot(col("qv"), col("qv"))
         .cast("double")))

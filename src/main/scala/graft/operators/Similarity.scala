@@ -190,6 +190,136 @@ object Similarity {
         (col("pos") + 1).cast("int").as("crank"))
   }
 
+  /** Deterministic LOCAL spherical k-means (argmax-cosine Lloyd) for
+    * the per-coarse-cell fine fits of [[hierCentroids]] — runs
+    * INSIDE a `mapGroups` task over one coarse cell's fit sample
+    * (~16·k rows), never on the driver and never over corpus-sized
+    * data. Vectors are unit-normalized up front (cosine k-means);
+    * init is every ⌈n/k⌉-th vector of the lexicographically sorted
+    * sample (seed-free determinism — the sample itself is already
+    * seed-selected); an emptied cluster keeps its previous center.
+    * Returns ≤ k distinct unit centroids. */
+  private[operators] def localSphericalKmeans(vecs: Array[Array[Double]],
+                                              k: Int,
+                                              iters: Int = 5): Array[Array[Double]] = {
+    val unit = vecs.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) None else Some(v.map(_ / n))
+    }
+    if (unit.isEmpty) return Array.empty
+    val ord = math.Ordering.Implicits.seqOrdering[Seq, Double]
+    val sorted = unit.sortBy(_.toSeq)(ord)
+    val kk = math.min(k, sorted.length)
+    val step = sorted.length.toDouble / kk
+    var centers = Array.tabulate(kk)(i => sorted((i * step).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](sorted(0).length))
+      val cnts = new Array[Int](kk)
+      sorted.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < kk) {
+          val c = centers(j)
+          var acc = 0.0; var t = 0
+          while (t < v.length) { acc += v(t) * c(t); t += 1 }
+          if (acc > bestS) { bestS = acc; best = j }
+          j += 1
+        }
+        val s = sums(best)
+        var t = 0
+        while (t < v.length) { s(t) += v(t); t += 1 }
+        cnts(best) += 1
+      }
+      centers = Array.tabulate(kk) { j =>
+        if (cnts(j) == 0) centers(j)
+        else {
+          val s = sums(j)
+          val n = math.sqrt(s.map(x => x * x).sum)
+          if (n == 0.0) centers(j) else s.map(_ / n)
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Two-level centroid hierarchy for CORPUS-SCALED `nlist` — the
+    * sub-quadratic replacement for a flat [[kmeansCentroids]] fit +
+    * [[assignCells]] when nlist ∝ n (SemDeDup-style cell sizing). The
+    * flat path is O(n·nlist) to assign and O(sample·nlist) per fit
+    * iteration — both O(n²/cellSize) once nlist grows with the
+    * corpus. Here:
+    *
+    *  1. `k1 = ⌈√nlist⌉` COARSE centroids fit on the same hash
+    *     sample (MLlib cosine k-means — O(sample·√nlist) per iter);
+    *  2. the sample assigns to its coarse argmax (one
+    *     [[graft.functions.CentroidCosines]] pass over √nlist) and
+    *     each coarse cell's sub-sample fits `k2 = ⌈nlist/k1⌉` FINE
+    *     centroids with a task-local Lloyd ([[localSphericalKmeans]]
+    *     inside `mapGroups` — one small shuffle of the SAMPLE, never
+    *     the corpus, and no per-cell driver round-trips);
+    *  3. a coarse cell whose sub-sample came back empty keeps the
+    *     coarse centroid itself as its only fine centroid, so every
+    *     corpus row still lands in a well-defined cell.
+    *
+    * Assignment against the result ([[assignCellsHier]]) scores
+    * k1 + k2 ≈ 2√nlist centroids per row instead of nlist. The
+    * driver holds only the centroid sidecar (nlist·dim doubles) —
+    * the same object the flat path already carried. */
+  def hierCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+                    maxIter: Int = 4, sampleMod: Int = 1,
+                    fineIters: Int = 5)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val k1 = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nlist.toDouble / k1).toInt)
+    val vecs = corpus.select(VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .filter(VectorOps.l2Norm(col("cv")) > 0)
+    val sampled = if (sampleMod == 1) vecs
+      else vecs.filter(pmod(xxhash64(col("cv")), lit(sampleMod.toLong)) === 0)
+    val sample = sampled.cache()
+    try {
+      // coarse fit reads the cached sample — random init for the
+      // same reason as the flat corpus-scaled path (k-means||'s
+      // driver-local finish dominates at large k; cells are space
+      // partitions, not query answers)
+      val coarse = kmeansCentroids(
+        sample.select(col("cv").as("embedding")), k1, seed,
+        maxIter = maxIter, sampleMod = 1, initMode = "random")
+      val fineFit = sample
+        .select(graft.functions.CentroidCosines.of(col("cv"), coarse).as("__cs"),
+          col("cv"))
+        .withColumn("__cc", expr("array_position(__cs, array_max(__cs))").cast("int"))
+        .filter(col("__cc").isNotNull)
+        .select(col("__cc"), col("cv"))
+        .as[(Int, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (cc, it) =>
+          val vs = it.map(_._2).toArray
+          (cc, localSphericalKmeans(vs, k2, fineIters).map(_.toSeq).toSeq)
+        }
+        .collect().toMap
+      val fine = Array.tabulate(coarse.length) { i =>
+        fineFit.get(i + 1).filter(_.nonEmpty)
+          .map(_.map(_.toArray).toArray)
+          .getOrElse(Array(coarse(i).clone()))
+      }
+      (coarse, fine)
+    } finally sample.unpersist(blocking = false)
+  }
+
+  /** Corpus rows with the two-level cell id appended — the hier twin
+    * of [[assignCells]]: one [[graft.functions.HierCellId]] codegen
+    * pass, O(√nlist) per row. `cid` is 1-based and dense over the
+    * ragged fine blocks; zero-norm vectors get a null cid (never
+    * joined), exactly like the flat path. */
+  def assignCellsHier(corpus: DataFrame, coarse: Array[Array[Double]],
+                      fine: Array[Array[Array[Double]]]): DataFrame =
+    corpus.withColumn("cid", graft.functions.HierCellId.of(
+      VectorOps.asDoubleArray(col("embedding")), coarse, fine))
+
   /** IVF-style ANN: the corpus is coarse-partitioned by nearest of
     * `nlist` k-means centroids ([[kmeansCentroids]], seeded); each
     * query probes its `nProbe` nearest centroids' inverted lists

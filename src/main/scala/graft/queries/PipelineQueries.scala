@@ -591,15 +591,21 @@ object PipelineQueries {
       // branches — without it the cid-keyed pair join runs twice
       val res = Dedup.semanticDedup(corpus, nlist, threshold = 0.9,
         sampleMod = sampleMod).cache()
-      // soundness truth branch: re-verify a deterministic 1/7 sample
-      // of the drop set against the exact global definition, so the
-      // branch's pair count is |drops|/7 × |corpus| — bounded at the
-      // verification SFs and sampled, never the operator's cost
-      // (mod 7 because planted ids are ≡ 0 mod 20: a mod-20 sampler
-      // would select exactly the planted drops and verify nothing else)
-      val droppedVec = broadcast(res.filter(!col("keep")
+      // soundness truth branch: re-verify a deterministic SCALE-CAPPED
+      // panel of the drop set against the exact global definition —
+      // mod-7 thinning (planted ids are ≡ 0 mod 20: a mod-20 sampler
+      // would select exactly the planted drops and verify nothing
+      // else), then ordered-by-id and capped at 256, so the branch
+      // costs ≤ 256·|corpus| exact cosines at ANY scale. This is the
+      // q_similarity probe-panel rule applied to the truth side: the
+      // UNCAPPED |drops|/7 × |corpus| branch was 47.8 s of the key's
+      // 61.3 s at sf10 — quadratic by construction, since |drops| ∝ n
+      // while the OPERATOR itself is 10.5 s there (hier cells).
+      val panel = res.filter(!col("keep")
           && pmod(col("vec_id"), lit(7)) === 0)
         .select(col("vec_id").as("yid"))
+        .orderBy(col("yid")).limit(256)
+      val droppedVec = broadcast(panel
         .join(corpus.select(col("vec_id").as("yid"), col("embedding").as("yv")),
           Seq("yid")))
       val confirmed = droppedVec
@@ -608,13 +614,13 @@ object PipelineQueries {
         .filter(VectorOps.cosineSim(col("xv"), col("yv")) > 0.9)
         .select(col("yid")).distinct()
         .agg(count(lit(1)).as("n_confirmed"))
+      val nPanel = panel.agg(count(lit(1)).as("n_dropped_sampled"))
       res.agg(
           count(lit(1)).as("n_corpus"),
           sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L)).as("n_planted"),
-          sum(when(!col("keep") && pmod(col("vec_id"), lit(7)) === 0, 1L)
-            .otherwise(0L)).as("n_dropped_sampled"),
           sum(when(!col("keep") && col("vec_id") >= 1000000L, 1L).otherwise(0L))
             .as("n_planted_dropped"))
+        .crossJoin(broadcast(nPanel))
         .crossJoin(broadcast(confirmed))
         .select(col("n_corpus"), col("n_planted"),
           (col("n_dropped_sampled") === col("n_confirmed")).as("sound"),
