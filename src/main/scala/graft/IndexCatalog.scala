@@ -21,10 +21,11 @@ import org.apache.spark.sql.SparkSession
   *  - [[openOrBuild]] validates the stored manifest against the
   *    caller's params: match → serve the existing dir without
   *    touching a row; mismatch / absent / unreadable → rebuild into
-  *    a staging sibling and commit with ONE directory rename (the
-  *    [[graft.operators.AnnIndex.refitIvfq]] cutover rule — a crash
-  *    leaves either the old valid index or an ignored staging dir,
-  *    never a half-swapped one).
+  *    a staging sibling and commit with RENAMES ONLY (live set aside
+  *    to `._old_<name>`, staging renamed in, sibling dropped) — a
+  *    crash at any point leaves at least one complete copy, and the
+  *    next call finishes the interrupted commit or restores the
+  *    set-aside index, never a half-swapped or empty state.
   *
   * Params must encode everything that makes two indexes different:
   * build parameters AND a corpus vintage (row count, max id, a
@@ -77,17 +78,44 @@ object IndexCatalog {
     * `params` exactly; otherwise build it fresh (staging + atomic
     * rename) and stamp the manifest. Returns (indexPath, reused).
     * The build function receives the STAGING path and must write a
-    * complete index there — it never sees or races the live dir. */
+    * complete index there — it never sees or races the live dir.
+    *
+    * Commit is rename-only, never delete-then-rename: the live dir
+    * moves ASIDE (`._old_<name>`) before staging moves in, so a crash
+    * at any point leaves at least one complete copy on disk —
+    * recovery on the next call either finishes the interrupted
+    * commit (a complete staging dir whose manifest matches `params`
+    * is renamed in, no rebuild) or restores the set-aside old index
+    * and revalidates it normally. The earlier delete-before-rename
+    * shape had a window (post-delete, pre-rename) that left NO
+    * servable index and re-deleted the valid staging dir on retry. */
   def openOrBuild(spark: SparkSession, root: String, name: String,
                   params: Map[String, String])
                  (build: String => Unit): (String, Boolean) = {
     require(name.matches("[A-Za-z0-9._-]+"), s"unsafe catalog name: $name")
     val live = new Path(root, name)
     val f = fs(spark, live)
+    val staging = new Path(root, s"._staging_$name")
+    val old = new Path(root, s"._old_$name")
+    // crash recovery BEFORE any delete: if a previous commit died
+    // between its two renames, live is absent and the only complete
+    // copies are staging (post-build) and/or old (pre-build)
+    if (!f.exists(live)) {
+      if (readManifest(spark, staging.toString).contains(params)) {
+        // the staged build is complete (manifest is written last) and
+        // matches — finish the interrupted commit instead of rebuilding
+        if (!f.rename(staging, live))
+          throw new java.io.IOException(s"catalog commit failed for $live")
+        f.delete(old, true)
+        return (live.toString, false)
+      }
+      if (f.exists(old) && !f.rename(old, live))
+        throw new java.io.IOException(s"catalog recovery failed for $live")
+      // a restored old index revalidates (or rebuilds) below
+    }
     if (readManifest(spark, live.toString).contains(params))
       return (live.toString, true)
-    val staging = new Path(root, s"._staging_$name")
-    f.delete(staging, true) // crashed-build leftovers
+    f.delete(staging, true) // crashed-build / mismatched leftovers
     f.mkdirs(staging)
     build(staging.toString)
     // manifest LAST: a staging dir without one can never validate
@@ -95,9 +123,12 @@ object IndexCatalog {
     try out.write(renderManifest(params)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(live, true)
+    f.delete(old, true) // leftovers of a commit that crashed post-swap
+    if (f.exists(live) && !f.rename(live, old))
+      throw new java.io.IOException(s"catalog set-aside failed for $live")
     if (!f.rename(staging, live))
       throw new java.io.IOException(s"catalog commit failed for $live")
+    f.delete(old, true)
     (live.toString, false)
   }
 }

@@ -445,6 +445,21 @@ object AnnIndex {
     * and forcing a multi-GB broadcast would be the same 100 TB trap
     * the bulk path's isin guard removed. */
   private val BroadcastDeletesBytes = 32L << 20
+
+  /** A tombstone-derived join side, broadcast-hinted only while the
+    * sidecar's on-disk footprint is within `BroadcastDeletesBytes` —
+    * the same size poll [[antiJoinDeletes]] applies, shared with the
+    * PURGE paths so a bulk (GDPR-scale) delete set never rides the
+    * plan as a forced multi-GB broadcast; past the threshold the
+    * joins run as plain hash semi-/anti-joins. */
+  private def hintBySize(spark: SparkSession, sidecar: String,
+                         df: DataFrame): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(sidecar)
+    val small = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(hp).getLength <= BroadcastDeletesBytes
+    if (small) broadcast(df) else df
+  }
+
   private[operators] def antiJoinDeletes(rows: DataFrame, dir: String,
                                          idCol: String): DataFrame =
     deletesPath(rows.sparkSession, dir) match {
@@ -476,14 +491,15 @@ object AnnIndex {
     deletesPath(spark, root) match {
       case None => Seq.empty
       case Some(p) =>
-        val dels = spark.read.parquet(p).select(col("vec_id")).distinct()
+        val dels = hintBySize(spark, p,
+          spark.read.parquet(p).select(col("vec_id")).distinct())
         val stored = spark.read.parquet(s"$root/vectors")
-        val touched = stored.join(broadcast(dels), Seq("vec_id"))
+        val touched = stored.join(dels, Seq("vec_id"))
           .select(col("cid").cast("int")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
         if (touched.nonEmpty) {
           val kept = stored.filter(col("cid").isin(touched: _*))
-            .join(broadcast(dels), Seq("vec_id"), "left_anti")
+            .join(dels, Seq("vec_id"), "left_anti")
             .select(col("vec_id"), col("qv"), col("scale"),
               col("cid").cast("int").as("cid"))
           CorpusSink.swapShards(kept, s"$root/vectors",
@@ -554,16 +570,18 @@ object AnnIndex {
     * died is removed. */
   private def purgeNodes(spark: SparkSession, root: String,
                          dels: DataFrame): Unit = {
+    // `dels` arrives broadcast-hinted or not per the caller's
+    // sidecar-size poll (hintBySize) — no unconditional broadcast here
     val p = new org.apache.hadoop.fs.Path(s"$root/nodes")
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       return // legacy index without the sidecar
     val nodes = spark.read.parquet(s"$root/nodes")
-    val touched = nodes.join(broadcast(dels), Seq("vec_id"), "left_semi")
+    val touched = nodes.join(dels, Seq("vec_id"), "left_semi")
       .select(col("nbucket").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
       val kept = nodes.filter(col("nbucket").isin(touched: _*))
-        .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        .join(dels, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("nbucket").cast("int").as("nbucket"))
       CorpusSink.swapShards(kept, s"$root/nodes",
         touched.map(b => s"nbucket=$b"), shardCol = "nbucket",
@@ -657,18 +675,19 @@ object AnnIndex {
     deletesPath(spark, root) match {
       case None => Seq.empty
       case Some(p) =>
-        val dels = spark.read.parquet(p).select(col("vec_id")).distinct()
+        val dels = hintBySize(spark, p,
+          spark.read.parquet(p).select(col("vec_id")).distinct())
         val stored = spark.read.parquet(s"$root/edges")
         val delKeys = dels.withColumnRenamed("vec_id", "__del")
         // stitch: in-neighbors of a deleted node adopt its out-edges
         val into = stored
-          .join(broadcast(delKeys), col("dst") === col("__del"))
+          .join(delKeys, col("dst") === col("__del"))
           .select(col("src"), col("dst").as("mid"))
-          .join(broadcast(delKeys), col("src") === col("__del"), "left_anti")
+          .join(delKeys, col("src") === col("__del"), "left_anti")
         val outof = stored
-          .join(broadcast(delKeys), col("src") === col("__del"))
+          .join(delKeys, col("src") === col("__del"))
           .select(col("src").as("mid"), col("dst"))
-          .join(broadcast(delKeys), col("dst") === col("__del"), "left_anti")
+          .join(delKeys, col("dst") === col("__del"), "left_anti")
         val v = corpus.select(col("vec_id"),
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
@@ -690,18 +709,18 @@ object AnnIndex {
         // would run as a broadcast nested loop (n·g × |dels|
         // comparisons at scale).
         val touchedDf = stored
-          .join(broadcast(delKeys), col("src") === col("__del"), "left_semi")
+          .join(delKeys, col("src") === col("__del"), "left_semi")
           .select(col("bucket").cast("int"))
           .union(stored
-            .join(broadcast(delKeys), col("dst") === col("__del"), "left_semi")
+            .join(delKeys, col("dst") === col("__del"), "left_semi")
             .select(col("bucket").cast("int")))
           .union(stitched.select(col("bucket").cast("int")))
           .distinct()
         val touched = touchedDf.collect().map(_.getInt(0)).toSeq.sorted
         if (touched.nonEmpty) {
           val survivors = stored.filter(col("bucket").isin(touched: _*))
-            .join(broadcast(delKeys), col("src") === col("__del"), "left_anti")
-            .join(broadcast(delKeys), col("dst") === col("__del"), "left_anti")
+            .join(delKeys, col("src") === col("__del"), "left_anti")
+            .join(delKeys, col("dst") === col("__del"), "left_anti")
             .select(col("src"), col("dst"), col("score"),
               col("bucket").cast("int").as("bucket"))
           val merged = survivors

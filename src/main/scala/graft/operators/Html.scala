@@ -64,7 +64,11 @@ object Html {
       length(clean).cast("long").as("n_clean_chars"),
       size(regexp_extract_all(htmlCol, lit("<[^>]+>"), lit(0)))
         .cast("long").as("n_tags"),
-      size(regexp_extract_all(htmlCol, lit("(?i)<a[^>]*>"), lit(0)))
+      // \b after the tag name: '<a[^>]*>' also matches <aside>,
+      // <abbr>, <article>, <address>... (word-boundary is portable —
+      // Java regex and RE2 both support \b, so the oracle twin uses
+      // the identical pattern)
+      size(regexp_extract_all(htmlCol, lit("(?i)<a\\b[^>]*>"), lit(0)))
         .cast("long").as("n_links"),
       size(regexp_extract_all(htmlCol, lit("&[a-z]+;"), lit(0)))
         .cast("long").as("n_entities"),

@@ -136,7 +136,13 @@ object Tokenizer {
       val symtab = vocab.select(explode(col("syms")).as("symbol")).distinct()
         .withColumn("tid",
           row_number().over(Window.orderBy(col("symbol"))).cast("int"))
-      // word → (ordered id string, token count): vocab-sized
+      // word → (ordered id string, token count): vocab-sized.
+      // localCheckpoint MATERIALIZES it (eager) and truncates its
+      // lineage before the finally-unpersist of `base` below — the
+      // returned DataFrame is lazy, so without this every downstream
+      // action would recompute the full corpus word-frequency scan
+      // through the by-then-released cache, re-paying exactly the
+      // pass the persist amortized for the merge training.
       val wordIds = vocab
         .select(col("word"), posexplode(col("syms")).as(Seq("spos", "symbol")))
         .join(broadcast(symtab), Seq("symbol"))
@@ -146,6 +152,7 @@ object Tokenizer {
             array_sort(collect_list(struct(col("spos"), col("tid")))),
             s => s.getField("tid").cast("string")), " ").as("wids"),
           count(lit(1)).cast("long").as("wn"))
+        .localCheckpoint()
       // corpus pass: one explode, one word-keyed join (the optimizer
       // broadcasts the word table while it fits and hash-joins past
       // that — corpus vocabulary grows with the corpus, unlike the

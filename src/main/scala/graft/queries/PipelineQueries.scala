@@ -2333,7 +2333,7 @@ object PipelineQueries {
       "SELECT doc_id, clean_text, " +
       "CAST(length(clean_text) AS BIGINT) AS n_clean_chars, " +
       "CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags, " +
-      "CAST(len(regexp_extract_all(html, '(?i)<a[^>]*>')) AS BIGINT) AS n_links, " +
+      "CAST(len(regexp_extract_all(html, '(?i)<a\\b[^>]*>')) AS BIGINT) AS n_links, " +
       "CAST(len(regexp_extract_all(html, '&[a-z]+;')) AS BIGINT) AS n_entities, " +
       "CAST(floor(CAST(length(clean_text) AS DOUBLE) / length(html) * 1000000) AS BIGINT) AS content_ratio_e6 " +
       "FROM c ORDER BY doc_id"

@@ -39,9 +39,11 @@ import graft.operators.AnnIndex
   * vectors into serving, and dropping the tombstone ledger at the
   * cutover would make the resurrection permanent. So the refit leg
   * first FOLDS the tombstones into the row store (live rows staged
-  * to a sibling dir, two renames — a crash at any point leaves
-  * either the old store or the folded one, both correct because the
-  * index-side mask is still active until the refit commits) and then
+  * to a sibling dir, two renames; a crash between them leaves the
+  * store absent but BOTH complete copies on disk, and the next
+  * maintain run restores one before touching anything — both are
+  * correct to serve because the index-side mask is still active
+  * until the refit commits) and then
   * refits on the folded store, so post-cutover serving equals a
   * fresh build on exactly the live corpus
   * (`StreamingMaintenanceSpec`'s delete-triggered-refit case).
@@ -87,15 +89,37 @@ object StreamingAnnMaintain {
       // mask stays active until the refit commits, so every crash
       // window serves correctly.
       if (AnnIndex.hasDeletes(spark, indexDir)) {
-        val fs = new org.apache.hadoop.fs.Path(corpusDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
+        val cp = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs = cp.getFileSystem(spark.sessionState.newHadoopConf())
         val stage = new org.apache.hadoop.fs.Path(s"$corpusDir._live_tmp")
         val old = new org.apache.hadoop.fs.Path(s"$corpusDir._old")
-        fs.delete(stage, true); fs.delete(old, true) // crashed-fold leftovers
+        // RECOVER before deleting anything: a crash between the two
+        // renames below leaves corpusDir ABSENT with the only
+        // complete copies in stage (the folded store — rename 1 only
+        // fires after its write finished) and old (the pre-fold
+        // store). Blindly clearing "leftovers" here would destroy
+        // both and with them the corpus. Prefer stage — it is the
+        // post-fold state; fall back to the pre-fold store (the
+        // tombstone ledger is still live, so serving stays correct
+        // and the fold below simply redoes the work).
+        if (!fs.exists(cp)) {
+          val survivor =
+            if (fs.exists(stage)) stage
+            else if (fs.exists(old)) old
+            else throw new java.io.IOException(
+              s"corpus store $corpusDir missing with no fold leftovers")
+          if (!fs.rename(survivor, cp))
+            throw new java.io.IOException(
+              s"tombstone fold recovery failed for $corpusDir")
+        }
+        // corpusDir exists now — leftovers really are leftovers
+        fs.delete(stage, true); fs.delete(old, true)
         AnnIndex.liveRows(spark.read.parquet(corpusDir), indexDir)
           .write.mode("overwrite").parquet(stage.toString)
-        if (!fs.rename(new org.apache.hadoop.fs.Path(corpusDir), old) ||
-            !fs.rename(stage, new org.apache.hadoop.fs.Path(corpusDir)))
+        if (!fs.rename(cp, old))
+          throw new java.io.IOException(
+            s"tombstone fold set-aside failed for $corpusDir")
+        if (!fs.rename(stage, cp))
           throw new java.io.IOException(
             s"tombstone fold swap failed for $corpusDir")
         fs.delete(old, true)

@@ -91,4 +91,55 @@ class IndexCatalogSpec extends SparkTestBase {
         "crashed staging leftovers survived into the committed index")
     } finally rm(new java.io.File(root))
   }
+
+  test("a crash between the commit renames loses no index") {
+    // the commit is live→._old_<name>, staging→live, drop ._old —
+    // simulate dying between the two renames (live ABSENT, the new
+    // build complete in staging, the previous index set aside) and
+    // prove the next call finishes the commit instead of rebuilding
+    // or, worse, clearing the only surviving copies
+    val emb = clustered(80, 8, seed = 5)
+    val root = Files.createTempDirectory("graft_catalog_crash").toString
+    val params = Map("family" -> "ivfq", "nlist" -> "4", "seed" -> "3")
+    var builds = 0
+    def open(p: Map[String, String], mayBuild: Boolean = true) =
+      IndexCatalog.openOrBuild(spark, root, "idx", p) { dir =>
+        assert(mayBuild, "rebuild fired where recovery should serve")
+        builds += 1
+        AnnIndex.buildIvfqIndex(emb, dir, nlist = p("nlist").toInt,
+          seed = p("seed").toLong)
+      }
+    try {
+      val (live, _) = open(params)
+      assert(builds == 1)
+
+      // CASE 1: interrupted commit — live moved aside, staging holds
+      // a complete (manifest-stamped) build for the same params
+      val liveF = new java.io.File(live)
+      val oldF = new java.io.File(s"$root/._old_idx")
+      val stagingF = new java.io.File(s"$root/._staging_idx")
+      // fabricate the window: the "old" copy is the previous index,
+      // the "staging" copy is the completed new build = current live
+      assert(liveF.renameTo(stagingF))
+      oldF.mkdirs()
+      new java.io.File(oldF, "stale_marker").createNewFile()
+      val (dir2, reused2) = open(params, mayBuild = false)
+      assert(dir2 == live && !reused2,
+        "finishing an interrupted commit must report a fresh serve")
+      assert(liveF.isDirectory, "live dir absent after recovery")
+      assert(!stagingF.exists() && !oldF.exists(),
+        "commit leftovers survived recovery")
+      assert(open(params)._2 && builds == 1,
+        "recovered index failed to validate")
+
+      // CASE 2: crash after set-aside but BEFORE the staged build
+      // matched (params drifted meanwhile): the set-aside old index
+      // is restored and revalidates for ITS params without a rebuild
+      assert(liveF.renameTo(oldF))
+      val (dir3, reused3) = open(params, mayBuild = false)
+      assert(dir3 == live && reused3,
+        "restored set-aside index should have validated")
+      assert(liveF.isDirectory && !oldF.exists())
+    } finally rm(new java.io.File(root))
+  }
 }

@@ -45,6 +45,13 @@ class HtmlSpec extends SparkTestBase {
     assert(nChars == txt.length.toLong)
   }
 
+  test("n_links counts anchors only, not other a-prefixed tags") {
+    val (_, _, nLinks, _, _) = extract(
+      "<article><aside>x</aside><abbr>y</abbr><address>z</address>" +
+        "<a href=\"/only\">real</a><a>bare</a></article>")
+    assert(nLinks == 2, s"n_links $nLinks") // <a ...> and <a>, nothing else
+  }
+
   test("planted page round-trips the corpus text through markup") {
     import spark.implicits._
     val docs = Seq((7L, "alpha spark beta", "src3")).toDF("doc_id", "text", "source")

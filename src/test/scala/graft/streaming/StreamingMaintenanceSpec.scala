@@ -166,4 +166,50 @@ class StreamingMaintenanceSpec extends SparkTestBase {
       rm(new java.io.File(freshDir))
     }
   }
+
+  test("a crash between the tombstone-fold renames never destroys the corpus store") {
+    // the fold is: write live rows to ._live_tmp, rename rows→._old,
+    // rename ._live_tmp→rows, drop ._old. Dying between the two
+    // renames leaves the store ABSENT with both complete copies as
+    // siblings — the next maintain must RESTORE one before clearing
+    // "leftovers" (the pre-fix code deleted both first, permanently
+    // destroying the corpus), then fold and refit normally.
+    val emb = clustered(4, 30, 16, seed = 53)
+    val deleted = emb.filter(col("vec_id") % 4 === 1) // 30 of 120 revoked
+    val indexDir = Files.createTempDirectory("maintc_idx").toString
+    val corpusRoot = Files.createTempDirectory("maintc_corpus").toString
+    val corpusDir = corpusRoot + "/rows"
+    try {
+      AnnIndex.buildIvfqIndex(emb, indexDir, nlist = 4, seed = 11L)
+      emb.write.mode("overwrite").parquet(corpusDir)
+      AnnIndex.deleteVectors(deleted.select("vec_id"), indexDir)
+      // fabricate the crash window exactly as the fold leaves it:
+      // staged folded copy present, store renamed aside, store gone
+      AnnIndex.liveRows(spark.read.parquet(corpusDir), indexDir)
+        .write.parquet(s"$corpusDir._live_tmp")
+      assert(new java.io.File(corpusDir)
+        .renameTo(new java.io.File(s"$corpusDir._old")))
+      assert(!new java.io.File(corpusDir).exists())
+      // drift = 30 deleted / 90 live = 0.33 > 0.30 → refit fires,
+      // which first recovers + folds the store
+      val refitted = StreamingAnnMaintain.maintain(spark, indexDir,
+        corpusDir, nlist = 4, maxDrift = 0.30, seed = 11L)
+      assert(refitted, "delete-raised drift crossed the bound but no refit ran")
+      val store = spark.read.parquet(corpusDir)
+      assert(store.count() == 90, "recovered store lost rows")
+      val delBox = deleted.select("vec_id").collect()
+        .map(r => Long.box(r.getLong(0))).toSeq
+      assert(store.filter(col("vec_id").isin(delBox: _*)).count() == 0,
+        "tombstoned rows survived the recovered fold")
+      assert(!new java.io.File(s"$corpusDir._live_tmp").exists()
+        && !new java.io.File(s"$corpusDir._old").exists(),
+        "fold leftovers survived the commit")
+      assert(spark.read.parquet(s"$indexDir/v_1/vectors")
+          .filter(col("vec_id").isin(delBox: _*)).count() == 0,
+        "refit resurrected deleted vectors")
+    } finally {
+      rm(new java.io.File(indexDir))
+      rm(new java.io.File(corpusRoot))
+    }
+  }
 }
