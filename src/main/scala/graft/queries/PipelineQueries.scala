@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer}
+import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, UrlOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -122,6 +122,40 @@ object PipelineQueries {
         lpad(col("doc_id").cast("string"), 6, "0"))
       TextOps.piiRedacted(Tables.documents(s, d), planted)
         .orderBy(col("doc_id"))
+    }),
+
+    // URL/host-level governance: canonicalize PLANTED raw URLs
+    // (scheme/host case, www., default ports, tracking params,
+    // fragments, trailing slashes — the fixture exercises every
+    // rule including MULTIPLE tracking params in one query string)
+    // and aggregate dup pressure per canonical host. Exactly oracled:
+    // the oracle replays both the plant and the rule sequence with
+    // the same backslash-free regexes
+    "q_url_canon" -> ((s, d) => {
+      val id = col("doc_id")
+      val m = pmod(id, lit(7)).cast("string")
+      val schemeRaw = element_at(
+        array(lit("HTTP"), lit("http"), lit("HTTPS"), lit("https")),
+        pmod(id, lit(4)).cast("int") + 1)
+      val www = element_at(array(lit("WWW."), lit("www."), lit("")),
+        pmod(id, lit(3)).cast("int") + 1)
+      val hostRaw = concat(
+        when(pmod(id, lit(2)) === 0, upper(col("source")))
+          .otherwise(col("source")), lit(".Example.COM"))
+      val port = element_at(
+        array(lit(":80"), lit(":443"), lit(":8080"), lit(""), lit("")),
+        pmod(id, lit(5)).cast("int") + 1)
+      val path = concat(lit("/art/"), pmod(id, lit(40)).cast("string"),
+        when(pmod(id, lit(6)) === 0, lit("/")).otherwise(lit("")))
+      val query = element_at(array(
+        concat(lit("?utm_source=feed&utm_medium=rss&id="), m),
+        concat(lit("?id="), m, lit("&utm_campaign=x")),
+        concat(lit("?id="), m)), pmod(id, lit(3)).cast("int") + 1)
+      val frag = when(pmod(id, lit(7)) === 0, lit("#sec")).otherwise(lit(""))
+      val url = concat(schemeRaw, lit("://"), www, hostRaw, port, path,
+        query, frag)
+      UrlOps.hostReport(UrlOps.withCanonical(
+        Tables.documents(s, d).select(col("doc_id"), url.as("url"))))
     }),
 
     // per-doc top-3 informative terms (integer tf-idf ranking)
@@ -1722,6 +1756,46 @@ object PipelineQueries {
         "CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails, " +
         "CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4,6}')) AS BIGINT) AS n_phones " +
         "FROM p ORDER BY doc_id"),
+    // plant + canonicalization replayed rule for rule; the tracking
+    // strip needs the 'g' flag here (DuckDB regexp_replace is
+    // first-match by default, Spark's is global), so the Spark-SQL
+    // twin lives in SparkSqlTwins with the 3-arg form
+    "q_url_canon" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' " +
+        "WHEN 2 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+        "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' " +
+        "ELSE '' END) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.Example.COM' || " +
+        "(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443' " +
+        "WHEN 2 THEN ':8080' ELSE '' END) || " +
+        "'/art/' || CAST(doc_id % 40 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 0 THEN '?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id % 7 AS VARCHAR) " +
+        "WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x' " +
+        "ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
+        "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport, " +
+        "regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM u), " +
+        "c2 AS (SELECT doc_id, scheme, " +
+        "CASE WHEN scheme = 'http' THEN " +
+        "regexp_replace(regexp_replace(hostport, '^www[.]', ''), ':80$', '') " +
+        "WHEN scheme = 'https' THEN " +
+        "regexp_replace(regexp_replace(hostport, '^www[.]', ''), ':443$', '') " +
+        "ELSE regexp_replace(hostport, '^www[.]', '') END AS host, " +
+        "regexp_replace(rest, '#.*$', '') AS nofrag FROM c), " +
+        "c3 AS (SELECT doc_id, scheme, host, " +
+        "regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/+$', '') AS path2, " +
+        "regexp_replace(regexp_replace('&' || regexp_extract(nofrag, '[?](.*)$', 1), " +
+        "'&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') AS q2 FROM c2), " +
+        "canon AS (SELECT host, scheme || '://' || host || path2 || " +
+        "CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url FROM c3) " +
+        "SELECT host, count(*) AS n_urls, count(DISTINCT canon_url) AS n_canon, " +
+        "count(*) - count(DISTINCT canon_url) AS n_dup, " +
+        "min(canon_url) AS sample_canon FROM canon GROUP BY host ORDER BY host"),
     "q_top_terms" ->
       ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM " +
         "(SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term " +

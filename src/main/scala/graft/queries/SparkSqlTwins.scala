@@ -86,6 +86,47 @@ object SparkSqlTwins {
   }
 
   val map: Map[String, String] = Map(
+    // the oracle needs DuckDB's 'g' flag on the tracking-param strip
+    // (first-match by default there); Spark's 3-arg regexp_replace is
+    // global already, so the twin is the same text minus the flags.
+    // CAST(x AS VARCHAR)→CAST(x AS STRING) is the only other mapping.
+    "q_url_canon" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' " +
+        "WHEN 2 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+        "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' " +
+        "ELSE '' END) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.Example.COM' || " +
+        "(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443' " +
+        "WHEN 2 THEN ':8080' ELSE '' END) || " +
+        "'/art/' || CAST(doc_id % 40 AS STRING) || " +
+        "(CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 0 THEN '?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id % 7 AS STRING) " +
+        "WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS STRING) || '&utm_campaign=x' " +
+        "ELSE '?id=' || CAST(doc_id % 7 AS STRING) END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
+        "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport, " +
+        "regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM u), " +
+        "c2 AS (SELECT doc_id, scheme, " +
+        "CASE WHEN scheme = 'http' THEN " +
+        "regexp_replace(regexp_replace(hostport, '^www[.]', ''), ':80$', '') " +
+        "WHEN scheme = 'https' THEN " +
+        "regexp_replace(regexp_replace(hostport, '^www[.]', ''), ':443$', '') " +
+        "ELSE regexp_replace(hostport, '^www[.]', '') END AS host, " +
+        "regexp_replace(rest, '#.*$', '') AS nofrag FROM c), " +
+        "c3 AS (SELECT doc_id, scheme, host, " +
+        "regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/+$', '') AS path2, " +
+        "regexp_replace(regexp_replace('&' || regexp_extract(nofrag, '[?](.*)$', 1), " +
+        "'&(utm_[a-z0-9_]+|fbclid|gclid)=[^&]*', ''), '^&+', '') AS q2 FROM c2), " +
+        "canon AS (SELECT host, scheme || '://' || host || path2 || " +
+        "CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url FROM c3) " +
+        "SELECT host, count(*) AS n_urls, count(DISTINCT canon_url) AS n_canon, " +
+        "count(*) - count(DISTINCT canon_url) AS n_dup, " +
+        "min(canon_url) AS sample_canon FROM canon GROUP BY host ORDER BY host"),
+
     // o_orderdate is TIMESTAMP_NTZ in the parquet; unix_* only take
     // TIMESTAMP, so cast (identity on the stored micros under UTC)
     "q_asof_join" ->
