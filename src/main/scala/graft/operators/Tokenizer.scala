@@ -61,27 +61,99 @@ object Tokenizer {
       .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
   }
 
-  /** The induction loop shared by [[bpeLearn]] and [[bpeEncode]]:
-    * each round's argmax is a bounded 1-row driver probe (the SGD
-    * driver-loop pattern); `base` must be the persisted
-    * [[wordFreq]] table — each round layers a lazy narrow `replace`
-    * projection on top, so recomputing r cheap projections over the
-    * cached vocab per round beats r persist+materialize jobs (no
-    * extra actions, no cache churn). */
-  private def learnMerges(base: DataFrame,
-                          rounds: Int): Seq[(Int, String, String, Long)] = {
+  /** The induction loop shared by [[bpeLearn]] and [[bpeEncode]],
+    * BATCHED (the standard trick for scaling BPE training past toy
+    * merge counts — one Spark job round can commit many merges): each
+    * round collects a bounded window of top pairs (a driver probe
+    * over the VOCAB pair table, never corpus data), selects a prefix
+    * that is provably order-equivalent to sequential greedy, applies
+    * the whole prefix as one chained `replace` projection, and
+    * periodically `localCheckpoint`s the vocab so the layered
+    * projection lineage stays bounded at thousands of merges.
+    *
+    * WHY the batch reproduces sequential greedy EXACTLY (the property
+    * `BpeBatchSpec` pins on fixtures):
+    *  - selection walks the (cnt desc, a asc, b asc) order and stops
+    *    at the first pair sharing a symbol with any selected pair
+    *    (the PREFIX rule), so selected pairs are mutually
+    *    non-conflicting — applying one cannot change another's count
+    *    (a merge of (a,b) only decrements pairs touching a or b);
+    *  - every pair CREATED by a batch merge contains the new merged
+    *    symbol and its count is bounded by a pre-merge neighbor pair
+    *    count (each (prev, ab) occurrence was a (prev, a) adjacency)
+    *    — and every such neighbor pair CONFLICTS with the selected
+    *    set, so its count is at most `stopCnt` (the first
+    *    conflicting/unselected row's count — the max over them in
+    *    the sorted walk, or the window tail when the table was
+    *    truncated);
+    *  - the batch is truncated until every kept pair's count is
+    *    STRICTLY above `stopCnt`, so no created pair can outrank (or
+    *    tie) any kept pair — sequential greedy therefore picks
+    *    exactly the kept pairs, in exactly this order, before ever
+    *    seeing a created pair win a round.
+    * A batch that truncates to a single pair is literally the
+    * sequential step, so the loop can never do worse than one merge
+    * per job round. */
+  private[graft] def learnMerges(base: DataFrame, rounds: Int,
+                                     maxBatch: Int = 32,
+                                     checkpointEvery: Int = 64)
+      : Seq[(Int, String, String, Long)] = {
     var wf = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var done = 0
+    var sinceCheckpoint = 0
+    var exhausted = false
+    while (done < rounds && !exhausted) {
+      val cap = math.min(maxBatch, rounds - done)
+      val window = math.max(4, 4 * cap)
       val top = pairCounts(wf)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
-      if (top.nonEmpty) {
-        val (pa, pb, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, pa, pb, cnt))
-        wf = wf.select(col("word"),
-          replace(col("sym"), lit(s"<$pa><$pb>"), lit(s"<$pa$pb>")).as("sym"),
-          col("n"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(window).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // stopCnt starts at the window tail when the table may extend
+        // past what we collected — unseen pairs all rank at or below it
+        var stopCnt = if (top.length == window) top(top.length - 1).getLong(2)
+          else -1L
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped) {
+          val (a, b, cnt) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (sel.length >= cap || used.contains(a) || used.contains(b)) {
+            // first unselected row = max count over everything not in
+            // the batch (sorted walk), the created-pair bound
+            stopCnt = math.max(stopCnt, cnt)
+            stopped = true
+          } else {
+            sel += ((a, b, cnt)); used += a; used += b
+          }
+          i += 1
+        }
+        // strict-dominance truncation (never below 1 — a single merge
+        // is the sequential step itself, safe by construction)
+        while (sel.length > 1 && sel.last._3 <= stopCnt)
+          sel.remove(sel.length - 1)
+        sel.zipWithIndex.foreach { case ((a, b, cnt), j) =>
+          merges += ((done + j + 1, a, b, cnt))
+        }
+        val symNext = sel.foldLeft(col("sym")) { case (c, (a, b, _)) =>
+          replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+        wf = wf.select(col("word"), symNext.as("sym"), col("n"))
+        done += sel.length
+        sinceCheckpoint += sel.length
+        // bounded lineage: past the checkpoint budget the layered
+        // replace projections are folded into a materialized
+        // vocab-sized LogicalRDD (eager, one small job) — without
+        // this a 1k-merge run re-analyzes a 1k-deep expression tree
+        // per round and eventually overflows codegen
+        if (sinceCheckpoint >= checkpointEvery && done < rounds) {
+          wf = wf.localCheckpoint()
+          sinceCheckpoint = 0
+        }
       }
     }
     merges.result()
