@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash IMAGE near-dup detection — the multimodal member
+  * of the dedup family (crawl pipelines run it right after HTML
+  * extraction: mirrored/re-encoded/lightly-edited images are the
+  * image-side analogue of boilerplate text). dHash (difference hash,
+  * the public aHash/dHash family): decode → fixed 9×8 grayscale
+  * thumbnail → 64 bits of adjacent-cell comparisons; near-duplicate
+  * images agree on almost every bit because the comparisons are
+  * invariant to brightness shifts and tiny pixel noise.
+  *
+  * Scale shape (the [[Dedup]] doctrine applied to pixels):
+  *  - decode + thumbnail + hash is ONE zero-shuffle typed pass over
+  *    the media scan ([[Multimodal.decodeFeatures]]'s shape);
+  *  - candidates come from a (band, value) EQUI-JOIN over 4×16-bit
+  *    Hamming bands — by pigeonhole any pair within Hamming
+  *    distance 3 shares ≥1 band, so banding is a COMPLETE candidate
+  *    generator for d ≤ 3 (and high-recall well past it), never an
+  *    all-pairs scan;
+  *  - the exact verify (mean absolute thumbnail difference) runs on
+  *    CANDIDATES ONLY, joining the 216-int thumbnails BY ID — narrow
+  *    rows, bounded pair count, same two-stage discipline as
+  *    [[Dedup.semanticDedup]].
+  * Every emitted drop carries an exact-verified witness, so drops are
+  * SOUND by construction; banding can only cost recall, which the
+  * `q_dedup_image` contract gates on planted twins.
+  */
+object ImageDedup {
+
+  /** Thumbnail geometry: 9 columns × 8 rows so each row yields 8
+    * adjacent-column comparisons → exactly 64 hash bits. */
+  val ThumbW = 9
+  val ThumbH = 8
+
+  /** RGB thumbnail of decoded pixels: nearest-neighbor resample to
+    * 9×8 ([[Multimodal.resizePixels]] — the pipeline's one resize
+    * routine), kept PER CHANNEL (216 ints, 0..255). The verify metric
+    * must stay per-channel: a channel-SUM (grayscale) thumbnail lets
+    * two differently-colored flat images cancel — the planted-JPEG
+    * fixture has pairs whose gray sums land within the twin margin
+    * while R alone differs by ~45 (a measured false drop), exactly
+    * the hue-swapped-logo case a real pipeline must not merge. */
+  private def rgbThumb(px: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val rp = Multimodal.resizePixels(px, w, h, ThumbW, ThumbH)
+    Array.tabulate(ThumbW * ThumbH * 3)(i => rp(i) & 0xff)
+  }
+
+  /** 64-bit dHash over per-cell channel sums (dHash itself is a
+    * LUMINANCE-gradient hash — candidates may collide across hues,
+    * the per-channel verify disambiguates): bit (y·8+x) set iff
+    * sum(x+1, y) > sum(x, y). */
+  private def dhash(t: Array[Int]): Long = {
+    def cell(x: Int, y: Int): Int = {
+      val i = 3 * (y * ThumbW + x)
+      t(i) + t(i + 1) + t(i + 2)
+    }
+    var bits = 0L
+    var y = 0
+    while (y < ThumbH) {
+      var x = 0
+      while (x < 8) {
+        if (cell(x + 1, y) > cell(x, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** decode → (doc_id, 216-int RGB thumb, dhash) in one zero-shuffle
+    * typed per-partition pass. Undecodable media rows drop out (the
+    * corrupt-input rule every decode stage here follows). */
+  def thumbnails(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    withMedia.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Multimodal.decodeImage(bytes).map { case (w, h, px) =>
+          val t = rgbThumb(px, w, h)
+          (id, t.toSeq, dhash(t))
+        }
+      })
+      .toDF("doc_id", "thumb", "dhash")
+  }
+
+  /** 4×16-bit Hamming bands of the dHash (the [[Dedup.simhash]]
+    * banding rule). */
+  def bands(dhashCol: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(dhashCol, b * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  private val bucketObserveSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Candidate pairs = images sharing ≥1 dHash band, via the
+    * (band, value) bucket self-join, with the [[Dedup.minhashCandidates]]
+    * hot-bucket guard: degenerate buckets (millions of identical
+    * thumbnails — blank images are the realistic crawl case) are
+    * capped at the `maxBucketSize` lowest ids, keeping genuine dup
+    * clusters connected through the kept representatives while
+    * bounding the pair count; capped-out rows surface as an observe
+    * metric, never silently. */
+  def candidates(withBands: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val b = withBands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    val ranked = b.withColumn("r", row_number().over(
+        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+      .observe(s"dhash_bucket_truncated_${bucketObserveSeq.incrementAndGet()}",
+        sum(when(col("r") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("r") <= maxBucketSize)
+    val l = ranked.select(col("band"), col("bv"), col("doc_id").as("a"))
+    val r = ranked.select(col("band"), col("bv"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact-verified near-dup pairs (a < b): banded candidates whose
+    * mean absolute PER-CHANNEL thumbnail difference (e2 fixed point
+    * over the 216 channel cells) is ≤ `maxMeanDiffE2`. The HOF pair here runs
+    * over two already-materialized 216-int attributes on BOUNDED
+    * candidate rows — not the corpus — which is the one place the
+    * interpreted-HOF cost is acceptable (the [[Dedup.minhashEstimate]]
+    * precedent). */
+  def nearDupPairs(thumbs: DataFrame, maxMeanDiffE2: Long = 600L,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val cand = candidates(thumbs.withColumn("bands", bands(col("dhash"))),
+      maxBucketSize)
+    val ta = thumbs.select(col("doc_id").as("a"), col("thumb").as("thumb_a"))
+    val tb = thumbs.select(col("doc_id").as("b"), col("thumb").as("thumb_b"))
+    cand.join(ta, Seq("a")).join(tb, Seq("b"))
+      .withColumn("mean_diff_e2",
+        aggregate(
+          zip_with(col("thumb_a"), col("thumb_b"),
+            (x, y) => abs(x.cast("long") - y.cast("long"))),
+          lit(0L), (acc, v) => acc + v) * 100L
+          / (ThumbW * ThumbH * 3))
+      .filter(col("mean_diff_e2") <= maxMeanDiffE2)
+      .select(col("a"), col("b"), col("mean_diff_e2"))
+  }
+
+  /** keep/drop verdict over an already-thumbnailed corpus: a doc is
+    * dropped iff some exact-verified near-dup partner with a SMALLER
+    * id exists (the keep-min survivor convention); `match_id` is the
+    * minimum such witness. `ids` is the full media id list (images
+    * that failed to decode are kept — nothing verified against them). */
+  def dedupFromThumbs(ids: DataFrame, thumbs: DataFrame,
+                      maxMeanDiffE2: Long = 600L,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val matches = nearDupPairs(thumbs, maxMeanDiffE2, maxBucketSize)
+      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
+    ids.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        col("match_id").isNull.as("keep"))
+  }
+
+  /** Complete PNG (8-bit truecolor, real zlib, filter cycling like
+    * [[Multimodal.plantPng]]) from an arbitrary decoded pixel grid —
+    * the re-encode half of the planted-twin fixture. */
+  private[operators] def pngFromPixels(w: Int, h: Int,
+                                       px: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + h * (1 + 3 * w))
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2
+    Multimodal.writeChunk(out, "IHDR", ihdr)
+    val raw = new java.io.ByteArrayOutputStream(h * (1 + 3 * w))
+    var prev = new Array[Byte](3 * w)
+    var y = 0
+    while (y < h) {
+      val line = java.util.Arrays.copyOfRange(px, y * 3 * w, (y + 1) * 3 * w)
+      val ft = y % 5
+      raw.write(ft)
+      val filtered = Multimodal.filterLine(ft, line, prev)
+      raw.write(filtered, 0, filtered.length)
+      prev = line
+      y += 1
+    }
+    Multimodal.writeChunk(out, "IDAT", Multimodal.deflate(raw.toByteArray))
+    Multimodal.writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fixture media column for the `q_dedup_image` gate: every doc
+    * carries its planted image ([[Multimodal.withPlantedMedia]]'s
+    * PNG/JPEG mix), and every doc_id ≡ 0 (mod 20) additionally plants
+    * a NEAR-DUPLICATE TWIN under doc_id + 1,000,000 — the source's
+    * DECODED pixels nudged +1 (clamped) on every (x+y) % 3 == 0
+    * position, re-encoded as PNG. Even-id sources pair PNG↔PNG; the
+    * fixture's id%20==0 stratum is all even, so cross-codec pairing
+    * (JPEG source, PNG twin) is exercised separately in
+    * `ImageDedupSpec` — either way both sides of the compare go
+    * through a REAL decode, and the perturbation stays below both
+    * the dHash comparison margins and the verify threshold while any
+    * two DISTINCT planted images differ by two orders of magnitude
+    * more. */
+  def withPlantedTwins(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val media = Multimodal.plantHeader(id, Array.emptyByteArray)
+        val base = Iterator((id, media))
+        if (id % 20 == 0) {
+          Multimodal.decodeImage(media) match {
+            case Some((w, h, px)) =>
+              val p = px.clone()
+              var i = 0
+              while (i < p.length) {
+                val xy = (i / 3) % w + (i / 3) / w
+                if (xy % 3 == 0)
+                  p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
+                i += 1
+              }
+              base ++ Iterator((id + 1000000L, pngFromPixels(w, h, p)))
+            case None => base
+          }
+        } else base
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** End-to-end: decode → thumbnail/hash → banded candidates →
+    * exact verify → verdict. The thumbnail table is cached across its
+    * three consumers (two candidate join sides + the verify) and
+    * released after the verdict materializes (the
+    * [[Dedup.semanticDedup]] eager-finish discipline). */
+  def dedup(withMedia: DataFrame, maxMeanDiffE2: Long = 600L,
+            maxBucketSize: Int = 1000): DataFrame = {
+    val thumbs = thumbnails(withMedia).cache()
+    val res = dedupFromThumbs(withMedia.select(col("doc_id")), thumbs,
+      maxMeanDiffE2, maxBucketSize).cache()
+    try res.count()
+    finally thumbs.unpersist(blocking = false)
+    res
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, UrlOps}
+import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, UrlOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -660,6 +660,70 @@ object PipelineQueries {
           (col("n_dropped_sampled") === col("n_confirmed")).as("sound"),
           (col("n_planted_dropped").cast("double")
             >= col("n_planted") * 0.8).as("recall_ok"))
+    }),
+
+    // perceptual-hash IMAGE near-dup as a checked contract: every doc
+    // carries its planted image and a 5% stratum plants a perturbed
+    // near-duplicate twin (decoded pixels +1 on a third of positions,
+    // re-encoded PNG, REAL decode on both sides). dHash → 4×16-bit
+    // Hamming-band candidate join → exact thumbnail-distance verify
+    // on candidates only. sound = a deterministic ≤256-drop panel
+    // re-verified against the exact global thumbnail definition (the
+    // q_dedup_semantic truth rule — bounded at any scale); recall_ok
+    // = ≥80% of planted twins dropped
+    "q_dedup_image" -> ((s, d) => {
+      val corpus = ImageDedup.withPlantedTwins(Tables.documents(s, d))
+      val thumbs = ImageDedup.thumbnails(corpus).cache()
+      val res = ImageDedup.dedupFromThumbs(
+        corpus.select(col("doc_id")), thumbs).cache()
+      res.count() // materialize while thumbs is hot (both reads below)
+      // truth branch: capped drop panel vs ALL thumbnails, exact
+      // mean-abs-diff — mod-7 thinning (planted ids ≡ 0 mod 20), id
+      // order, cap 256, so the branch costs ≤ 256·n at any scale
+      val drops = res.filter(!col("keep")
+          && pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("y"))
+        .orderBy(col("y")).limit(256)
+      val py = broadcast(drops.join(
+        thumbs.select(col("doc_id").as("y"), col("thumb").as("ty")), Seq("y")))
+      val confirmed = py
+        .join(thumbs.select(col("doc_id").as("x"), col("thumb").as("tx")),
+          col("x") < col("y"))
+        .filter(aggregate(
+            zip_with(col("tx"), col("ty"),
+              (a, b) => abs(a.cast("long") - b.cast("long"))),
+            lit(0L), (acc, v) => acc + v) * 100L
+          / (ImageDedup.ThumbW * ImageDedup.ThumbH * 3) <= 600L)
+        .select(col("y")).distinct()
+        .agg(count(lit(1)).as("n_confirmed"))
+      val nPanel = drops.agg(count(lit(1)).as("n_panel"))
+      // eager finish (the q_ann_append pattern): the contract row is
+      // collected while both caches are hot, then the caches are
+      // released — a lazily-returned plan would either pin the wide
+      // thumbnail cache for the session or re-decode the corpus on
+      // every downstream action
+      try {
+        val row = res.agg(
+            count(lit(1)).as("n_images"),
+            sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+              .as("n_planted"),
+            sum(when(!col("keep") && col("doc_id") >= 1000000L, 1L)
+              .otherwise(0L)).as("n_planted_dropped"))
+          .crossJoin(broadcast(nPanel))
+          .crossJoin(broadcast(confirmed))
+          .select(col("n_images"), col("n_planted"),
+            (col("n_panel") === col("n_confirmed")).as("sound"),
+            (col("n_planted_dropped").cast("double")
+              >= col("n_planted") * 0.8).as("recall_ok"))
+          .head()
+        import s.implicits._
+        Seq((row.getAs[Long]("n_images"), row.getAs[Long]("n_planted"),
+          row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
+          .toDF("n_images", "n_planted", "sound", "recall_ok")
+      } finally {
+        thumbs.unpersist(blocking = false)
+        res.unpersist(blocking = false)
+      }
     }),
 
     // brute-force cosine top-5 for keyed probe queries (exact ANN
@@ -1983,6 +2047,11 @@ object PipelineQueries {
     "q_dedup_embedding" ->
       ("SELECT count(*) AS n_probes, TRUE AS sound, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id % 50 = 0"),
+    "q_dedup_image" ->
+      ("SELECT (SELECT count(*) FROM documents) " +
+        "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_images, " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_planted, " +
+        "TRUE AS sound, TRUE AS recall_ok"),
     "q_dedup_semantic" ->
       ("SELECT (SELECT count(*) FROM embeddings) " +
         "+ (SELECT count(*) FROM embeddings WHERE vec_id % 20 = 0) AS n_corpus, " +
