@@ -49,6 +49,17 @@ object IndexMemo {
 
   private val built = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** JVM-lifetime root for [[IndexCatalog]]-managed indexes the gate
+    * keys build (the catalog itself is persistence-agnostic — a
+    * deployment points it at an object-store prefix; the keys point
+    * it here so the shutdown hook owns cleanup and repeat calls
+    * within one session exercise the catalog's reuse path). */
+  lazy val catalogRoot: String = {
+    val d = root.resolve("catalog")
+    Files.createDirectories(d)
+    d.toString
+  }
+
   /** The shared base index for `key`: built by `build(dir)` on first
     * use, returned as-is afterwards. Callers must treat the returned
     * directory as READ-ONLY — a key that mutates takes [[cloneDir]]. */

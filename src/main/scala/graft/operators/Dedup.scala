@@ -666,6 +666,140 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("__drop").isNull.as("keep"))
   }
 
+  // ---- stored + incremental semantic dedup ----
+
+  /** Build the STORED semantic-dedup index at `dir` — the persisted
+    * form of [[semanticDedup]]'s working state, so a deployment pays
+    * the centroid fit + quantize + assignment ONCE and every later
+    * ingest admits against it incrementally
+    * ([[incrementalSemanticAdmission]]) instead of re-paying the full
+    * build (the round-13 gap: every other index family already had
+    * this lifecycle). Layout:
+    *  - `dir/vectors` — cid-PARTITIONED int8 rows (vec_id, qv),
+    *    [[graft.sources.CorpusSink.writeParquet]] with
+    *    shardCol = "cid": an admission touching k cells prunes every
+    *    other cell's FILES at the directory level;
+    *  - `dir/cells_coarse` / `dir/cells_fine` — the two-level
+    *    centroid sidecar (i, centroid) / (i, j, centroid).
+    * A flat fit (nlist < [[HierNlist]]) is stored in the SAME
+    * two-level format with identity fine blocks (fine(i) = [coarse(i)]
+    * — exactly [[Similarity.hierCentroids]]'s empty-cell rule), so
+    * there is ONE serving path: [[Similarity.assignCellsHier]], which
+    * degenerates to the flat argmax on identity blocks. Typically
+    * committed through [[graft.IndexCatalog.openOrBuild]], which
+    * stamps build params + corpus vintage and makes reopen a pure
+    * manifest read. */
+  def buildSemanticIndex(corpus: DataFrame, nlist: Int, dir: String,
+                         seed: Long = 42L, sampleMod: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val quant = Similarity.quantizedCorpus(corpus)
+      .select(col("vec_id"), col("qv")).cache()
+    val qAsEmb = quant.select(col("vec_id"), col("qv").as("embedding"))
+    try {
+      val (coarse, fine) =
+        if (nlist >= HierNlist)
+          Similarity.hierCentroids(qAsEmb, nlist, seed, maxIter = 4,
+            sampleMod = sampleMod)
+        else {
+          val flat = Similarity.kmeansCentroids(qAsEmb, nlist, seed,
+            maxIter = 4, sampleMod = sampleMod, initMode = "random")
+          (flat, flat.map(c => Array(c.clone())))
+        }
+      coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("i", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/cells_coarse")
+      fine.zipWithIndex.toSeq.flatMap { case (blk, i) =>
+          blk.zipWithIndex.map { case (c, j) => (i, j, c.toSeq) }
+        }
+        .toDF("i", "j", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/cells_fine")
+      val assigned = Similarity.assignCellsHier(qAsEmb, coarse, fine)
+        .filter(col("cid").isNotNull)
+        .select(col("vec_id"), col("embedding").as("qv"), col("cid"))
+      graft.sources.CorpusSink.writeParquet(assigned, s"$dir/vectors",
+        shardCol = "cid", sortCol = "vec_id", filesPerShard = 2)
+    } finally quant.unpersist(blocking = false)
+  }
+
+  /** Load the two-level centroid sidecar back into the in-memory form
+    * [[Similarity.assignCellsHier]] takes (driver-sized — nlist·dim
+    * doubles, the same object every IVF family carries). */
+  def readSemanticCells(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val coarse = spark.read.parquet(s"$dir/cells_coarse")
+      .orderBy(col("i")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val fineRows = spark.read.parquet(s"$dir/cells_fine")
+      .orderBy(col("i"), col("j")).collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+    val fine = Array.tabulate(coarse.length)(i =>
+      fineRows.filter(_._1 == i).map(_._2))
+    (coarse, fine)
+  }
+
+  /** Incremental SEMANTIC admission — [[incrementalEmbeddingAdmission]]
+    * over the STORED k-means cells instead of recomputed LSH buckets:
+    * each batch vector is admitted unless some INDEXED vector in its
+    * cell is closer than `threshold` cosine.
+    *
+    *  1. the batch quantizes and hier-assigns against the stored
+    *     sidecar — O(batch·√nlist), no corpus touch;
+    *  2. candidates come from the cid equi-join into `dir/vectors` —
+    *     the cid-partitioned layout prunes every untouched cell's
+    *     files, so the scan is O(touched cells), never O(corpus);
+    *  3. the int8 pre-filter keeps pairs with approx cosine >
+    *     threshold − `prefilterMargin` (the [[semanticDedup]] margin
+    *     rule — quant distortion is a checked ≤0.5% contract, the
+    *     margin a ≳10× cushion);
+    *  4. survivors get the exact float-cosine verdict via id-keyed
+    *     joins into the float sides, so every `near_dup` flag carries
+    *     an exact witness in `match_id` (drops SOUND by
+    *     construction; cell-boundary misses cost recall only, gated
+    *     in `q_dedup_incr_semantic`).
+    * Output: (vec_id, status, match_id, keep). */
+  def incrementalSemanticAdmission(batch: DataFrame, index: DataFrame,
+                                   dir: String, threshold: Double = 0.9,
+                                   prefilterMargin: Double = 0.05): DataFrame = {
+    import graft.functions.DotProductInt8
+    val spark = batch.sparkSession
+    val (coarse, fine) = readSemanticCells(spark, dir)
+    val bAssigned = Similarity.assignCellsHier(
+        Similarity.quantizedCorpus(batch)
+          .select(col("vec_id"), col("qv").as("embedding")), coarse, fine)
+      .filter(col("cid").isNotNull)
+      .select(col("vec_id").as("qid"), col("embedding").as("bqv"), col("cid"))
+      .withColumn("bqn",
+        sqrt(DotProductInt8.dot(col("bqv"), col("bqv")).cast("double")))
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .withColumn("qn",
+        sqrt(DotProductInt8.dot(col("qv"), col("qv")).cast("double")))
+    val cand = bAssigned.join(stored, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id") && col("bqn") * col("qn") > 0 &&
+        DotProductInt8.dot(col("bqv"), col("qv")).cast("double")
+          / (col("bqn") * col("qn")) > threshold - prefilterMargin)
+      .select(col("qid"), col("vec_id"))
+    val iv = index.select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cn", VectorOps.l2Norm(col("cv")))
+    val bv = batch.select(col("vec_id").as("qid"),
+        VectorOps.asDoubleArray(col("embedding")).as("qv2"))
+      .withColumn("qn2", VectorOps.l2Norm(col("qv2")))
+    val matched = cand.join(iv, Seq("vec_id")).join(bv, Seq("qid"))
+      .filter(col("qn2") * col("cn") > 0 &&
+        VectorOps.dotArr(col("qv2"), col("cv")) / (col("qn2") * col("cn"))
+          > threshold)
+      .groupBy(col("qid")).agg(min(col("vec_id")).as("match_id"))
+    batch.select(col("vec_id"))
+      .join(matched.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("match_id").isNotNull, lit("near_dup")).otherwise(lit(Novel))
+          .as("status"),
+        col("match_id"),
+        col("match_id").isNull.as("keep"))
+  }
+
   /** Incremental EMBEDDING admission — the vector-space sibling of
     * [[incrementalNearDup]]: each batch vector is admitted unless
     * some stored-corpus vector is closer than `threshold` cosine.

@@ -852,6 +852,66 @@ object PipelineQueries {
           (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"))
     }),
 
+    // incremental SEMANTIC admission against a STORED index (the
+    // round-13 gap: semantic dedup re-paid its centroid fit +
+    // quantize + assignment every run while every other family had a
+    // stored lifecycle): the cid-bucketed int8 assignment + two-level
+    // centroid sidecar persist through IndexCatalog (params include
+    // the corpus vintage), the pinned batch of planted near-copies
+    // (cos≈0.9999, must flag) and far variants (must pass) is
+    // admitted against the STORED cells with int8 prefilter + exact
+    // float verify on candidates only. sound/recall vs the exact
+    // bipartite truth (broadcast ≤200-row batch); reuse_ok = the
+    // second catalog open resolves the same index from its manifest
+    // alone — the build closure THROWS if invoked again
+    "q_dedup_incr_semantic" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        VectorOps.asDoubleArray(col("embedding")).as("embedding"))
+      val stratum = emb.filter(pmod(col("vec_id"), lit(20)) === 0
+        && col("vec_id") < 2000)
+      def planted(offset: Long, eps: Double) = stratum
+        .select((col("vec_id") + lit(offset)).as("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            v + (pmod(col("vec_id") * 7 + i, lit(5)) - lit(2)).cast("double")
+              * lit(eps)).as("embedding"))
+      val batch = planted(1000000L, 0.004).unionByName(planted(2000000L, 0.8))
+      val n = emb.count()
+      val nlist = math.max(8L, n / 256L).toInt
+      val sampleMod = math.max(1L, n / (16L * nlist)).toInt
+      val params = Map("family" -> "semdedup", "sf" -> d,
+        "nlist" -> nlist.toString, "seed" -> "42",
+        "mod" -> sampleMod.toString, "n" -> n.toString)
+      val (dir1, _) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "semdedup_incr", params)(stg =>
+        Dedup.buildSemanticIndex(emb, nlist, stg, sampleMod = sampleMod))
+      val (dir2, reused2) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "semdedup_incr", params)(_ =>
+        throw new IllegalStateException(
+          "catalog reopen must not rebuild a vintage-matched index"))
+      val reuseOk = reused2 && dir1 == dir2
+      val res = Dedup.incrementalSemanticAdmission(batch, emb, dir2,
+        threshold = 0.9)
+      val flagged = res.filter(col("status") === "near_dup")
+        .select(col("vec_id"), lit(1).as("f"))
+      val truth = Dedup.embeddingNearDup(batch, emb, threshold = 0.9)
+        .filter(col("n_near") > 0)
+        .select(col("qid").as("vec_id"), lit(1).as("t"))
+      batch.select(col("vec_id"))
+        .join(flagged, Seq("vec_id"), "left")
+        .join(truth, Seq("vec_id"), "left")
+        .agg(
+          count(lit(1)).as("n_batch"),
+          coalesce(max(when(col("f") === 1 && col("t").isNull, 1).otherwise(0)),
+            lit(0)).as("unsound"),
+          coalesce(sum(coalesce(col("t"), lit(0))), lit(0)).cast("double").as("n_exact"),
+          coalesce(sum(when(col("f") === 1 && col("t") === 1, 1).otherwise(0)),
+            lit(0)).cast("double").as("n_hit"))
+        .select(col("n_batch"), (col("unsound") === 0).as("sound"),
+          (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"),
+          lit(reuseOk).as("reuse_ok"))
+    }),
+
     // sf-SCALED probe panel (round-9 advice): every other ANN key
     // pins its probe set for bench comparability, so this key alone
     // retains QUERY-COUNT scaling coverage — probes are the UNCAPPED
@@ -2114,6 +2174,10 @@ object PipelineQueries {
     "q_dedup_incr_embed" ->
       ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
         "TRUE AS recall_ok FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000"),
+    "q_dedup_incr_semantic" ->
+      ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
+        "TRUE AS recall_ok, TRUE AS reuse_ok " +
+        "FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
