@@ -382,6 +382,31 @@ object Similarity {
     * at ingest and stores (qv, scale, cid) as the ANN index's disk
     * layout — see `IvfqLayoutSpec` for the stored form and its
     * pruned scan. */
+  /** The per-row quantization rule, shared verbatim by
+    * [[quantizedCorpus]] and the streaming admission twin
+    * ([[graft.streaming.StreamingSemanticAdmission]]) so batch and
+    * live ingest can never drift on rounding: symmetric int8, scale =
+    * max|x|/127, rounding matches Spark's `round` (HALF_UP, away from
+    * zero). */
+  private[graft] def quantizeRow(x: Array[Double]): (Double, Array[Byte]) = {
+    var mx = 0.0
+    var i = 0
+    while (i < x.length) {
+      val a = math.abs(x(i)); if (a > mx) mx = a; i += 1
+    }
+    val scale = mx / 127.0
+    val qv = new Array[Byte](x.length)
+    if (scale > 0) {
+      i = 0
+      while (i < x.length) {
+        val v = x(i) / scale
+        qv(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toByte
+        i += 1
+      }
+    }
+    (scale, qv)
+  }
+
   def quantizedCorpus(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -389,21 +414,7 @@ object Similarity {
       .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, xs) =>
         val x = if (xs == null) Array.empty[Double] else xs
-        var mx = 0.0
-        var i = 0
-        while (i < x.length) {
-          val a = math.abs(x(i)); if (a > mx) mx = a; i += 1
-        }
-        val scale = mx / 127.0
-        val qv = new Array[Byte](x.length)
-        if (scale > 0) {
-          i = 0
-          while (i < x.length) {
-            val v = x(i) / scale
-            qv(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toByte
-            i += 1
-          }
-        }
+        val (scale, qv) = quantizeRow(x)
         // Seq[Byte], not Array[Byte]: the encoder maps Array[Byte]
         // to BINARY; Seq[Byte] keeps the array<tinyint> schema the
         // stored index and dot_product_int8 expect

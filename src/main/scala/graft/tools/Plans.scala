@@ -310,6 +310,30 @@ object Plans {
         "re-check broadcasts only the small DROP set against the " +
         "corpus, so the contract's truth branch stays bounded at any " +
         "verification SF."),
+    "q_dedup_incr_semantic" ->
+      ("Admission against the STORED semantic index: the batch " +
+        "hier-assigns O(batch·√nlist) via the HierCellId codegen " +
+        "pass, candidates come from the cid equi-join into the " +
+        "cid-PARTITIONED stored vectors (untouched cells' files are " +
+        "pruned at the directory level), the int8 pre-filter bounds " +
+        "the float verify to margin survivors, and the verdict joins " +
+        "are all id-keyed — per ingest the corpus is never re-fit, " +
+        "re-quantized, or scanned beyond the touched cells. The " +
+        "catalog reopen is a manifest read: zero rows."),
+    "q_url_canon" ->
+      ("Canonicalization is a per-row regexp projection inside the " +
+        "scan's codegen stage — no UDF, no shuffle; the host report " +
+        "is ONE hash aggregation keyed by host with map-side partial " +
+        "counts, so the exchange carries |hosts| rows per partition, " +
+        "never URLs. At 100 TB this is scan-bound by construction."),
+    "q_dedup_image" ->
+      ("Decode→thumbnail→dHash is one zero-shuffle typed pass over " +
+        "the media scan; candidates are a (band, value) bucket " +
+        "equi-join with a deterministic hot-bucket cap (blank-image " +
+        "mega-buckets bound the pair count instead of squaring it), " +
+        "and the exact per-channel verify joins 216-int thumbnails " +
+        "BY ID for candidates only — the semanticDedup two-stage " +
+        "discipline applied to pixels."),
     "q_quality_lm" ->
       ("The bigram LM trains and scores in one pipeline: document " +
         "bigrams are built under a single doc_id exchange (posexplode " +
