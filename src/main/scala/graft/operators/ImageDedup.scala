@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * Scale shape (the [[Dedup]] doctrine applied to pixels):
   *  - decode + thumbnail + hash is ONE zero-shuffle typed pass over
   *    the media scan ([[Multimodal.decodeFeatures]]'s shape);
-  *  - candidates come from a (band, value) EQUI-JOIN over 4×16-bit
-  *    Hamming bands — by pigeonhole any pair within Hamming
-  *    distance 3 shares ≥1 band, so banding is a COMPLETE candidate
-  *    generator for d ≤ 3 (and high-recall well past it), never an
-  *    all-pairs scan;
+  *  - candidates come from a (band, value, color-cell) EQUI-JOIN
+  *    over 4×16-bit Hamming bands × 2 offset mean-color grids — by
+  *    pigeonhole any pair within Hamming distance 3 shares ≥1 band,
+  *    and the color key (the absolute-level aHash complement that
+  *    keeps FLAT images from collapsing the band join into a
+  *    near-cross-product) loses only pairs straddling both grids in
+  *    different channels; never an all-pairs scan;
   *  - the exact verify (mean absolute thumbnail difference) runs on
   *    CANDIDATES ONLY, joining the 216-int thumbnails BY ID — narrow
   *    rows, bounded pair count, same two-stage discipline as
@@ -71,9 +73,46 @@ object ImageDedup {
     bits
   }
 
-  /** decode → (doc_id, 216-int RGB thumb, dhash) in one zero-shuffle
-    * typed per-partition pass. Undecodable media rows drop out (the
-    * corrupt-input rule every decode stage here follows). */
+  /** Mean-color cell keys on two HALF-STEP-OFFSET grids — the
+    * absolute-level (aHash-style) complement dHash lacks: a FLAT
+    * image's thumbnail is constant, every adjacent-cell comparison
+    * ties, and all flat images collide on the same hash regardless of
+    * color (measured: the planted-JPEG fixture put ~26% of the corpus
+    * in four band buckets — 4.1M candidate pairs at sf0.1, 25 s of
+    * interpreted verify). Keying the bucket join additionally on a
+    * quantized mean-color cell disperses them by LEVEL (42k pairs);
+    * the second, half-step-shifted grid restores the pairs that
+    * straddle a cell boundary — a twin with per-channel mean shift
+    * ≤1 can miss only by straddling BOTH grids in DIFFERENT channels
+    * (measured 1/250 planted twins; the recall contract owns the
+    * residual). Step 32 levels per channel over the 72-cell sums
+    * (divisor 72·32 = 2304). */
+  private def channelSums(t: Array[Int]): Array[Long] = {
+    val s = new Array[Long](3)
+    var i = 0
+    while (i < t.length) { s(i % 3) += t(i); i += 1 }
+    s
+  }
+
+  private def colorKeys(s: Array[Long]): (Long, Long) = {
+    def key(off: Long): Long =
+      ((s(0) + off) / 2304) * 64 + ((s(1) + off) / 2304) * 8 + (s(2) + off) / 2304
+    (key(0L), key(1152L))
+  }
+
+  /** Largest Σ|per-cell diff| a pair within `maxMeanDiffE2` can have
+    * (mean_e2 = ⌊Σ·100/216⌋ ≤ m ⟹ Σ ≤ ⌊(m+1)·216/100⌋) — and
+    * |Σa_c − Σb_c| ≤ Σ|diff| per channel, so exact channel-sum
+    * distance is a NECESSARY condition usable as a codegen'd
+    * pre-filter ahead of the interpreted 216-element verify. */
+  private def maxSumDiff(maxMeanDiffE2: Long): Long =
+    (maxMeanDiffE2 + 1) * (ThumbW * ThumbH * 3) / 100
+
+  /** decode → (doc_id, 216-int RGB thumb, dhash, two color-grid keys,
+    * exact per-channel sums sr/sg/sb — the verify pre-filter columns)
+    * in one zero-shuffle typed per-partition pass. Undecodable media
+    * rows drop out (the corrupt-input rule every decode stage here
+    * follows). */
   def thumbnails(withMedia: DataFrame): DataFrame = {
     val spark = withMedia.sparkSession
     import spark.implicits._
@@ -82,10 +121,12 @@ object ImageDedup {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         Multimodal.decodeImage(bytes).map { case (w, h, px) =>
           val t = rgbThumb(px, w, h)
-          (id, t.toSeq, dhash(t))
+          val s = channelSums(t)
+          val (ckA, ckB) = colorKeys(s)
+          (id, t.toSeq, dhash(t), ckA, ckB, s(0), s(1), s(2))
         }
       })
-      .toDF("doc_id", "thumb", "dhash")
+      .toDF("doc_id", "thumb", "dhash", "ckA", "ckB", "sr", "sg", "sb")
   }
 
   /** 4×16-bit Hamming bands of the dHash (the [[Dedup.simhash]]
@@ -96,25 +137,34 @@ object ImageDedup {
 
   private val bucketObserveSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Candidate pairs = images sharing ≥1 dHash band, via the
-    * (band, value) bucket self-join, with the [[Dedup.minhashCandidates]]
-    * hot-bucket guard: degenerate buckets (millions of identical
-    * thumbnails — blank images are the realistic crawl case) are
-    * capped at the `maxBucketSize` lowest ids, keeping genuine dup
-    * clusters connected through the kept representatives while
-    * bounding the pair count; capped-out rows surface as an observe
-    * metric, never silently. */
+  /** Candidate pairs = images sharing ≥1 (dHash band, color cell)
+    * bucket — complete for Hamming distance ≤ 3 among images sharing
+    * a color cell in EITHER grid (the color key is what keeps flat
+    * images from collapsing the band join into a near-cross-product;
+    * see [[colorKeys]]) — with the [[Dedup.minhashCandidates]]
+    * hot-bucket guard: a still-degenerate bucket (identical blank
+    * images at crawl scale) is capped at the `maxBucketSize` lowest
+    * ids, keeping genuine dup clusters connected through the kept
+    * representatives while bounding the pair count; capped-out rows
+    * surface as an observe metric, never silently. */
   def candidates(withBands: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val b = withBands.select(col("doc_id"),
+    val b0 = withBands.select(col("doc_id"), col("ckA"), col("ckB"),
       posexplode(col("bands")).as(Seq("band", "bv")))
+    // 8 bucket entries per image: 4 bands × 2 color grids (bk is the
+    // composite band-and-grid id, so grids never cross-join)
+    val b = b0.select(col("doc_id"), (col("band") * 2).as("bk"),
+        col("bv"), col("ckA").as("ck"))
+      .unionByName(b0.select(col("doc_id"), (col("band") * 2 + 1).as("bk"),
+        col("bv"), col("ckB").as("ck")))
     val ranked = b.withColumn("r", row_number().over(
-        Window.partitionBy(col("band"), col("bv")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("bk"), col("bv"), col("ck"))
+          .orderBy(col("doc_id"))))
       .observe(s"dhash_bucket_truncated_${bucketObserveSeq.incrementAndGet()}",
         sum(when(col("r") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped"))
       .filter(col("r") <= maxBucketSize)
-    val l = ranked.select(col("band"), col("bv"), col("doc_id").as("a"))
-    val r = ranked.select(col("band"), col("bv"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+    val l = ranked.select(col("bk"), col("bv"), col("ck"), col("doc_id").as("a"))
+    val r = ranked.select(col("bk"), col("bv"), col("ck"), col("doc_id").as("b"))
+    l.join(r, Seq("bk", "bv", "ck")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
 
@@ -125,21 +175,51 @@ object ImageDedup {
     * candidate rows — not the corpus — which is the one place the
     * interpreted-HOF cost is acceptable (the [[Dedup.minhashEstimate]]
     * precedent). */
+  /** Exact mean-abs thumbnail distance (e2) per joined pair row
+    * (`ida`, `idb`, `ta`, `tb`) — a TYPED per-partition loop, not an
+    * `aggregate(zip_with(...))` filter: the HOF form sits directly
+    * above a join, Catalyst merges the filter into the join
+    * CONDITION, and a BroadcastNestedLoopJoin then evaluates the
+    * interpreted 216-element lambda for EVERY pair — measured 27 s of
+    * a 30 s key at sf0.1, with the cheap pre-filter AND'd in but not
+    * saving the eval. `mapPartitions` is a hard optimizer barrier (the
+    * join keeps only the cheap condition) and the loop is JIT'd
+    * scala — the [[Similarity.quantizedCorpus]] precedent. */
+  private[graft] def pairDistances(joined: DataFrame): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.select(col("ida").cast("long"), col("idb").cast("long"),
+        col("ta"), col("tb"))
+      .as[(Long, Long, Array[Int], Array[Int])]
+      .mapPartitions(_.map { case (a, b, ta, tb) =>
+        var s = 0L
+        var i = 0
+        val n = math.min(ta.length, tb.length)
+        while (i < n) { s += math.abs(ta(i) - tb(i)).toLong; i += 1 }
+        (a, b, s * 100L / (ThumbW * ThumbH * 3))
+      }).toDF("ida", "idb", "mean_diff_e2")
+  }
+
   def nearDupPairs(thumbs: DataFrame, maxMeanDiffE2: Long = 600L,
                    maxBucketSize: Int = 1000): DataFrame = {
     val cand = candidates(thumbs.withColumn("bands", bands(col("dhash"))),
       maxBucketSize)
-    val ta = thumbs.select(col("doc_id").as("a"), col("thumb").as("thumb_a"))
-    val tb = thumbs.select(col("doc_id").as("b"), col("thumb").as("thumb_b"))
-    cand.join(ta, Seq("a")).join(tb, Seq("b"))
-      .withColumn("mean_diff_e2",
-        aggregate(
-          zip_with(col("thumb_a"), col("thumb_b"),
-            (x, y) => abs(x.cast("long") - y.cast("long"))),
-          lit(0L), (acc, v) => acc + v) * 100L
-          / (ThumbW * ThumbH * 3))
+    val ta = thumbs.select(col("doc_id").as("a"), col("thumb").as("thumb_a"),
+      col("sr").as("sra"), col("sg").as("sga"), col("sb").as("sba"))
+    val tb = thumbs.select(col("doc_id").as("b"), col("thumb").as("thumb_b"),
+      col("sr").as("srb"), col("sg").as("sgb"), col("sb").as("sbb"))
+    val msd = maxSumDiff(maxMeanDiffE2)
+    val joined = cand.join(ta, Seq("a")).join(tb, Seq("b"))
+      // codegen'd channel-sum pre-filter (a NECESSARY condition —
+      // see maxSumDiff) gates the exact pass
+      .filter(abs(col("sra") - col("srb")) <= msd &&
+        abs(col("sga") - col("sgb")) <= msd &&
+        abs(col("sba") - col("sbb")) <= msd)
+      .select(col("a").as("ida"), col("b").as("idb"),
+        col("thumb_a").as("ta"), col("thumb_b").as("tb"))
+    pairDistances(joined)
       .filter(col("mean_diff_e2") <= maxMeanDiffE2)
-      .select(col("a"), col("b"), col("mean_diff_e2"))
+      .select(col("ida").as("a"), col("idb").as("b"), col("mean_diff_e2"))
   }
 
   /** keep/drop verdict over an already-thumbnailed corpus: a doc is

@@ -672,7 +672,10 @@ object PipelineQueries {
     // q_dedup_semantic truth rule — bounded at any scale); recall_ok
     // = ≥80% of planted twins dropped
     "q_dedup_image" -> ((s, d) => {
-      val corpus = ImageDedup.withPlantedTwins(Tables.documents(s, d))
+      // the plant (decode + perturb + PNG re-encode) is the key's
+      // single most expensive pass — cache it so the thumbnail scan
+      // and the id side read it once (released in the finally)
+      val corpus = ImageDedup.withPlantedTwins(Tables.documents(s, d)).cache()
       val thumbs = ImageDedup.thumbnails(corpus).cache()
       val res = ImageDedup.dedupFromThumbs(
         corpus.select(col("doc_id")), thumbs).cache()
@@ -685,16 +688,26 @@ object PipelineQueries {
         .select(col("doc_id").as("y"))
         .orderBy(col("y")).limit(256)
       val py = broadcast(drops.join(
-        thumbs.select(col("doc_id").as("y"), col("thumb").as("ty")), Seq("y")))
-      val confirmed = py
-        .join(thumbs.select(col("doc_id").as("x"), col("thumb").as("tx")),
-          col("x") < col("y"))
-        .filter(aggregate(
-            zip_with(col("tx"), col("ty"),
-              (a, b) => abs(a.cast("long") - b.cast("long"))),
-            lit(0L), (acc, v) => acc + v) * 100L
-          / (ImageDedup.ThumbW * ImageDedup.ThumbH * 3) <= 600L)
-        .select(col("y")).distinct()
+        thumbs.select(col("doc_id").as("y"), col("thumb").as("ty"),
+          col("sr").as("sry"), col("sg").as("sgy"), col("sb").as("sby")),
+        Seq("y")))
+      // the join carries only the codegen'd channel-sum pre-filter (a
+      // necessary condition); the exact 216-element distance runs in
+      // ImageDedup.pairDistances — a typed barrier the optimizer
+      // cannot merge into the nested-loop join's interpreted
+      // condition (that merge was 27 s of a 30 s key at sf0.1)
+      val msd = 601L * (ImageDedup.ThumbW * ImageDedup.ThumbH * 3) / 100L
+      val confirmed = ImageDedup.pairDistances(py
+          .join(thumbs.select(col("doc_id").as("x"), col("thumb").as("tx"),
+              col("sr").as("srx"), col("sg").as("sgx"), col("sb").as("sbx")),
+            col("x") < col("y") &&
+              abs(col("srx") - col("sry")) <= msd &&
+              abs(col("sgx") - col("sgy")) <= msd &&
+              abs(col("sbx") - col("sby")) <= msd)
+          .select(col("x").as("ida"), col("y").as("idb"),
+            col("tx").as("ta"), col("ty").as("tb")))
+        .filter(col("mean_diff_e2") <= 600L)
+        .select(col("idb")).distinct()
         .agg(count(lit(1)).as("n_confirmed"))
       val nPanel = drops.agg(count(lit(1)).as("n_panel"))
       // eager finish (the q_ann_append pattern): the contract row is
@@ -721,6 +734,7 @@ object PipelineQueries {
           row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
           .toDF("n_images", "n_planted", "sound", "recall_ok")
       } finally {
+        corpus.unpersist(blocking = false)
         thumbs.unpersist(blocking = false)
         res.unpersist(blocking = false)
       }
