@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *  - the exact verify (mean absolute thumbnail difference) runs on
   *    CANDIDATES ONLY, joining the 216-int thumbnails BY ID — narrow
   *    rows, bounded pair count, same two-stage discipline as
-  *    [[Dedup.semanticDedup]].
+  *    [[Dedup.semanticDedup]];
+  *  - and the whole near stage runs over one REPRESENTATIVE per
+  *    exact-identical thumbnail family ([[dedupFromThumbs]] — the
+  *    [[Dedup.exact]]-before-near split applied to pixels), so pair
+  *    cost scales with distinct image content, not corpus size.
   * Every emitted drop carries an exact-verified witness, so drops are
   * SOUND by construction; banding can only cost recall, which the
   * `q_dedup_image` contract gates on planted twins.
@@ -226,14 +230,44 @@ object ImageDedup {
     * dropped iff some exact-verified near-dup partner with a SMALLER
     * id exists (the keep-min survivor convention); `match_id` is the
     * minimum such witness. `ids` is the full media id list (images
-    * that failed to decode are kept — nothing verified against them). */
+    * that failed to decode are kept — nothing verified against them).
+    *
+    * TWO-STAGE, exactly like the text side ([[Dedup.exact]] before
+    * the near-dup operators): identical thumbnails first collapse to
+    * their min-id representative through ONE hash aggregation — the
+    * realistic mega-class (the same logo/banner file on millions of
+    * pages) costs its row count — and the banded candidate join +
+    * verify run over REPRESENTATIVES only, so pair cost scales with
+    * DISTINCT image content, not corpus size (the planted fixture's
+    * image universe has period 36,608: at sf10 the rep-level pair
+    * scan is 8× smaller and stops growing with n, where the
+    * member-level scan measured 46M pairs / 124 s). The verdict is
+    * EQUIVALENT to the member-level rule: family members share the
+    * exact thumbnail, so member↔member distance IS rep↔rep distance,
+    * and the minimum partner of member d resolves to
+    * `coalesce(nbr_min, rep when rep < d)` — a verified neighbor
+    * family's min is always smaller than this family's rep when it
+    * exists, and the rep itself witnesses every non-rep member. */
   def dedupFromThumbs(ids: DataFrame, thumbs: DataFrame,
                       maxMeanDiffE2: Long = 600L,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val matches = nearDupPairs(thumbs, maxMeanDiffE2, maxBucketSize)
-      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
+    // exact stage: thumbnail → family representative (min doc_id)
+    val fams = thumbs.groupBy(col("thumb")).agg(min(col("doc_id")).as("rep"))
+    val reps = thumbs.join(fams.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // near stage over representatives; a rep's minimum verified
+    // neighbor-family min (always < its own rep id, pairs are a < b)
+    val repMatch = nearDupPairs(reps, maxMeanDiffE2, maxBucketSize)
+      .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
+    val withRep = thumbs.select(col("doc_id"), col("thumb"))
+      .join(fams, Seq("thumb"))
+      .select(col("doc_id"), col("rep"))
+      .join(repMatch, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbr_min"), when(col("rep") < col("doc_id"), col("rep")))
+          .as("match_id"))
     ids.select(col("doc_id"))
-      .join(matches, Seq("doc_id"), "left")
+      .join(withRep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"),
         col("match_id").isNull.as("keep"))
   }

@@ -32,13 +32,20 @@ object ImgDebug {
       val t = ImageDedup.thumbnails(corpus).cache()
       t.count(); t
     }
-    val cand = time("candidates") {
+    val reps = time("exact stage (families)") {
+      val fams = thumbs.groupBy(col("thumb"))
+        .agg(min(col("doc_id")).as("rep"))
+      val r = thumbs.join(fams.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi").cache()
+      println("  n_reps=" + r.count()); r
+    }
+    val cand = time("candidates (reps)") {
       val c = ImageDedup.candidates(
-        thumbs.withColumn("bands", ImageDedup.bands(col("dhash")))).cache()
+        reps.withColumn("bands", ImageDedup.bands(col("dhash")))).cache()
       println("  n_candidates=" + c.count()); c
     }
-    time("verify (nearDupPairs)") {
-      println("  n_pairs=" + ImageDedup.nearDupPairs(thumbs).count())
+    time("verify (nearDupPairs over reps)") {
+      println("  n_pairs=" + ImageDedup.nearDupPairs(reps).count())
     }
     time("full dedup") {
       println("  drops=" + ImageDedup.dedup(corpus).filter(!col("keep")).count())

@@ -65,22 +65,45 @@ class ImageDedupSpec extends SparkTestBase {
     assert(res === Map(7L -> true, 8000000L -> false))
   }
 
-  test("hot-bucket cap bounds the pair fan-out deterministically") {
+  test("identical images collapse in the exact stage regardless of cap") {
     import spark.implicits._
-    // 30 identical images — with cap 10 each bucket keeps its 10
-    // lowest ids (the minhashCandidates truncation semantics): the
-    // kept members resolve among themselves (1 survivor, 9 drops on
-    // witness 1) and the capped-out 20 are kept, surfacing only via
-    // the observe metric — bounded pair cost, never silent loss of
-    // the cluster's canonical representative
+    // 30 identical images form ONE thumbnail family — the exact
+    // stage (hash aggregation, uncapped by design) collapses them
+    // onto doc 1 even under a tiny near-stage bucket cap, because
+    // the banded candidate join only ever sees the single
+    // representative. This is what keeps the realistic mega-class
+    // (one logo file on millions of pages) linear.
     val bytes = Multimodal.plantHeader(4L, Array.emptyByteArray)
     val corpus = (1L to 30L).map(i => (i, bytes)).toDF("doc_id", "media")
-    val res = ImageDedup.dedup(corpus, maxBucketSize = 10)
-    assert(res.filter(!col("keep") && col("match_id") === 1L).count() === 9L)
-    assert(res.filter(col("keep")).count() === 21L)
-    // uncapped: the whole cluster collapses onto doc 1
-    val full = ImageDedup.dedup(corpus)
-    assert(full.filter(col("keep")).count() === 1L)
-    assert(full.filter(!col("keep") && col("match_id") === 1L).count() === 29L)
+    Seq(10, 1000).foreach { cap =>
+      val res = ImageDedup.dedup(corpus, maxBucketSize = cap)
+      assert(res.filter(col("keep")).count() === 1L)
+      assert(res.filter(!col("keep") && col("match_id") === 1L).count() === 29L)
+    }
+  }
+
+  test("near-dup families chain through representatives") {
+    import spark.implicits._
+    // family A = {1, 2} (identical), family B = {5, 6} (identical,
+    // near-dup of A): B's members must all resolve to witness 1 (A's
+    // rep), A's rep keeps, A's non-rep member witnesses 1
+    val base = Multimodal.plantHeader(4L, Array.emptyByteArray)
+    val Some((w, h, px)) = Multimodal.decodeImage(base)
+    val p = px.clone()
+    var i = 0
+    while (i < p.length) {
+      if ((i / 3) % 3 == 0) p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
+      i += 1
+    }
+    val nearBytes = ImageDedup.pngFromPixels(w, h, p)
+    val corpus = Seq((1L, base), (2L, base), (5L, nearBytes), (6L, nearBytes))
+      .toDF("doc_id", "media")
+    val res = ImageDedup.dedup(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).toMap
+    assert(res(1L) === ((-1L, true)))
+    assert(res(2L) === ((1L, false)))
+    assert(res(5L) === ((1L, false)))
+    assert(res(6L) === ((1L, false)))
   }
 }
