@@ -56,6 +56,7 @@ object Dedup {
   val DupOfIndex = "dup_of_index"
   val DupInBatch = "dup_in_batch"
   val Novel = "novel"
+  val NearDup = "near_dup"
 
   /** fp-membership view of a stored fingerprint index (dedup +
     * boolean marker) — the index prep both admission paths join. */

@@ -99,8 +99,14 @@ object ImageDedup {
   }
 
   private def colorKeys(s: Array[Long]): (Long, Long) = {
+    // base-9 digit packing: each channel digit is ⌊(sum+off)/2304⌋ ∈
+    // 0..8 (max sum 72·255 = 18360, (18360+1152)/2304 = 8), so base-8
+    // multipliers (64/8/1) would collide e.g. (0,8,0) with (1,0,0) and
+    // merge unrelated bright-channel color buckets (false candidates —
+    // perf only, but it defeats the flat-image dispersal this key
+    // exists for)
     def key(off: Long): Long =
-      ((s(0) + off) / 2304) * 64 + ((s(1) + off) / 2304) * 8 + (s(2) + off) / 2304
+      ((s(0) + off) / 2304) * 81 + ((s(1) + off) / 2304) * 9 + (s(2) + off) / 2304
     (key(0L), key(1152L))
   }
 
@@ -151,15 +157,22 @@ object ImageDedup {
     * ids, keeping genuine dup clusters connected through the kept
     * representatives while bounding the pair count; capped-out rows
     * surface as an observe metric, never silently. */
-  def candidates(withBands: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+  /** The 8 bucket entries per image — 4 dHash bands × 2 color grids,
+    * `bk` the composite band-and-grid id so grids never cross-join —
+    * shared by the self-join candidates (batch dedup) and the stored
+    * bucket index (incremental admission). Input needs a `bands`
+    * column ([[bands]]); output (doc_id, bk, bv, ck). */
+  def bucketEntries(withBands: DataFrame): DataFrame = {
     val b0 = withBands.select(col("doc_id"), col("ckA"), col("ckB"),
       posexplode(col("bands")).as(Seq("band", "bv")))
-    // 8 bucket entries per image: 4 bands × 2 color grids (bk is the
-    // composite band-and-grid id, so grids never cross-join)
-    val b = b0.select(col("doc_id"), (col("band") * 2).as("bk"),
+    b0.select(col("doc_id"), (col("band") * 2).as("bk"),
         col("bv"), col("ckA").as("ck"))
       .unionByName(b0.select(col("doc_id"), (col("band") * 2 + 1).as("bk"),
         col("bv"), col("ckB").as("ck")))
+  }
+
+  def candidates(withBands: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val b = bucketEntries(withBands)
     val ranked = b.withColumn("r", row_number().over(
         Window.partitionBy(col("bk"), col("bv"), col("ck"))
           .orderBy(col("doc_id"))))
@@ -346,7 +359,12 @@ object ImageDedup {
     * exact verify → verdict. The thumbnail table is cached across its
     * three consumers (two candidate join sides + the verify) and
     * released after the verdict materializes (the
-    * [[Dedup.semanticDedup]] eager-finish discipline). */
+    * [[Dedup.semanticDedup]] eager-finish discipline). The RETURNED
+    * verdict is cached and already materialized — the CALLER owns its
+    * `unpersist()` (without the cache, any downstream action would
+    * re-decode the corpus through the released thumbnail lineage);
+    * `q_dedup_image` composes [[thumbnails]]/[[dedupFromThumbs]]
+    * directly and manages its own caches. */
   def dedup(withMedia: DataFrame, maxMeanDiffE2: Long = 600L,
             maxBucketSize: Int = 1000): DataFrame = {
     val thumbs = thumbnails(withMedia).cache()

@@ -58,7 +58,7 @@ object StreamingSemanticAdmission {
       if (r.verified && r.index_id.isDefined &&
           best.forall(_ > r.index_id.get)) best = r.index_id
     }
-    val status = if (best.isDefined) "near_dup" else "novel"
+    val status = if (best.isDefined) Dedup.NearDup else Dedup.Novel
     Iterator.single(SemVerdict(vecId, status, best, best.isEmpty))
   }
 

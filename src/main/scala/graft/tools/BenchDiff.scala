@@ -23,12 +23,13 @@ object BenchDiff {
   /** Flat numeric fields + the queries map of a Bench JSON line. */
   private[tools] def parse(text: String): (Map[String, Double], Map[String, Double]) = {
     def numFields(s: String): Map[String, Double] =
-      "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)".r
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
         .findAllMatchIn(s)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val qStart = text.indexOf("\"queries\"")
     if (qStart < 0) return (numFields(text), Map.empty)
     val open = text.indexOf('{', qStart)
+    require(open >= 0, s"malformed pin: no '{' after \"queries\"")
     var depth = 0; var i = open; var close = -1
     while (i < text.length && close < 0) {
       text.charAt(i) match {
@@ -38,6 +39,7 @@ object BenchDiff {
       }
       i += 1
     }
+    require(close >= 0, "malformed pin: unbalanced braces after \"queries\"")
     val queries = numFields(text.substring(open, close + 1))
     val top = numFields(text.substring(0, qStart) + text.substring(close + 1))
     (top, queries)
