@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Energy-envelope AUDIO near-dup detection — the audio member of
+  * the dedup family ([[ImageDedup]]'s design one modality over:
+  * re-encoded/lightly-noised copies of the same clip are the audio
+  * analogue of mirrored images). Per-window energies → sign-delta
+  * bits, all exact integer math:
+  *
+  *  - decode ([[Multimodal.decodeWav]]) → channel-mean mono → the
+  *    |amplitude| envelope RESAMPLED to a fixed 65-bin summary (the
+  *    9×8-thumbnail rule applied to time) → 64 bits of adjacent-bin
+  *    comparisons. Comparisons are invariant to small additive noise
+  *    and constant gain-independent-ish level shifts, so perturbed
+  *    twins agree on almost every bit while distinct clips (different
+  *    sample streams) disagree on ~half;
+  *  - candidates come from a (band, value, level-cell) EQUI-JOIN over
+  *    4×16-bit Hamming bands × 2 offset mean-level grids — by
+  *    pigeonhole any pair within Hamming distance 3 shares ≥1 band,
+  *    and the quantized mean-level key (the absolute-level complement
+  *    sign-deltas lack) keeps FLAT clips (silence, tones) from
+  *    collapsing the band join into a near-cross-product; never an
+  *    all-pairs scan;
+  *  - the exact verify (mean absolute envelope difference, e2 fixed
+  *    point over the 65 bins) runs on CANDIDATES ONLY through a
+  *    typed `mapPartitions` barrier ([[ImageDedup.pairDistances]]'s
+  *    HOF-trap discipline);
+  *  - and the whole near stage runs over one REPRESENTATIVE per
+  *    exact-identical envelope family, so pair cost scales with
+  *    distinct audio content, not corpus size.
+  * Every emitted drop carries an exact-verified witness, so drops are
+  * SOUND by construction; banding can only cost recall, which the
+  * `q_dedup_audio` contract gates on planted twins.
+  */
+object AudioDedup {
+
+  /** Envelope geometry: 65 bins → 64 adjacent-bin comparison bits. */
+  val EnvBins = 65
+
+  /** Default verify threshold: mean abs envelope difference ≤ 600
+    * sample units (e2 fixed point → 60,000). A ±1-per-sample
+    * perturbed twin lands ≤ ~200 e2; two distinct planted clips
+    * (independent full-range streams) land ~1,000,000 e2. */
+  val DefaultMaxMeanDiffE2 = 60000L
+
+  /** Mean-|amplitude| envelope of decoded PCM resampled to
+    * [[EnvBins]] fixed bins: channel-mean mono per frame, then each
+    * bin averages its proportional frame range (always ≥1 frame —
+    * the nearest-neighbor fallback when n < bins). Exact integer
+    * math throughout. */
+  private[graft] def envelope(ch: Int, samples: Array[Short]): Array[Int] = {
+    val n = samples.length / ch
+    val env = new Array[Int](EnvBins)
+    var k = 0
+    while (k < EnvBins) {
+      val lo = k * n / EnvBins
+      val hi = math.max(lo + 1, (k + 1) * n / EnvBins)
+      var sum = 0L
+      var i = lo
+      while (i < hi) {
+        var csum = 0L
+        var c = 0
+        while (c < ch) { csum += samples(i * ch + c); c += 1 }
+        sum += math.abs(csum / ch)
+        i += 1
+      }
+      env(k) = (sum / (hi - lo)).toInt
+      k += 1
+    }
+    env
+  }
+
+  /** 64-bit sign-delta hash: bit k set iff env(k+1) > env(k). */
+  private def signBits(env: Array[Int]): Long = {
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (env(k + 1) > env(k)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Quantized mean-level keys on two HALF-STEP-OFFSET grids — the
+    * absolute-level complement that disperses flat clips (every
+    * adjacent-bin comparison ties on silence regardless of DC
+    * level). Step 2048 sample units over the 0..32767 mean; a twin
+    * with mean shift ≤1 misses only by straddling BOTH grids (the
+    * recall contract owns the residual). */
+  private def levelKeys(env: Array[Int]): (Long, Long) = {
+    var s = 0L
+    var k = 0
+    while (k < EnvBins) { s += env(k); k += 1 }
+    val m = s / EnvBins
+    ((m / 2048L), ((m + 1024L) / 2048L))
+  }
+
+  /** Decoded fingerprint row for one media blob — None for
+    * undecodable audio (the corrupt-input rule every decode stage
+    * follows). Shared by [[fingerprints]] and any streaming twin. */
+  private[graft] def printRow(id: Long, bytes: Array[Byte])
+      : Option[(Long, Seq[Int], Long, Long, Long, Long)] =
+    Multimodal.decodeWav(bytes).map { case (_, ch, samples) =>
+      val env = envelope(ch, samples)
+      val (ekA, ekB) = levelKeys(env)
+      var s = 0L
+      var k = 0
+      while (k < EnvBins) { s += env(k); k += 1 }
+      (id, env.toSeq, signBits(env), ekA, ekB, s)
+    }
+
+  /** decode → (doc_id, 65-int envelope, sign-delta hash, two
+    * level-grid keys, exact envelope sum `es` — the verify
+    * pre-filter column) in one zero-shuffle typed per-partition
+    * pass. */
+  def fingerprints(withAudio: DataFrame): DataFrame = {
+    val spark = withAudio.sparkSession
+    import spark.implicits._
+    withAudio.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => printRow(id, bytes) })
+      .toDF("doc_id", "env", "abits", "ekA", "ekB", "es")
+  }
+
+  /** Largest Σ|per-bin diff| a pair within `maxMeanDiffE2` can have
+    * (mean_e2 = ⌊Σ·100/65⌋ ≤ m ⟹ Σ ≤ ⌊(m+1)·65/100⌋) — and
+    * |Σa − Σb| ≤ Σ|diff|, so exact envelope-sum distance is a
+    * NECESSARY condition usable as a codegen'd pre-filter ahead of
+    * the typed 65-element verify. */
+  private[graft] def maxSumDiff(maxMeanDiffE2: Long): Long =
+    (maxMeanDiffE2 + 1) * EnvBins / 100
+
+  /** 4×16-bit Hamming bands of the sign-delta hash (the
+    * [[ImageDedup.bands]] rule). */
+  def bands(bitsCol: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(bitsCol, b * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  /** The 8 bucket entries per clip — 4 bands × 2 level grids, `bk`
+    * the composite band-and-grid id so grids never cross-join. */
+  def bucketEntries(withBands: DataFrame): DataFrame = {
+    val b0 = withBands.select(col("doc_id"), col("ekA"), col("ekB"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    b0.select(col("doc_id"), (col("band") * 2).as("bk"),
+        col("bv"), col("ekA").as("ek"))
+      .unionByName(b0.select(col("doc_id"), (col("band") * 2 + 1).as("bk"),
+        col("bv"), col("ekB").as("ek")))
+  }
+
+  private val bucketObserveSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Candidate pairs = clips sharing ≥1 (band, value, level-cell)
+    * bucket, with the hot-bucket guard: a degenerate bucket (hours of
+    * identical silence at crawl scale) is capped at the
+    * `maxBucketSize` lowest ids, surfacing capped-out rows as an
+    * observe metric, never silently. */
+  def candidates(withBands: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val b = bucketEntries(withBands)
+    val ranked = b.withColumn("r", row_number().over(
+        Window.partitionBy(col("bk"), col("bv"), col("ek"))
+          .orderBy(col("doc_id"))))
+      .observe(s"audio_bucket_truncated_${bucketObserveSeq.incrementAndGet()}",
+        sum(when(col("r") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("r") <= maxBucketSize)
+    val l = ranked.select(col("bk"), col("bv"), col("ek"), col("doc_id").as("a"))
+    val r = ranked.select(col("bk"), col("bv"), col("ek"), col("doc_id").as("b"))
+    l.join(r, Seq("bk", "bv", "ek")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact mean-abs envelope distance (e2) per joined pair row — a
+    * TYPED per-partition loop, never an interpreted HOF above a join
+    * (the [[ImageDedup.pairDistances]] trap and fix, verbatim). */
+  private[graft] def pairDistances(joined: DataFrame): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.select(col("ida").cast("long"), col("idb").cast("long"),
+        col("ea"), col("eb"))
+      .as[(Long, Long, Array[Int], Array[Int])]
+      .mapPartitions(_.map { case (a, b, ea, eb) =>
+        var s = 0L
+        var i = 0
+        val n = math.min(ea.length, eb.length)
+        while (i < n) { s += math.abs(ea(i) - eb(i)).toLong; i += 1 }
+        (a, b, s * 100L / EnvBins)
+      }).toDF("ida", "idb", "mean_diff_e2")
+  }
+
+  /** Exact-verified near-dup pairs (a < b): banded candidates whose
+    * mean absolute envelope difference is ≤ `maxMeanDiffE2`, the
+    * codegen'd envelope-sum pre-filter gating the typed exact pass. */
+  def nearDupPairs(prints: DataFrame,
+                   maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val cand = candidates(prints.withColumn("bands", bands(col("abits"))),
+      maxBucketSize)
+    val pa = prints.select(col("doc_id").as("a"), col("env").as("env_a"),
+      col("es").as("esa"))
+    val pb = prints.select(col("doc_id").as("b"), col("env").as("env_b"),
+      col("es").as("esb"))
+    val msd = maxSumDiff(maxMeanDiffE2)
+    val joined = cand.join(pa, Seq("a")).join(pb, Seq("b"))
+      .filter(abs(col("esa") - col("esb")) <= msd)
+      .select(col("a").as("ida"), col("b").as("idb"),
+        col("env_a").as("ea"), col("env_b").as("eb"))
+    pairDistances(joined)
+      .filter(col("mean_diff_e2") <= maxMeanDiffE2)
+      .select(col("ida").as("a"), col("idb").as("b"), col("mean_diff_e2"))
+  }
+
+  /** keep/drop verdict over an already-fingerprinted corpus — the
+    * [[ImageDedup.dedupFromThumbs]] two-stage rule one modality over:
+    * identical envelopes collapse to their min-id representative
+    * through ONE hash aggregation, the banded candidate join + verify
+    * run over REPRESENTATIVES only, and the member-level verdict
+    * resolves to `coalesce(nbr_min, rep when rep < d)` (members share
+    * the exact envelope, so member↔member distance IS rep↔rep
+    * distance). `ids` is the full media id list — clips that failed
+    * to decode are kept. */
+  def dedupFromPrints(ids: DataFrame, prints: DataFrame,
+                      maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val fams = prints.groupBy(col("env")).agg(min(col("doc_id")).as("rep"))
+    val reps = prints.join(fams.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val repMatch = nearDupPairs(reps, maxMeanDiffE2, maxBucketSize)
+      .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
+    val withRep = prints.select(col("doc_id"), col("env"))
+      .join(fams, Seq("env"))
+      .select(col("doc_id"), col("rep"))
+      .join(repMatch, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbr_min"), when(col("rep") < col("doc_id"), col("rep")))
+          .as("match_id"))
+    ids.select(col("doc_id"))
+      .join(withRep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        col("match_id").isNull.as("keep"))
+  }
+
+  /** Complete RIFF/WAVE (16-bit PCM, canonical 44-byte header) from
+    * an arbitrary decoded sample grid — the re-encode half of the
+    * planted-twin fixture (the [[ImageDedup.pngFromPixels]] role). */
+  private[operators] def wavFromPcm(rate: Int, ch: Int,
+                                    samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b(v); b(v >>> 8) }
+    def le32(v: Int): Unit = { b(v); b(v >>> 8); b(v >>> 16); b(v >>> 24) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); le32(4 + (8 + 16) + (8 + dataLen)); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(ch); le32(rate)
+    le32(rate * ch * 2); le16(ch * 2); le16(16)
+    tag("data"); le32(dataLen)
+    var i = 0
+    while (i < samples.length) { le16(samples(i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  /** Fixture media column for the `q_dedup_audio` gate: every doc
+    * carries its planted WAV ([[Multimodal.plantWav]] — junk LIST
+    * chunk, varying rate/channels/length), and every doc_id ≡ 0
+    * (mod 20) additionally plants a NEAR-DUPLICATE TWIN under
+    * doc_id + 1,000,000 — the source's DECODED samples nudged +1
+    * (clamped) on every 3rd position, re-encoded as a canonical WAV.
+    * Both sides of the compare go through a REAL decode; the
+    * perturbation stays below both the sign-delta margins and the
+    * verify threshold while any two DISTINCT planted clips differ by
+    * orders of magnitude more. */
+  def withPlantedTwins(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val media = Multimodal.plantWav(id)
+        val base = Iterator((id, media))
+        if (id % 20 == 0) {
+          Multimodal.decodeWav(media) match {
+            case Some((rate, ch, samples)) =>
+              val p = samples.clone()
+              var i = 0
+              while (i < p.length) {
+                if (i % 3 == 0)
+                  p(i) = math.min(32767, p(i) + 1).toShort
+                i += 1
+              }
+              base ++ Iterator((id + 1000000L, wavFromPcm(rate, ch, p)))
+            case None => base
+          }
+        } else base
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** End-to-end: decode → envelope/hash → banded candidates → exact
+    * verify → verdict. The fingerprint table is cached across its
+    * consumers and released after the verdict materializes; the
+    * RETURNED verdict is cached and caller-owned (the
+    * [[ImageDedup.dedup]] contract). */
+  def dedup(withAudio: DataFrame,
+            maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
+            maxBucketSize: Int = 1000): DataFrame = {
+    val prints = fingerprints(withAudio).cache()
+    val res = dedupFromPrints(withAudio.select(col("doc_id")), prints,
+      maxMeanDiffE2, maxBucketSize).cache()
+    try res.count()
+    finally prints.unpersist(blocking = false)
+    res
+  }
+}

@@ -115,7 +115,7 @@ object ImageDedup {
     * |Σa_c − Σb_c| ≤ Σ|diff| per channel, so exact channel-sum
     * distance is a NECESSARY condition usable as a codegen'd
     * pre-filter ahead of the interpreted 216-element verify. */
-  private def maxSumDiff(maxMeanDiffE2: Long): Long =
+  private[graft] def maxSumDiff(maxMeanDiffE2: Long): Long =
     (maxMeanDiffE2 + 1) * (ThumbW * ThumbH * 3) / 100
 
   /** decode → (doc_id, 216-int RGB thumb, dhash, two color-grid keys,
@@ -128,16 +128,22 @@ object ImageDedup {
     import spark.implicits._
     withMedia.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        Multimodal.decodeImage(bytes).map { case (w, h, px) =>
-          val t = rgbThumb(px, w, h)
-          val s = channelSums(t)
-          val (ckA, ckB) = colorKeys(s)
-          (id, t.toSeq, dhash(t), ckA, ckB, s(0), s(1), s(2))
-        }
-      })
+      .mapPartitions(_.flatMap { case (id, bytes) => thumbRow(id, bytes) })
       .toDF("doc_id", "thumb", "dhash", "ckA", "ckB", "sr", "sg", "sb")
   }
+
+  /** Decoded thumbnail row (id, thumb, dhash, ckA, ckB, sr, sg, sb)
+    * for one media blob — the shared per-row kernel of [[thumbnails]]
+    * and the streaming twin's stateless decode; None for undecodable
+    * media. */
+  private[graft] def thumbRow(id: Long, bytes: Array[Byte])
+      : Option[(Long, Seq[Int], Long, Long, Long, Long, Long, Long)] =
+    Multimodal.decodeImage(bytes).map { case (w, h, px) =>
+      val t = rgbThumb(px, w, h)
+      val s = channelSums(t)
+      val (ckA, ckB) = colorKeys(s)
+      (id, t.toSeq, dhash(t), ckA, ckB, s(0), s(1), s(2))
+    }
 
   /** 4×16-bit Hamming bands of the dHash (the [[Dedup.simhash]]
     * banding rule). */
@@ -283,6 +289,208 @@ object ImageDedup {
       .join(withRep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"),
         col("match_id").isNull.as("keep"))
+  }
+
+  // ---- stored index + incremental admission ----
+
+  /** Directory-partition count for the stored bucket index: the
+    * (bk, bv, ck) key hashes into this many `shard=` partitions, so
+    * an admission batch's touched-shard set (≤ BucketShards values,
+    * driver-bounded) prunes every untouched shard's files at the
+    * directory level — the [[Dedup.buildSemanticIndex]] cid-layout
+    * rule applied to perceptual buckets. */
+  val BucketShards = 32
+
+  /** Build the STORED image-dedup index at `dir` — the persisted form
+    * of [[dedupFromThumbs]]'s working state, so a re-crawl admits
+    * against it incrementally ([[incrementalImageAdmission]]) instead
+    * of re-thumbnailing and re-pairing the whole corpus (the
+    * round-14 gap: every other dedup family already had this
+    * lifecycle). Layout:
+    *  - `dir/thumbs` — ONE row per exact-thumbnail FAMILY
+    *    REPRESENTATIVE (min doc_id): the 216-int RGB thumb + dHash +
+    *    color keys + channel sums, id-sharded and id-SORTED inside
+    *    each file so the admission's candidate lookup prunes row
+    *    groups by doc_id min/max stats. Members share their rep's
+    *    exact thumbnail, so rep↔probe distance IS member↔probe
+    *    distance and storing reps loses nothing (the
+    *    [[dedupFromThumbs]] equivalence argument);
+    *  - `dir/buckets` — the (bk, bv, ck, doc_id) band/color bucket
+    *    entries of the representatives (8 per rep), hash-sharded on
+    *    the bucket key into [[BucketShards]] directory partitions,
+    *    each bucket capped at `maxBucketSize` lowest ids (the
+    *    [[candidates]] hot-bucket guard, applied once at build).
+    * Typically committed through [[graft.IndexCatalog.openOrBuild]],
+    * which stamps build params + corpus vintage and makes reopen a
+    * pure manifest read. */
+  def buildImageIndex(withMedia: DataFrame, dir: String,
+                      maxBucketSize: Int = 1000,
+                      filesPerShard: Int = 2): Unit = {
+    val thumbs = thumbnails(withMedia).cache()
+    try {
+      val fams = thumbs.groupBy(col("thumb")).agg(min(col("doc_id")).as("rep"))
+      val reps = thumbs.join(fams.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi").cache()
+      try {
+        graft.sources.CorpusSink.writeParquet(
+          reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),
+          s"$dir/thumbs", shardCol = "shard", sortCol = "doc_id",
+          filesPerShard = filesPerShard)
+        val entries = bucketEntries(
+          reps.withColumn("bands", bands(col("dhash"))))
+        val capped = entries.withColumn("r", row_number().over(
+            Window.partitionBy(col("bk"), col("bv"), col("ck"))
+              .orderBy(col("doc_id"))))
+          .filter(col("r") <= maxBucketSize)
+          .select(col("doc_id"), col("bk"), col("bv"), col("ck"),
+            pmod(hash(col("bk"), col("bv"), col("ck")), lit(BucketShards))
+              .cast("int").as("shard"))
+        graft.sources.CorpusSink.writeParquet(capped, s"$dir/buckets",
+          shardCol = "shard", sortCol = "doc_id",
+          filesPerShard = filesPerShard)
+      } finally reps.unpersist(blocking = false)
+    } finally thumbs.unpersist(blocking = false)
+  }
+
+  /** Incremental IMAGE admission — [[Dedup.incrementalSemanticAdmission]]
+    * one modality over: each batch image is admitted unless some
+    * INDEXED representative is within `maxMeanDiffE2` exact thumbnail
+    * distance.
+    *
+    *  1. the batch decodes + thumbnails in one zero-shuffle typed
+    *     pass (undecodable media stays `novel` — nothing verified
+    *     against it);
+    *  2. candidates come from the (bk, bv, ck) equi-join into
+    *     `dir/buckets`, with the batch's DISTINCT touched shards
+    *     (≤ [[BucketShards]] values, driver-bounded collect) filtered
+    *     on the PARTITION column so untouched shards' files never
+    *     open — O(batch + candidates), never O(corpus);
+    *  3. the exact-verify lookup reads `dir/thumbs` filtered to the
+    *     candidate rep ids (driver-bounded by the candidate count —
+    *     the admission contract's own bound) as a PUSHED `isin`
+    *     predicate over the id-sorted files, so row-group min/max
+    *     stats prune the scan; above `maxIdPushdown` candidates it
+    *     falls back to a broadcast join (one streamed scan, no
+    *     shuffle);
+    *  4. the codegen'd channel-sum pre-filter gates the typed
+    *     216-element exact pass ([[pairDistances]] — the HOF-trap
+    *     discipline), and every `near_dup` flag carries the MIN
+    *     matching rep as an exact-verified witness in `match_id`.
+    * Banding can only cost recall (gated in `q_dedup_incr_image`);
+    * drops are SOUND by construction. Output: (doc_id, status,
+    * match_id, keep). */
+  def incrementalImageAdmission(batchMedia: DataFrame, dir: String,
+                                maxMeanDiffE2: Long = 600L,
+                                maxIdPushdown: Int = 10000): DataFrame = {
+    val spark = batchMedia.sparkSession
+    val bt = thumbnails(batchMedia).cache()
+    try {
+      val bEntries = bucketEntries(
+          bt.withColumn("bands", bands(col("dhash"))))
+        .select(col("doc_id").as("qid"), col("bk"), col("bv"), col("ck"),
+          pmod(hash(col("bk"), col("bv"), col("ck")), lit(BucketShards))
+            .cast("int").as("shard"))
+      val touched = bEntries.select(col("shard")).distinct()
+        .collect().map(_.getInt(0))
+      val stored = spark.read.parquet(s"$dir/buckets")
+        .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ck"))
+        .select(col("qid"), col("doc_id").as("rep")).distinct().cache()
+      val matched =
+        try {
+          val repIds = cand.select(col("rep")).distinct()
+            .collect().map(_.getLong(0))
+          val repThumbs0 = spark.read.parquet(s"$dir/thumbs")
+          val repThumbs =
+            if (repIds.length <= maxIdPushdown)
+              repThumbs0.filter(
+                col("doc_id").isin(repIds.map(java.lang.Long.valueOf): _*))
+            else repThumbs0
+          val msd = maxSumDiff(maxMeanDiffE2)
+          val joined = cand
+            .join(bt.select(col("doc_id").as("qid"), col("thumb").as("tb"),
+              col("sr").as("srb"), col("sg").as("sgb"), col("sb").as("sbb")),
+              Seq("qid"))
+            .join(repThumbs.select(col("doc_id").as("rep"),
+              col("thumb").as("ta"), col("sr").as("sra"),
+              col("sg").as("sga"), col("sb").as("sba")), Seq("rep"))
+            .filter(abs(col("sra") - col("srb")) <= msd &&
+              abs(col("sga") - col("sgb")) <= msd &&
+              abs(col("sba") - col("sbb")) <= msd)
+            .select(col("rep").as("ida"), col("qid").as("idb"),
+              col("ta"), col("tb"))
+          // eager localCheckpoint (not cache): the O(batch)-row match
+          // table materializes NOW so the wide batch-thumb cache can
+          // release below, and its blocks free with the frame — no
+          // session-lifetime cache entry per admission call
+          pairDistances(joined)
+            .filter(col("mean_diff_e2") <= maxMeanDiffE2)
+            .groupBy(col("idb").as("doc_id"))
+            .agg(min(col("ida")).as("match_id"))
+            .localCheckpoint()
+        } finally cand.unpersist(blocking = false)
+      batchMedia.select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNotNull, lit(Dedup.NearDup))
+            .otherwise(lit(Dedup.Novel)).as("status"),
+          col("match_id"), col("match_id").isNull.as("keep"))
+    } finally bt.unpersist(blocking = false)
+  }
+
+  /** Fixture media column: every doc carries its planted image — the
+    * [[withPlantedTwins]] base universe without the twins; the
+    * stored-index corpus side of the admission gate. */
+  def withPlantedImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.plantHeader(id, Array.emptyByteArray))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Planted RE-CRAWL batch for the admission gate: for each stratum
+    * doc (doc_id ≡ 0 mod 20, doc_id < 2000 — the pinned bounded
+    * panel every incremental key uses), a NEAR twin under
+    * id + 1,000,000 ([[withPlantedTwins]]'s +1 perturbation on a
+    * third of positions — below every margin, MUST flag against the
+    * stored index) and a FAR variant under id + 2,000,000 (decoded
+    * pixels scrambled by a large position-dependent shift mod 256 —
+    * noise-like, far from every smooth planted image, must stay
+    * novel). Both sides re-encode as PNG and go through a REAL
+    * decode; the contract is judged against the exact bipartite
+    * truth, so an accidental far-side match cannot break soundness. */
+  def plantedRecrawlBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(id => id % 20 == 0 && id < 2000)
+      .mapPartitions(_.flatMap { id =>
+        val media = Multimodal.plantHeader(id, Array.emptyByteArray)
+        Multimodal.decodeImage(media) match {
+          case Some((w, h, px)) =>
+            val near = px.clone()
+            var i = 0
+            while (i < near.length) {
+              val xy = (i / 3) % w + (i / 3) / w
+              if (xy % 3 == 0)
+                near(i) = math.min(255, (near(i) & 0xff) + 1).toByte
+              i += 1
+            }
+            val far = px.clone()
+            var j = 0
+            while (j < far.length) {
+              far(j) = (((far(j) & 0xff) + 97 + (j % 3) * 53 +
+                ((j / 3) % 7) * 31) % 256).toByte
+              j += 1
+            }
+            Iterator((id + 1000000L, pngFromPixels(w, h, near)),
+              (id + 2000000L, pngFromPixels(w, h, far)))
+          case None => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "media")
   }
 
   /** Complete PNG (8-bit truecolor, real zlib, filter cycling like

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, UrlOps}
+import graft.operators.{AnnIndex, AudioDedup, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, UrlOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -738,6 +738,137 @@ object PipelineQueries {
         thumbs.unpersist(blocking = false)
         res.unpersist(blocking = false)
       }
+    }),
+
+    // energy-envelope AUDIO near-dup as a checked contract — the
+    // q_dedup_image design one modality over: every doc carries its
+    // planted WAV and a 5% stratum plants a perturbed near-duplicate
+    // twin (decoded samples +1 on every 3rd position, re-encoded
+    // WAV, REAL decode on both sides). sign-delta envelope hash →
+    // 4×16-bit Hamming-band candidate join → exact envelope-distance
+    // verify on candidates only. sound = a deterministic ≤256-drop
+    // panel re-verified against the exact global envelope definition;
+    // recall_ok = ≥80% of planted twins dropped
+    "q_dedup_audio" -> ((s, d) => {
+      val corpus = AudioDedup.withPlantedTwins(Tables.documents(s, d)).cache()
+      val prints = AudioDedup.fingerprints(corpus).cache()
+      val res = AudioDedup.dedupFromPrints(
+        corpus.select(col("doc_id")), prints).cache()
+      res.count() // materialize while prints is hot (both reads below)
+      // truth branch: capped drop panel vs ALL fingerprints, exact
+      // mean-abs envelope diff — mod-7 thinning, id order, cap 256,
+      // so the branch costs ≤ 256·n at any scale
+      val drops = res.filter(!col("keep")
+          && pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("y"))
+        .orderBy(col("y")).limit(256)
+      val py = broadcast(drops.join(
+        prints.select(col("doc_id").as("y"), col("env").as("ey"),
+          col("es").as("esy")),
+        Seq("y")))
+      val msd = AudioDedup.maxSumDiff(AudioDedup.DefaultMaxMeanDiffE2)
+      val confirmed = AudioDedup.pairDistances(py
+          .join(prints.select(col("doc_id").as("x"), col("env").as("ex"),
+              col("es").as("esx")),
+            col("x") < col("y") && abs(col("esx") - col("esy")) <= msd)
+          .select(col("x").as("ida"), col("y").as("idb"),
+            col("ex").as("ea"), col("ey").as("eb")))
+        .filter(col("mean_diff_e2") <= AudioDedup.DefaultMaxMeanDiffE2)
+        .select(col("idb")).distinct()
+        .agg(count(lit(1)).as("n_confirmed"))
+      val nPanel = drops.agg(count(lit(1)).as("n_panel"))
+      try {
+        val row = res.agg(
+            count(lit(1)).as("n_clips"),
+            sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+              .as("n_planted"),
+            sum(when(!col("keep") && col("doc_id") >= 1000000L, 1L)
+              .otherwise(0L)).as("n_planted_dropped"))
+          .crossJoin(broadcast(nPanel))
+          .crossJoin(broadcast(confirmed))
+          .select(col("n_clips"), col("n_planted"),
+            (col("n_panel") === col("n_confirmed")).as("sound"),
+            (col("n_planted_dropped").cast("double")
+              >= col("n_planted") * 0.8).as("recall_ok"))
+          .head()
+        import s.implicits._
+        Seq((row.getAs[Long]("n_clips"), row.getAs[Long]("n_planted"),
+          row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
+          .toDF("n_clips", "n_planted", "sound", "recall_ok")
+      } finally {
+        corpus.unpersist(blocking = false)
+        prints.unpersist(blocking = false)
+        res.unpersist(blocking = false)
+      }
+    }),
+
+    // incremental IMAGE admission against a STORED index (the
+    // round-14 gap: image dedup re-thumbnailed and re-paired the
+    // whole corpus on every re-crawl while every other dedup family
+    // had a stored lifecycle): the rep thumbnails + hash-sharded
+    // (band, value, color-cell) bucket index persist through
+    // IndexCatalog (params include the corpus vintage); the pinned
+    // re-crawl batch of planted near twins (must flag) and scrambled
+    // far variants (must stay novel) is admitted with touched-shard
+    // pruning, the channel-sum pre-filter, and the typed exact verify
+    // on candidates only. sound/recall vs the exact bipartite
+    // thumbnail truth (broadcast bounded batch); reuse_ok = the
+    // second catalog open resolves the index from its manifest alone
+    // — the build closure THROWS if invoked again
+    "q_dedup_incr_image" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val params = Map("family" -> "imgdedup", "sf" -> d,
+        "n" -> n.toString, "thr" -> "600")
+      val (dir1, _) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "imgdedup_incr", params)(stg =>
+        ImageDedup.buildImageIndex(ImageDedup.withPlantedImages(docs), stg))
+      val (dir2, reused2) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "imgdedup_incr", params)(_ =>
+        throw new IllegalStateException(
+          "catalog reopen must not rebuild a vintage-matched index"))
+      val reuseOk = reused2 && dir1 == dir2
+      val batch = ImageDedup.plantedRecrawlBatch(docs).cache()
+      try {
+        val res = ImageDedup.incrementalImageAdmission(batch, dir2)
+        val flagged = res.filter(col("status") === "near_dup")
+          .select(col("doc_id"), lit(1).as("f"))
+        // exact bipartite truth: the bounded batch (broadcast) against
+        // ALL corpus thumbnails — codegen'd channel-sum pre-filter in
+        // the join condition, typed 216-element exact pass behind the
+        // pairDistances barrier (the q_dedup_image truth-branch shape)
+        val bt = ImageDedup.thumbnails(batch)
+        val ct = ImageDedup.thumbnails(ImageDedup.withPlantedImages(docs))
+        val msd = ImageDedup.maxSumDiff(600L)
+        val joined = broadcast(bt.select(col("doc_id").as("idb"),
+            col("thumb").as("tb"), col("sr").as("srb"),
+            col("sg").as("sgb"), col("sb").as("sbb")))
+          .join(ct.select(col("doc_id").as("ida"), col("thumb").as("ta"),
+            col("sr").as("sra"), col("sg").as("sga"), col("sb").as("sba")),
+            abs(col("sra") - col("srb")) <= msd &&
+              abs(col("sga") - col("sgb")) <= msd &&
+              abs(col("sba") - col("sbb")) <= msd)
+          .select(col("ida"), col("idb"), col("ta"), col("tb"))
+        val truth = ImageDedup.pairDistances(joined)
+          .filter(col("mean_diff_e2") <= 600L)
+          .select(col("idb").as("doc_id")).distinct()
+          .withColumn("t", lit(1))
+        batch.select(col("doc_id"))
+          .join(flagged, Seq("doc_id"), "left")
+          .join(truth, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_batch"),
+            coalesce(max(when(col("f") === 1 && col("t").isNull, 1)
+              .otherwise(0)), lit(0)).as("unsound"),
+            coalesce(sum(coalesce(col("t"), lit(0))), lit(0))
+              .cast("double").as("n_exact"),
+            coalesce(sum(when(col("f") === 1 && col("t") === 1, 1)
+              .otherwise(0)), lit(0)).cast("double").as("n_hit"))
+          .select(col("n_batch"), (col("unsound") === 0).as("sound"),
+            (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"),
+            lit(reuseOk).as("reuse_ok"))
+          .localCheckpoint()
+      } finally batch.unpersist(blocking = false)
     }),
 
     // brute-force cosine top-5 for keyed probe queries (exact ANN
@@ -2126,6 +2257,11 @@ object PipelineQueries {
         "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_images, " +
         "(SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_planted, " +
         "TRUE AS sound, TRUE AS recall_ok"),
+    "q_dedup_audio" ->
+      ("SELECT (SELECT count(*) FROM documents) " +
+        "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_clips, " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_planted, " +
+        "TRUE AS sound, TRUE AS recall_ok"),
     "q_dedup_semantic" ->
       ("SELECT (SELECT count(*) FROM embeddings) " +
         "+ (SELECT count(*) FROM embeddings WHERE vec_id % 20 = 0) AS n_corpus, " +
@@ -2192,6 +2328,15 @@ object PipelineQueries {
       ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
         "TRUE AS recall_ok, TRUE AS reuse_ok " +
         "FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000"),
+    // every stratum doc plants exactly one near twin + one far
+    // variant (both re-encoded PNGs of an always-decodable planted
+    // image), so n_batch is pure stratum arithmetic; the contract
+    // booleans are engine-side (exact bipartite truth + catalog
+    // reuse)
+    "q_dedup_incr_image" ->
+      ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
+        "TRUE AS recall_ok, TRUE AS reuse_ok " +
+        "FROM documents WHERE doc_id % 20 = 0 AND doc_id < 2000"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
