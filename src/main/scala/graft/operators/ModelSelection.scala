@@ -181,4 +181,73 @@ object ModelSelection {
       .orderBy(col("w_e9").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Per-doc hashed-unigram FREQUENCY features in a fixed
+    * `buckets`-dim space — the [[dsirWeights]] feature trick made
+    * dense: one tokenize pass, one keyed aggregation with `buckets`
+    * codegen'd conditional sums (no pivot shuffle, no UDF). Output:
+    * (doc_id, n_tokens, features: array<double> of length
+    * `buckets`). */
+  def hashedFeatures(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), bucketCol(col("tok"), buckets).as("b"))
+    val aggs = (0 until buckets).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i"))
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), aggs: _*)
+      .select(col("doc_id"), col("n_tokens"),
+        array((0 until buckets).map(i =>
+          col(s"c$i").cast("double") / col("n_tokens")): _*).as("features"))
+  }
+
+  /** CCNet/fastText-style TRAINED quality classifier — the learned
+    * linear rung between the rule gates ([[TextOps]]) and LM scoring
+    * ([[lmScore]]): hashed-unigram frequencies +
+    * [[graft.ml.SketchLogisticRegression]] (the repo's own sketch-SGD
+    * trainer — deterministic full-batch GD, so the fitted separator
+    * is bit-reproducible). `labelCol` gives the {0,1} training label
+    * (1 = keep), computable from `docs`'s columns. Returns the
+    * fitted model and the featurized frame (doc_id, label, features)
+    * for scoring/gating.
+    *
+    * Scale shape: featurization is one tokenize pass + one keyed
+    * aggregation; each training iteration exchanges ONE `buckets`-dim
+    * gradient through the codec-buffered treeAggregate — the corpus
+    * itself never moves after the cached featurize. At 100 TB the
+    * trainer runs on a SAMPLE (labels are expensive, the feature
+    * space is 64-dim — a few hundred thousand rows saturate it) and
+    * the scoring pass is the corpus-sized one-scan projection. */
+  def trainQualityClassifier(docs: DataFrame, labelCol: Column,
+                             buckets: Int = 64, iterations: Int = 25,
+                             stepSize: Double = 1.0,
+                             featureScale: Double = 32.0)
+      : (graft.ml.LinearModel, DataFrame) = {
+    val feats = hashedFeatures(docs, buckets)
+      .join(docs.select(col("doc_id"), labelCol.cast("double").as("label")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("features"))
+    // GD conditioning: frequency features are O(0.01–0.2) while the
+    // intercept gradient is O(0.1–0.5), so one η cannot serve both —
+    // a weight-moving step makes the intercept oscillate (measured:
+    // loss 0.69→11→2→9 at η=100). Train on features × featureScale
+    // (both gradients now the same order, small η converges
+    // monotonically) and fold the scale back into the returned
+    // weights (wᵀ(s·x) = (s·w)ᵀx), so the model scores RAW
+    // [[hashedFeatures]] frequencies.
+    val rdd = graft.Tables.spreadIfNarrow(
+        feats.select(col("label"), col("features")))
+      .rdd.map { r =>
+        val xs = r.getSeq[Double](1).toArray
+        var i = 0
+        while (i < xs.length) { xs(i) *= featureScale; i += 1 }
+        (r.getDouble(0), org.apache.spark.ml.linalg.Vectors.dense(xs))
+      }
+    val m = new graft.ml.SketchLogisticRegression()
+      .setIterations(iterations).setStepsize(stepSize)
+      .setCompressionType("None")
+      .fitRDD(rdd)
+    (graft.ml.LinearModel(m.weights.map(_ * featureScale), m.intercept,
+      m.lossHistory), feats)
+  }
 }

@@ -226,6 +226,31 @@ object PipelineQueries {
       ModelSelection.dsirWeights(Tables.documents(s, d),
         isTarget = col("source") === "src0")),
 
+    // CCNet/fastText-style TRAINED quality classifier — the learned
+    // linear rung between the rule gates and LM scoring: a 40%
+    // stratum plants a deterministic boilerplate tail scaled to doc
+    // length (the spam phrase a fastText filter learns), the
+    // hashed-unigram + sketch-SGD logistic separator trains on the
+    // planted labels, and the fitted model must reach ≥90% training
+    // accuracy — the q_logistic_train contract over documents
+    "q_quality_classifier" -> ((s, d) => {
+      val spam = " click here free offer subscribe now winner prize claim bonus"
+      val docs = Tables.documents(s, d)
+      // boilerplate mass ∝ length so the marker FREQUENCY is a
+      // constant ~20% of tokens at any doc size (a fixed tail would
+      // fade into long docs and the separator would track length,
+      // not content)
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) < 2,
+          concat(col("text"), repeat(lit(spam),
+            (col("n_chars") / 200).cast("int") + 1)))
+          .otherwise(col("text")).as("text"))
+      val (m, feats) = ModelSelection.trainQualityClassifier(planted,
+        labelCol = pmod(col("doc_id"), lit(5)) >= 2)
+      graft.ml.SketchLogisticRegression.binaryAccuracy(m, feats)
+        .select(col("n"), (col("acc_e6") >= 900000L).as("acc_ok"))
+    }),
+
     // deterministic per-group reservoir: exactly 5 docs per source
     // ranked by the LCG key (vs rate-based expected counts) — the
     // "k examples per source" inspection/eval cut, WindowGroupLimit
@@ -2221,6 +2246,10 @@ object PipelineQueries {
         "SELECT doc_id, count(*) AS n_tokens, CAST(sum(lr_e9) AS BIGINT) AS w_e9 " +
         "FROM toks JOIN lr USING (b) " +
         "GROUP BY doc_id ORDER BY w_e9 DESC, doc_id LIMIT 20"),
+    // the fitted separator is engine-side (deterministic GD); n is
+    // the training-row count, the accuracy contract a boolean
+    "q_quality_classifier" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS acc_ok FROM documents",
     "q_sample_group" ->
       ("WITH r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
         "ORDER BY ((doc_id % 1000003) * 1103515245 + 12345) % 1000003, doc_id) AS rk " +
