@@ -61,4 +61,40 @@ object Curation {
       sum(col("tok_len")).cast("long").as("n_tokens"),
       countDistinct(col("chunk_id")).as("n_chunks"))
   }
+
+  /** HOST-governance gate composed into curation — how crawl
+    * curation actually consumes [[UrlOps]]: a host whose URL-alias
+    * pressure (duplicate surplus / raw count) reaches
+    * `maxHostDupE6` is dropped WHOLE, before any doc-level gate (an
+    * alias-farm host poisons every downstream stage and its docs
+    * are near-copies of each other anyway; CommonCrawl-style
+    * curation blocklists it at the frontier). `urls` carries
+    * (doc_id, url) for the same corpus.
+    *
+    * Scale shape: canonicalization is a per-row codegen'd projection
+    * ([[UrlOps.withCanonical]]); the host report aggregates to
+    * |hosts| rows; the over-threshold host set is tiny and
+    * BROADCASTS into an anti-join keyed on the doc's host — one
+    * projection + one broadcast anti-join on top of [[curate]]'s
+    * single-shuffle-per-stage budget, never an extra corpus
+    * shuffle. */
+  def curateWithHostGate(docs: DataFrame, urls: DataFrame,
+                         evalDocs: DataFrame,
+                         maxHostDupE6: Long = 500000L,
+                         minQualityE6: Long = 400000L,
+                         keepLang: String = "en",
+                         contamThresholdE6: Long = 100000L,
+                         targetPerSource: Long = 15L,
+                         seqLen: Int = 2048): DataFrame = {
+    val canon = UrlOps.withCanonical(urls)
+    val badHosts = UrlOps.hostReport(canon)
+      .filter(col("n_dup") * lit(1000000L) >= col("n_urls") * maxHostDupE6)
+      .select(col("host"))
+    val kept = docs
+      .join(canon.select(col("doc_id"), col("host")), Seq("doc_id"))
+      .join(broadcast(badHosts), Seq("host"), "left_anti")
+      .drop("host")
+    curate(kept, evalDocs, minQualityE6, keepLang, contamThresholdE6,
+      targetPerSource, seqLen)
+  }
 }

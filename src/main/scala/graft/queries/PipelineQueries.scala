@@ -289,6 +289,35 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // curation with the HOST-governance gate composed in (how crawl
+    // pipelines consume q_url_canon's report): planted URLs give the
+    // even-id "-a" host of every source an alias-farm shape (one
+    // canonical page under per-id tracking aliases → dup pressure
+    // ~100%) while "-b" hosts spread over 700k canonical combos
+    // (pressure ~0% at every sf); hosts at ≥50% alias pressure drop
+    // WHOLE before the doc-level gates, then the full curate chain
+    // runs on the survivors. The oracle independently re-derives the
+    // plant, the canonical forms (arithmetically — a STRONGER check
+    // than replaying the regexes), the host report, the gate, and
+    // every curation stage
+    "q_curate_hosts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id")
+      val even = pmod(id, lit(2)) === 0
+      val url = concat(lit("https://"), col("source"),
+        when(even, lit("-a")).otherwise(lit("-b")), lit(".example.com"),
+        when(even, lit("/art/0"))
+          .otherwise(concat(lit("/art/"), pmod(id, lit(100000)).cast("string"))),
+        when(even, lit("?id=0"))
+          .otherwise(concat(lit("?id="), pmod(id, lit(7)).cast("string"))),
+        when(pmod(id, lit(3)) === 0, lit("&utm_source=feed")).otherwise(lit("")))
+      Curation.curateWithHostGate(docs,
+          urls = docs.select(id, url.as("url")),
+          evalDocs = docs.filter(pmod(id, lit(10)) === 0),
+          contamThresholdE6 = 700000L) // the q_curate_e2e threshold rationale
+        .orderBy(col("source"))
+    }),
+
     // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
     "q_ngram_jaccard" -> ((s, d) => {
       val sub = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -2127,6 +2156,48 @@ object PipelineQueries {
         "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
         "rates AS (SELECT source, least(1000, 15000 // n) AS rate FROM cnt), " +
         "bal AS (SELECT c.* FROM clean c JOIN rates USING (source) " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
+        "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) " +
+        "AS n_tok FROM bal) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_chunks " +
+        "FROM tok GROUP BY source ORDER BY source"),
+    // host gate + every curate stage re-derived: the canonical URL
+    // is computed ARITHMETICALLY from the plant (the only transform
+    // the plant triggers is utm stripping), independent of the
+    // engine's regex canonicalizer
+    "q_curate_hosts" ->
+      (s"WITH c AS (SELECT doc_id, source, " +
+        "source || (CASE WHEN doc_id % 2 = 0 THEN '-a' ELSE '-b' END) " +
+        "|| '.example.com' AS host, " +
+        "'https://' || source || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN '-a' ELSE '-b' END) || '.example.com' || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN '/art/0?id=0' " +
+        "ELSE '/art/' || CAST(doc_id % 100000 AS VARCHAR) " +
+        "|| '?id=' || CAST(doc_id % 7 AS VARCHAR) END) AS canon FROM documents), " +
+        "hr AS (SELECT host, count(*) AS n_urls, " +
+        "count(DISTINCT canon) AS n_canon FROM c GROUP BY 1), " +
+        "bad AS (SELECT host FROM hr " +
+        "WHERE (n_urls - n_canon) * 1000000 >= n_urls * 500000), " +
+        "d2 AS (SELECT d.* FROM documents d JOIN c USING (doc_id) " +
+        "WHERE c.host NOT IN (SELECT host FROM bad)), " +
+        "cand AS (SELECT * FROM d2 WHERE doc_id % 10 <> 0), " +
+        s"gated AS (SELECT doc_id, source, n_chars, text, md5($normSql) AS nk " +
+        s"FROM cand WHERE $qualitySql >= 400000 AND $langPredSql = 'en'), " +
+        "ded AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY nk ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1), " +
+        s"ev AS (SELECT DISTINCT unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        s"trsh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM ded), " +
+        "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov " +
+        "FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
+        "bad2 AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 700000 * n_sh), " +
+        "clean AS (SELECT * FROM ded " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad2)), " +
+        "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
+        "rates AS (SELECT source, least(1000, 15000 // n) AS rate FROM cnt), " +
+        "bal AS (SELECT c2.* FROM clean c2 JOIN rates USING (source) " +
         "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
         "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) " +
         "AS n_tok FROM bal) " +

@@ -72,4 +72,33 @@ class CurationSpec extends SparkTestBase {
     val out = Curation.curate(docs, docs.limit(0), seqLen = 64).collect()
     assert(out.length == 1 && out(0).getAs[Long]("n_docs") == 1L)
   }
+
+  test("host gate drops alias-farm hosts whole and equals curate on the survivors") {
+    import spark.implicits._
+    // s1 docs live on an alias-farm host (one canonical page under
+    // per-doc tracking params → dup pressure 3/4); s2's host serves
+    // distinct pages (pressure 0)
+    val docs = Seq(
+      (1L, "s1", goodText("a")), (2L, "s1", goodText("b")),
+      (3L, "s1", goodText("c")), (4L, "s1", goodText("d")),
+      (6L, "s2", goodText("m")), (7L, "s2", goodText("n")))
+      .map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val urls = docs.select(col("doc_id"),
+      when(col("source") === "s1",
+        concat(lit("https://farm.example.com/page?utm_source=x"),
+          col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://ok.example.com/p/"),
+          col("doc_id").cast("string"))).as("url"))
+    val ev = docs.limit(0)
+    val gated = Curation.curateWithHostGate(docs, urls, ev,
+        maxHostDupE6 = 500000L, seqLen = 64)
+      .orderBy("source").collect()
+    // s1's host (dup 3/4 ≥ 50%) dropped whole; s2 untouched
+    assert(gated.map(_.getString(0)).toSeq == Seq("s2"))
+    // and the composition equals plain curate over the surviving docs
+    val expected = Curation.curate(docs.filter(col("source") === "s2"), ev,
+        seqLen = 64).orderBy("source").collect()
+    assert(gated.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
 }
