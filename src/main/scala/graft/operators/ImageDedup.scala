@@ -379,56 +379,66 @@ object ImageDedup {
     * Banding can only cost recall (gated in `q_dedup_incr_image`);
     * drops are SOUND by construction. Output: (doc_id, status,
     * match_id, keep). */
+  /** Lazy (doc_id, match_id) frame of [[incrementalImageAdmission]]
+    * for an already-thumbnailed batch `bt` — the candidate-join +
+    * verify dataflow itself, exposed (`private[graft]`) so plan
+    * audits (`tools.Plans`) can capture what the eager admission
+    * wrapper checkpoints away. The two bounded driver collects
+    * (touched shards ≤ [[BucketShards]]; candidate rep ids, the
+    * admission contract's own bound) run at construction. */
+  private[graft] def admissionMatches(bt: DataFrame, dir: String,
+                                      maxMeanDiffE2: Long = 600L,
+                                      maxIdPushdown: Int = 10000): DataFrame = {
+    val spark = bt.sparkSession
+    val bEntries = bucketEntries(
+        bt.withColumn("bands", bands(col("dhash"))))
+      .select(col("doc_id").as("qid"), col("bk"), col("bv"), col("ck"),
+        pmod(hash(col("bk"), col("bv"), col("ck")), lit(BucketShards))
+          .cast("int").as("shard"))
+    val touched = bEntries.select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    val stored = spark.read.parquet(s"$dir/buckets")
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+    val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ck"))
+      .select(col("qid"), col("doc_id").as("rep")).distinct()
+    val repIds = cand.select(col("rep")).distinct()
+      .collect().map(_.getLong(0))
+    val repThumbs0 = spark.read.parquet(s"$dir/thumbs")
+    val repThumbs =
+      if (repIds.length <= maxIdPushdown)
+        repThumbs0.filter(
+          col("doc_id").isin(repIds.map(java.lang.Long.valueOf): _*))
+      else repThumbs0
+    val msd = maxSumDiff(maxMeanDiffE2)
+    val joined = cand
+      .join(bt.select(col("doc_id").as("qid"), col("thumb").as("tb"),
+        col("sr").as("srb"), col("sg").as("sgb"), col("sb").as("sbb")),
+        Seq("qid"))
+      .join(repThumbs.select(col("doc_id").as("rep"),
+        col("thumb").as("ta"), col("sr").as("sra"),
+        col("sg").as("sga"), col("sb").as("sba")), Seq("rep"))
+      .filter(abs(col("sra") - col("srb")) <= msd &&
+        abs(col("sga") - col("sgb")) <= msd &&
+        abs(col("sba") - col("sbb")) <= msd)
+      .select(col("rep").as("ida"), col("qid").as("idb"),
+        col("ta"), col("tb"))
+    pairDistances(joined)
+      .filter(col("mean_diff_e2") <= maxMeanDiffE2)
+      .groupBy(col("idb").as("doc_id"))
+      .agg(min(col("ida")).as("match_id"))
+  }
+
   def incrementalImageAdmission(batchMedia: DataFrame, dir: String,
                                 maxMeanDiffE2: Long = 600L,
                                 maxIdPushdown: Int = 10000): DataFrame = {
-    val spark = batchMedia.sparkSession
     val bt = thumbnails(batchMedia).cache()
     try {
-      val bEntries = bucketEntries(
-          bt.withColumn("bands", bands(col("dhash"))))
-        .select(col("doc_id").as("qid"), col("bk"), col("bv"), col("ck"),
-          pmod(hash(col("bk"), col("bv"), col("ck")), lit(BucketShards))
-            .cast("int").as("shard"))
-      val touched = bEntries.select(col("shard")).distinct()
-        .collect().map(_.getInt(0))
-      val stored = spark.read.parquet(s"$dir/buckets")
-        .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
-      val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ck"))
-        .select(col("qid"), col("doc_id").as("rep")).distinct().cache()
-      val matched =
-        try {
-          val repIds = cand.select(col("rep")).distinct()
-            .collect().map(_.getLong(0))
-          val repThumbs0 = spark.read.parquet(s"$dir/thumbs")
-          val repThumbs =
-            if (repIds.length <= maxIdPushdown)
-              repThumbs0.filter(
-                col("doc_id").isin(repIds.map(java.lang.Long.valueOf): _*))
-            else repThumbs0
-          val msd = maxSumDiff(maxMeanDiffE2)
-          val joined = cand
-            .join(bt.select(col("doc_id").as("qid"), col("thumb").as("tb"),
-              col("sr").as("srb"), col("sg").as("sgb"), col("sb").as("sbb")),
-              Seq("qid"))
-            .join(repThumbs.select(col("doc_id").as("rep"),
-              col("thumb").as("ta"), col("sr").as("sra"),
-              col("sg").as("sga"), col("sb").as("sba")), Seq("rep"))
-            .filter(abs(col("sra") - col("srb")) <= msd &&
-              abs(col("sga") - col("sgb")) <= msd &&
-              abs(col("sba") - col("sbb")) <= msd)
-            .select(col("rep").as("ida"), col("qid").as("idb"),
-              col("ta"), col("tb"))
-          // eager localCheckpoint (not cache): the O(batch)-row match
-          // table materializes NOW so the wide batch-thumb cache can
-          // release below, and its blocks free with the frame — no
-          // session-lifetime cache entry per admission call
-          pairDistances(joined)
-            .filter(col("mean_diff_e2") <= maxMeanDiffE2)
-            .groupBy(col("idb").as("doc_id"))
-            .agg(min(col("ida")).as("match_id"))
-            .localCheckpoint()
-        } finally cand.unpersist(blocking = false)
+      // eager localCheckpoint (not cache): the O(batch)-row match
+      // table materializes NOW so the wide batch-thumb cache can
+      // release below, and its blocks free with the frame — no
+      // session-lifetime cache entry per admission call
+      val matched = admissionMatches(bt, dir, maxMeanDiffE2, maxIdPushdown)
+        .localCheckpoint()
       batchMedia.select(col("doc_id"))
         .join(matched, Seq("doc_id"), "left")
         .select(col("doc_id"),

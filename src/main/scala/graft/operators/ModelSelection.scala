@@ -205,8 +205,10 @@ object ModelSelection {
     * linear rung between the rule gates ([[TextOps]]) and LM scoring
     * ([[lmScore]]): hashed-unigram frequencies +
     * [[graft.ml.SketchLogisticRegression]] (the repo's own sketch-SGD
-    * trainer — deterministic full-batch GD, so the fitted separator
-    * is bit-reproducible). `labelCol` gives the {0,1} training label
+    * trainer — full-batch GD, deterministic up to float-sum
+    * association in the treeAggregate combine, i.e. the
+    * `q_sgd_train` rounding rule). `labelCol` gives the {0,1}
+    * training label
     * (1 = keep), computable from `docs`'s columns. Returns the
     * fitted model and the featurized frame (doc_id, label, features)
     * for scoring/gating.
@@ -223,10 +225,14 @@ object ModelSelection {
                              stepSize: Double = 1.0,
                              featureScale: Double = 32.0)
       : (graft.ml.LinearModel, DataFrame) = {
+    // cached: the tokenize-bound featurize feeds BOTH the training
+    // RDD and the caller's scoring/accuracy pass — the returned
+    // frame is cached and CALLER-OWNED (unpersist after scoring)
     val feats = hashedFeatures(docs, buckets)
       .join(docs.select(col("doc_id"), labelCol.cast("double").as("label")),
         Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("features"))
+      .cache()
     // GD conditioning: frequency features are O(0.01–0.2) while the
     // intercept gradient is O(0.1–0.5), so one η cannot serve both —
     // a weight-moving step makes the intercept oscillate (measured:

@@ -247,8 +247,10 @@ object PipelineQueries {
           .otherwise(col("text")).as("text"))
       val (m, feats) = ModelSelection.trainQualityClassifier(planted,
         labelCol = pmod(col("doc_id"), lit(5)) >= 2)
-      graft.ml.SketchLogisticRegression.binaryAccuracy(m, feats)
+      try graft.ml.SketchLogisticRegression.binaryAccuracy(m, feats)
         .select(col("n"), (col("acc_e6") >= 900000L).as("acc_ok"))
+        .localCheckpoint()
+      finally feats.unpersist(blocking = false)
     }),
 
     // deterministic per-group reservoir: exactly 5 docs per source

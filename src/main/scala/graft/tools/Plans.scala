@@ -594,7 +594,78 @@ object Plans {
         "of growing nlist with the corpus — before the qid exchange. " +
         "Stage 2 re-reads full vectors for the kept candidates only, " +
         "via a keyed join — the IVF+PQ two-tier storage layout " +
-        "expressed with a JL index."))
+        "expressed with a JL index."),
+    "q_curate_hosts" ->
+      ("The host gate costs one per-row codegen'd canonicalization " +
+        "projection + one |hosts|-row hash aggregation, folded back " +
+        "as a BROADCAST anti-join on the doc's host — the curate " +
+        "chain behind it keeps q_curate_e2e's single-shuffle-per-" +
+        "stage skeleton with exactly one extra BroadcastHashJoin, " +
+        "so at 100 TB host governance is free relative to the " +
+        "tokenize passes it gates."))
+
+  /** Contract keys whose PUBLIC result is a 1-row verdict (a
+    * LocalTableScan / checkpointed row in the section above): the
+    * designated INTERNAL dataflow frame per key, so the real
+    * candidate-join / verify plan is pinned too (the
+    * `GraphLayoutSpec` precedent, generalized). `q_ann_upsert` has
+    * no single internal frame — it is a write LIFECYCLE (tombstone →
+    * purge → append) whose serve path is exactly
+    * `q_similarity_ivfq`'s pinned plan. */
+  private val internals: Seq[(String, String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    ("q_dedup_image", "internal: the near-dup PAIR frame the verdict " +
+      "folds — banded (band, value, color-cell) equi-join with the " +
+      "hot-bucket cap, codegen'd channel-sum pre-filter, and the " +
+      "typed mapPartitions exact verify (SerializeFromObject above " +
+      "MapPartitions in the plan — the optimizer barrier that keeps " +
+      "the 216-element loop out of the join condition).",
+      (s, d) => {
+        val thumbs = graft.operators.ImageDedup.thumbnails(
+          graft.operators.ImageDedup.withPlantedTwins(
+            graft.Tables.documents(s, d)))
+        graft.operators.ImageDedup.nearDupPairs(thumbs)
+      }),
+    ("q_dedup_audio", "internal: the audio near-dup PAIR frame — the " +
+      "same banded-join + typed-verify shape one modality over " +
+      "(65-int envelopes, sign-delta bands, mean-level grids).",
+      (s, d) => {
+        val prints = graft.operators.AudioDedup.fingerprints(
+          graft.operators.AudioDedup.withPlantedTwins(
+            graft.Tables.documents(s, d)))
+        graft.operators.AudioDedup.nearDupPairs(prints)
+      }),
+    ("q_dedup_incr_image", "internal: the admission MATCH frame " +
+      "against a freshly built stored index — the batch bucket " +
+      "entries equi-join the shard-PRUNED stored buckets (the isin " +
+      "on the partition column is visible as PartitionFilters), rep " +
+      "thumbnails read under a pushed id isin over the id-sorted " +
+      "files, and the exact verify is the typed barrier again.",
+      (s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("plans_imgidx").toString
+        graft.operators.ImageDedup.buildImageIndex(
+          graft.operators.ImageDedup.withPlantedImages(docs), dir)
+        val bt = graft.operators.ImageDedup.thumbnails(
+          graft.operators.ImageDedup.plantedRecrawlBatch(docs))
+        graft.operators.ImageDedup.admissionMatches(bt, dir)
+      }),
+    ("q_quality_classifier", "internal: the featurize frame every " +
+      "training iteration and the scoring pass share — one tokenize " +
+      "explode + ONE hash aggregation with 64 codegen'd conditional " +
+      "sums (no pivot shuffle, no UDF); training itself exchanges " +
+      "only 64-dim gradients through treeAggregate, invisible to SQL " +
+      "by design.",
+      (s, d) => graft.operators.ModelSelection.hashedFeatures(
+        graft.Tables.documents(s, d))),
+    ("q_bpe_merges", "internal: the per-round PAIR-COUNT frame the " +
+      "driver argmax-probes — an explode of adjacent-symbol zips " +
+      "over the VOCAB-sized word-frequency table with map-side " +
+      "partial aggregation; rounds cost vocab-table jobs, never " +
+      "corpus scans.",
+      (s, d) => graft.operators.Tokenizer.pairCounts(
+        graft.operators.Tokenizer.wordFreq(graft.Tables.documents(s, d)))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -619,9 +690,23 @@ object Plans {
       out ++= s"\n## $name\n\n$why\n\n```\n$plan```\n"
     }
 
+    out ++= "\n# Internal dataflow plans of contract keys\n\n"
+    out ++= "Keys whose public result is a 1-row contract verdict\n"
+    out ++= "(LocalTableScan above): the designated internal frame per\n"
+    out ++= "key, so the real candidate-join/verify plan is pinned too.\n"
+    out ++= "`q_ann_upsert` is a write lifecycle (tombstone → purge →\n"
+    out ++= "append); its serve path is `q_similarity_ivfq`'s plan.\n"
+    internals.foreach { case (name, why, mk) =>
+      val df = mk(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      out ++= s"\n## $name — internal\n\n$why\n\n```\n$plan```\n"
+    }
+
     val pw = new PrintWriter("PLANS.md", "UTF-8")
     try pw.write(out.toString) finally pw.close()
-    println(s"[plans] wrote PLANS.md (${rationale.size} queries)")
+    println(s"[plans] wrote PLANS.md (${rationale.size} queries + " +
+      s"${internals.size} internal)")
     spark.stop()
   }
 }

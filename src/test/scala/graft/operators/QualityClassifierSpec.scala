@@ -43,10 +43,17 @@ class QualityClassifierSpec extends SparkTestBase {
     val acc = SketchLogisticRegression.binaryAccuracy(m, feats)
       .head().getAs[Long]("acc_e6")
     assert(acc >= 900000L, s"accuracy $acc")
-    // determinism: the full-batch GD refit is bit-identical
+    // determinism: a refit lands on the same separator up to
+    // float-sum association (treeAggregate combine order is not
+    // bit-pinned — the q_sgd_train rounding rule), so weights agree
+    // to 1e-9 relative and every prediction is identical
     val (m2, _) = ModelSelection.trainQualityClassifier(docs,
       labelCol = pmod(col("doc_id"), lit(5)) >= 2)
-    assert(m.weights.toSeq == m2.weights.toSeq && m.intercept == m2.intercept)
+    m.weights.zip(m2.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"weight drift $a vs $b")
+    }
+    assert(math.abs(m.intercept - m2.intercept) <= 1e-9)
   }
 
   test("returned weights score raw frequencies (scale folded back)") {
