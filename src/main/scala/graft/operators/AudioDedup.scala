@@ -241,6 +241,198 @@ object AudioDedup {
         col("match_id").isNull.as("keep"))
   }
 
+  // ---- stored index + incremental admission ----
+
+  /** Directory-partition count for the stored bucket index — the
+    * [[ImageDedup.BucketShards]] rule one modality over: the
+    * (bk, bv, ek) key hashes into this many `shard=` partitions so an
+    * admission batch's touched-shard set (driver-bounded) prunes every
+    * untouched shard's files at the directory level. */
+  val BucketShards = 32
+
+  /** Build the STORED audio-dedup index at `dir` — the persisted form
+    * of [[dedupFromPrints]]'s working state, so a re-crawl admits
+    * against it incrementally ([[incrementalAudioAdmission]]) instead
+    * of re-decoding and re-pairing the whole corpus. Layout (the
+    * [[ImageDedup.buildImageIndex]] design one modality over):
+    *  - `dir/prints` — ONE row per exact-envelope FAMILY
+    *    REPRESENTATIVE (min doc_id): the 65-int envelope + sign-delta
+    *    hash + level keys + envelope sum, id-sharded and id-SORTED
+    *    inside each file so the admission's candidate lookup prunes
+    *    row groups by doc_id min/max stats. Members share their rep's
+    *    exact envelope, so rep↔probe distance IS member↔probe
+    *    distance and storing reps loses nothing;
+    *  - `dir/buckets` — the (bk, bv, ek, doc_id) band/level bucket
+    *    entries of the representatives (8 per rep), hash-sharded on
+    *    the bucket key into [[BucketShards]] directory partitions,
+    *    each bucket capped at `maxBucketSize` lowest ids (the
+    *    [[candidates]] hot-bucket guard, applied once at build).
+    * Typically committed through [[graft.IndexCatalog.openOrBuild]],
+    * which stamps build params + corpus vintage and makes reopen a
+    * pure manifest read. */
+  def buildAudioIndex(withAudio: DataFrame, dir: String,
+                      maxBucketSize: Int = 1000,
+                      filesPerShard: Int = 2): Unit = {
+    val prints = fingerprints(withAudio).cache()
+    try {
+      val fams = prints.groupBy(col("env")).agg(min(col("doc_id")).as("rep"))
+      val reps = prints.join(fams.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi").cache()
+      try {
+        graft.sources.CorpusSink.writeParquet(
+          reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),
+          s"$dir/prints", shardCol = "shard", sortCol = "doc_id",
+          filesPerShard = filesPerShard)
+        val entries = bucketEntries(
+          reps.withColumn("bands", bands(col("abits"))))
+        val capped = entries.withColumn("r", row_number().over(
+            Window.partitionBy(col("bk"), col("bv"), col("ek"))
+              .orderBy(col("doc_id"))))
+          .filter(col("r") <= maxBucketSize)
+          .select(col("doc_id"), col("bk"), col("bv"), col("ek"),
+            pmod(hash(col("bk"), col("bv"), col("ek")), lit(BucketShards))
+              .cast("int").as("shard"))
+        graft.sources.CorpusSink.writeParquet(capped, s"$dir/buckets",
+          shardCol = "shard", sortCol = "doc_id",
+          filesPerShard = filesPerShard)
+      } finally reps.unpersist(blocking = false)
+    } finally prints.unpersist(blocking = false)
+  }
+
+  /** Lazy (doc_id, match_id) frame of [[incrementalAudioAdmission]]
+    * for an already-fingerprinted batch `bp` — the candidate-join +
+    * verify dataflow itself, exposed (`private[graft]`) so plan
+    * audits (`tools.Plans`) can capture what the eager admission
+    * wrapper checkpoints away. The two bounded driver collects
+    * (touched shards ≤ [[BucketShards]]; candidate rep ids, the
+    * admission contract's own bound) run at construction — the
+    * [[ImageDedup.admissionMatches]] shape one modality over. */
+  private[graft] def admissionMatches(bp: DataFrame, dir: String,
+                                      maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
+                                      maxIdPushdown: Int = 10000): DataFrame = {
+    val spark = bp.sparkSession
+    val bEntries = bucketEntries(
+        bp.withColumn("bands", bands(col("abits"))))
+      .select(col("doc_id").as("qid"), col("bk"), col("bv"), col("ek"),
+        pmod(hash(col("bk"), col("bv"), col("ek")), lit(BucketShards))
+          .cast("int").as("shard"))
+    val touched = bEntries.select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    val stored = spark.read.parquet(s"$dir/buckets")
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+    val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ek"))
+      .select(col("qid"), col("doc_id").as("rep")).distinct()
+    val repIds = cand.select(col("rep")).distinct()
+      .collect().map(_.getLong(0))
+    val repPrints0 = spark.read.parquet(s"$dir/prints")
+    val repPrints =
+      if (repIds.length <= maxIdPushdown)
+        repPrints0.filter(
+          col("doc_id").isin(repIds.map(java.lang.Long.valueOf): _*))
+      else repPrints0
+    val msd = maxSumDiff(maxMeanDiffE2)
+    val joined = cand
+      .join(bp.select(col("doc_id").as("qid"), col("env").as("eb"),
+        col("es").as("esb")), Seq("qid"))
+      .join(repPrints.select(col("doc_id").as("rep"),
+        col("env").as("ea"), col("es").as("esa")), Seq("rep"))
+      .filter(abs(col("esa") - col("esb")) <= msd)
+      .select(col("rep").as("ida"), col("qid").as("idb"),
+        col("ea"), col("eb"))
+    pairDistances(joined)
+      .filter(col("mean_diff_e2") <= maxMeanDiffE2)
+      .groupBy(col("idb").as("doc_id"))
+      .agg(min(col("ida")).as("match_id"))
+  }
+
+  /** Incremental AUDIO admission — [[ImageDedup.incrementalImageAdmission]]
+    * one modality over: each batch clip is admitted unless some
+    * INDEXED representative is within `maxMeanDiffE2` exact envelope
+    * distance. The batch decodes in one zero-shuffle typed pass
+    * (undecodable media stays `novel`); candidates come from the
+    * (bk, bv, ek) equi-join into `dir/buckets` with touched-shard
+    * directory pruning; the exact verify reads `dir/prints` as a
+    * pushed `isin` over the id-sorted files (broadcast-join fallback
+    * above `maxIdPushdown`); the envelope-sum pre-filter gates the
+    * typed 65-element exact pass, and every `near_dup` flag carries
+    * the MIN matching rep as an exact-verified witness. Banding can
+    * only cost recall (gated in `q_dedup_incr_audio`); drops are
+    * SOUND by construction. */
+  def incrementalAudioAdmission(batchMedia: DataFrame, dir: String,
+                                maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
+                                maxIdPushdown: Int = 10000): DataFrame = {
+    val bp = fingerprints(batchMedia).cache()
+    try {
+      // eager localCheckpoint (not cache): the O(batch)-row match
+      // table materializes NOW so the batch-print cache can release
+      // below, and its blocks free with the frame
+      val matched = admissionMatches(bp, dir, maxMeanDiffE2, maxIdPushdown)
+        .localCheckpoint()
+      batchMedia.select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNotNull, lit(Dedup.NearDup))
+            .otherwise(lit(Dedup.Novel)).as("status"),
+          col("match_id"), col("match_id").isNull.as("keep"))
+    } finally bp.unpersist(blocking = false)
+  }
+
+  /** Fixture media column: every doc carries its planted WAV — the
+    * [[withPlantedTwins]] base universe without the twins; the
+    * stored-index corpus side of the admission gate. */
+  def withPlantedClips(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.plantWav(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Planted RE-CRAWL batch for the admission gate (the
+    * [[ImageDedup.plantedRecrawlBatch]] design one modality over):
+    * for each stratum doc (doc_id ≡ 0 mod 20, doc_id < 2000 — the
+    * pinned bounded panel every incremental key uses), a NEAR twin
+    * under id + 1,000,000 (the [[withPlantedTwins]] +1 perturbation
+    * on every 3rd sample — below every margin, MUST flag against the
+    * stored index) and a FAR variant under id + 2,000,000 (every
+    * sample shifted by a large position-dependent value mod the
+    * 16-bit range — an independent-looking stream whose envelope sits
+    * ~10,000 sample units from every planted clip's, far above the
+    * 600-unit verify threshold). Both sides re-encode as canonical
+    * WAVs and go through a REAL decode; the contract is judged
+    * against the exact bipartite envelope truth, so an accidental
+    * far-side match cannot break soundness. */
+  def plantedRecrawlBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(id => id % 20 == 0 && id < 2000)
+      .mapPartitions(_.flatMap { id =>
+        val media = Multimodal.plantWav(id)
+        Multimodal.decodeWav(media) match {
+          case Some((rate, ch, samples)) =>
+            val near = samples.clone()
+            var i = 0
+            while (i < near.length) {
+              if (i % 3 == 0)
+                near(i) = math.min(32767, near(i) + 1).toShort
+              i += 1
+            }
+            val far = samples.clone()
+            var j = 0
+            while (j < far.length) {
+              far(j) = (((far(j).toInt + 32768 + 9973 + (j % 7) * 8191)
+                % 65536) - 32768).toShort
+              j += 1
+            }
+            Iterator((id + 1000000L, wavFromPcm(rate, ch, near)),
+              (id + 2000000L, wavFromPcm(rate, ch, far)))
+          case None => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "media")
+  }
+
   /** Complete RIFF/WAVE (16-bit PCM, canonical 44-byte header) from
     * an arbitrary decoded sample grid — the re-encode half of the
     * planted-twin fixture (the [[ImageDedup.pngFromPixels]] role). */

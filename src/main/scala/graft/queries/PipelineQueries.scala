@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, AudioDedup, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, UrlOps}
+import graft.operators.{AnnIndex, AudioDedup, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, Unigram, UrlOps}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -907,6 +907,71 @@ object PipelineQueries {
           .select(col("ida"), col("idb"), col("ta"), col("tb"))
         val truth = ImageDedup.pairDistances(joined)
           .filter(col("mean_diff_e2") <= 600L)
+          .select(col("idb").as("doc_id")).distinct()
+          .withColumn("t", lit(1))
+        batch.select(col("doc_id"))
+          .join(flagged, Seq("doc_id"), "left")
+          .join(truth, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_batch"),
+            coalesce(max(when(col("f") === 1 && col("t").isNull, 1)
+              .otherwise(0)), lit(0)).as("unsound"),
+            coalesce(sum(coalesce(col("t"), lit(0))), lit(0))
+              .cast("double").as("n_exact"),
+            coalesce(sum(when(col("f") === 1 && col("t") === 1, 1)
+              .otherwise(0)), lit(0)).cast("double").as("n_hit"))
+          .select(col("n_batch"), (col("unsound") === 0).as("sound"),
+            (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"),
+            lit(reuseOk).as("reuse_ok"))
+          .localCheckpoint()
+      } finally batch.unpersist(blocking = false)
+    }),
+
+    // incremental AUDIO admission against a STORED index — the
+    // q_dedup_incr_image lifecycle one modality over: rep envelopes +
+    // hash-sharded (band, value, level-cell) bucket index persist
+    // through IndexCatalog; the pinned re-crawl batch of planted near
+    // twins (must flag) and sample-scrambled far variants (must stay
+    // novel) is admitted with touched-shard pruning, the envelope-sum
+    // pre-filter, and the typed exact verify on candidates only.
+    // sound/recall vs the exact bipartite envelope truth (broadcast
+    // bounded batch); reuse_ok = the second catalog open resolves the
+    // index from its manifest alone — the build closure THROWS if
+    // invoked again
+    "q_dedup_incr_audio" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val params = Map("family" -> "auddedup", "sf" -> d,
+        "n" -> n.toString,
+        "thr" -> AudioDedup.DefaultMaxMeanDiffE2.toString)
+      val (dir1, _) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "auddedup_incr", params)(stg =>
+        AudioDedup.buildAudioIndex(AudioDedup.withPlantedClips(docs), stg))
+      val (dir2, reused2) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "auddedup_incr", params)(_ =>
+        throw new IllegalStateException(
+          "catalog reopen must not rebuild a vintage-matched index"))
+      val reuseOk = reused2 && dir1 == dir2
+      val batch = AudioDedup.plantedRecrawlBatch(docs).cache()
+      try {
+        val res = AudioDedup.incrementalAudioAdmission(batch, dir2)
+        val flagged = res.filter(col("status") === Dedup.NearDup)
+          .select(col("doc_id"), lit(1).as("f"))
+        // exact bipartite truth: the bounded batch (broadcast) against
+        // ALL corpus envelopes — codegen'd envelope-sum pre-filter in
+        // the join condition, typed 65-element exact pass behind the
+        // pairDistances barrier (the q_dedup_audio truth-branch shape)
+        val bp = AudioDedup.fingerprints(batch)
+        val cp = AudioDedup.fingerprints(AudioDedup.withPlantedClips(docs))
+        val msd = AudioDedup.maxSumDiff(AudioDedup.DefaultMaxMeanDiffE2)
+        val joined = broadcast(bp.select(col("doc_id").as("idb"),
+            col("env").as("eb"), col("es").as("esb")))
+          .join(cp.select(col("doc_id").as("ida"), col("env").as("ea"),
+            col("es").as("esa")),
+            abs(col("esa") - col("esb")) <= msd)
+          .select(col("ida"), col("idb"), col("ea"), col("eb"))
+        val truth = AudioDedup.pairDistances(joined)
+          .filter(col("mean_diff_e2") <= AudioDedup.DefaultMaxMeanDiffE2)
           .select(col("idb").as("doc_id")).distinct()
           .withColumn("t", lit(1))
         batch.select(col("doc_id"))
@@ -1842,6 +1907,52 @@ object PipelineQueries {
       Tokenizer.bpeEncode(Tables.documents(s, d), rounds = 5)
         .orderBy(col("doc_id"))),
 
+    // unigram-LM tokenizer training (Kudo ACL'18 — the SentencePiece
+    // alternative to BPE): seed substring candidates, soft-EM
+    // (forward-backward expected counts) with between-phase pruning
+    // to the vocab target. EM is not SQL-expressible, so the key is a
+    // CONTRACT: cover_ok = every distinct corpus word Viterbi-
+    // segments under the final model; loss_ok = the corpus
+    // -log-likelihood is non-increasing across the EM iterations of
+    // every fixed-vocabulary phase (the EM guarantee, measured);
+    // size_ok = the final vocabulary fits the target; roundtrip_ok =
+    // every word's best segmentation concatenates back to the word
+    "q_unigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.learnUnigramMemo(docs, d, vocabSize = 256,
+        seedSize = 2048)
+      val scores = model.scores
+      val enc = Unigram.unigramEncode(docs, model)
+      val lt = model.lossTrail
+      // within-phase monotonicity: iterations pair up (2 per phase)
+      val lossOk = lt.grouped(2).forall(ph =>
+        ph.length < 2 || ph(1) <= ph(0) * (1 + 1e-6) + 1e-6)
+      val rtOk = enc.agg(min(col("roundtrip_ok"))).head().getBoolean(0)
+      val coverOk = enc.filter(col("n_words") > 0 && col("n_pieces") === 0)
+        .isEmpty
+      val nDocs = docs.count()
+      import s.implicits._
+      Seq((nDocs, coverOk && scores.nonEmpty, lossOk,
+        model.pieces.length <= 256, rtOk))
+        .toDF("n_docs", "cover_ok", "loss_ok", "size_ok", "roundtrip_ok")
+    }),
+
+    // unigram-LM ENCODE (the apply half): Viterbi best segmentation
+    // per DISTINCT word under the trained model, documents reassemble
+    // through one doc-keyed shuffle. n_words is exactly SQL-derivable
+    // (the regexTokens rule); the piece arithmetic rides as checked
+    // booleans — bounded_ok = n_words <= n_pieces <= total word chars
+    "q_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.learnUnigramMemo(docs, d, vocabSize = 256,
+        seedSize = 2048)
+      Unigram.unigramEncode(docs, model)
+        .select(col("doc_id"), col("n_words"),
+          (col("n_pieces") >= col("n_words")).as("bounded_ok"),
+          col("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // concat-and-chunk packing fed by the TRAINED tokenizer's token
     // counts (q_pack_chunks's layout under real BPE lengths instead
     // of the bytes/4 estimate) — seq_len 512 so fixture docs span
@@ -2439,6 +2550,10 @@ object PipelineQueries {
       ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
         "TRUE AS recall_ok, TRUE AS reuse_ok " +
         "FROM documents WHERE doc_id % 20 = 0 AND doc_id < 2000"),
+    "q_dedup_incr_audio" ->
+      ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
+        "TRUE AS recall_ok, TRUE AS reuse_ok " +
+        "FROM documents WHERE doc_id % 20 = 0 AND doc_id < 2000"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
@@ -2690,6 +2805,14 @@ object PipelineQueries {
           s"CAST(sum(CASE WHEN j = $j THEN sq END) AS BIGINT) AS p${j}_e6").mkString(", ") +
         " FROM sg GROUP BY vec_id ORDER BY vec_id"),
     "q_bpe_merges" -> bpeOracleSql(5),
+    "q_unigram_lm" ->
+      ("SELECT count(*) AS n_docs, TRUE AS cover_ok, TRUE AS loss_ok, " +
+        "TRUE AS size_ok, TRUE AS roundtrip_ok FROM documents"),
+    "q_unigram_encode" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS n_words, " +
+        "TRUE AS bounded_ok, TRUE AS roundtrip_ok " +
+        "FROM documents ORDER BY doc_id"),
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
     "q_pack_bpe" -> bpePackOracleSql(5, 512),
     "q_html_extract" -> htmlExtractOracleSql

@@ -651,6 +651,22 @@ object Plans {
           graft.operators.ImageDedup.plantedRecrawlBatch(docs))
         graft.operators.ImageDedup.admissionMatches(bt, dir)
       }),
+    ("q_dedup_incr_audio", "internal: the audio admission MATCH " +
+      "frame against a freshly built stored index — the " +
+      "q_dedup_incr_image dataflow one modality over: batch bucket " +
+      "entries equi-join the shard-PRUNED stored buckets, rep prints " +
+      "read under a pushed id isin over the id-sorted files, and the " +
+      "exact envelope verify is the typed barrier again.",
+      (s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("plans_audidx").toString
+        graft.operators.AudioDedup.buildAudioIndex(
+          graft.operators.AudioDedup.withPlantedClips(docs), dir)
+        val bp = graft.operators.AudioDedup.fingerprints(
+          graft.operators.AudioDedup.plantedRecrawlBatch(docs))
+        graft.operators.AudioDedup.admissionMatches(bp, dir)
+      }),
     ("q_quality_classifier", "internal: the featurize frame every " +
       "training iteration and the scoring pass share — one tokenize " +
       "explode + ONE hash aggregation with 64 codegen'd conditional " +
@@ -665,7 +681,19 @@ object Plans {
       "partial aggregation; rounds cost vocab-table jobs, never " +
       "corpus scans.",
       (s, d) => graft.operators.Tokenizer.pairCounts(
-        graft.operators.Tokenizer.wordFreq(graft.Tables.documents(s, d)))))
+        graft.operators.Tokenizer.wordFreq(graft.Tables.documents(s, d)))),
+    ("q_unigram_encode", "internal: the unigram-LM encode frame — " +
+      "Viterbi runs once per DISTINCT word (a typed MapPartitions " +
+      "over the vocab-sized word table under the broadcast score " +
+      "map), then ONE word-keyed join and ONE doc-keyed aggregation " +
+      "reassemble documents; EM training itself exchanges only " +
+      "piece-count sidecars, invisible to SQL by design.",
+      (s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        val model = graft.operators.Unigram.learnUnigramMemo(docs, d,
+          vocabSize = 256, seedSize = 2048)
+        graft.operators.Unigram.unigramEncode(docs, model)
+      }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
