@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Thousand-round driver loops (TrainBpe at 8k merges) generate
+  // enough Janino classes to fill the default ~240 MB code cache;
+  // once it fills, HotSpot disables JIT compilation and every later
+  // query runs interpreted. 512 MB keeps the longest measured run
+  // (250 batch rounds × ~10 codegen'd stages) compiled throughout.
+  "-XX:ReservedCodeCacheSize=512m",
 )
