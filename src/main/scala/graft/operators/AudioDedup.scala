@@ -322,8 +322,13 @@ object AudioDedup {
       .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
     val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ek"))
       .select(col("qid"), col("doc_id").as("rep")).distinct()
+    // the driver materialization is bounded BY CONSTRUCTION: the
+    // limit probe collects at most maxIdPushdown+1 ids, so a
+    // pathological batch hitting many hot buckets can overflow the
+    // pushdown budget but never build an unbounded driver array —
+    // overflow falls through to the full-scan join
     val repIds = cand.select(col("rep")).distinct()
-      .collect().map(_.getLong(0))
+      .limit(maxIdPushdown + 1).collect().map(_.getLong(0))
     val repPrints0 = spark.read.parquet(s"$dir/prints")
     val repPrints =
       if (repIds.length <= maxIdPushdown)

@@ -401,8 +401,11 @@ object ImageDedup {
       .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
     val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ck"))
       .select(col("qid"), col("doc_id").as("rep")).distinct()
+    // limit probe: at most maxIdPushdown+1 ids ever ride the driver —
+    // overflow falls through to the full-scan join (see the
+    // AudioDedup twin for the rationale)
     val repIds = cand.select(col("rep")).distinct()
-      .collect().map(_.getLong(0))
+      .limit(maxIdPushdown + 1).collect().map(_.getLong(0))
     val repThumbs0 = spark.read.parquet(s"$dir/thumbs")
     val repThumbs =
       if (repIds.length <= maxIdPushdown)

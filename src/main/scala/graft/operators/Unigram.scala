@@ -47,9 +47,9 @@ object Unigram {
   final case class Piece(piece: String, logProb: Double, count: Double)
 
   /** Trained model + the per-phase loss trajectory (total corpus
-    * −log-likelihood under the marginal over segmentations, divided
-    * by total word occurrences — the quantity EM provably does not
-    * increase within a fixed vocabulary). */
+    * −log-likelihood under the marginal over segmentations — the
+    * quantity EM provably does not increase within a fixed
+    * vocabulary; recorded unnormalized, as accumulated). */
   final case class UnigramModel(pieces: Seq[Piece],
                                 lossTrail: Seq[Double]) {
     def scores: Map[String, Double] =
@@ -246,9 +246,17 @@ object Unigram {
     * next prune removes it. */
   private def mStep(vocab: Seq[String], counts: Map[String, Double])
       : Map[String, Double] = {
+    // the single-char floor scales with the corpus mass (total·1e-12)
+    // so it stays far below any real expected count: an absolute floor
+    // could perturb the exact M-step enough to trip the within-phase
+    // loss-monotonicity gate's 1e-6 relative tolerance on corpora
+    // where chars earn near-zero posterior mass
+    val mass = counts.valuesIterator.sum
+    val charFloor = math.max(mass * 1e-12, java.lang.Double.MIN_NORMAL)
     val floored = vocab.map { p =>
       val c = counts.getOrElse(p, 0.0)
-      p -> (if (p.length == 1) math.max(c, 1e-3) else math.max(c, 1e-12))
+      p -> (if (p.length == 1) math.max(c, charFloor)
+            else math.max(c, java.lang.Double.MIN_NORMAL))
     }
     val total = floored.iterator.map(_._2).sum
     floored.map { case (p, c) => p -> math.log(c / total) }.toMap

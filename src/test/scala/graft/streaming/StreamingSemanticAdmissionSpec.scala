@@ -76,10 +76,11 @@ class StreamingSemanticAdmissionSpec extends SparkTestBase {
                 Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
                 r.getAs[Boolean]("keep")))).toMap
           assert(got == expected, s"pattern $pi diverged: $got vs $expected")
-          val progress = q.lastProgress
-          if (progress != null && progress.stateOperators.nonEmpty)
-            assert(progress.stateOperators.map(_.numRowsTotal).sum == 0L,
-              "admission must keep zero state rows")
+          // non-vacuous zero-state check (see StreamingAudioAdmissionSpec)
+          assert(q.recentProgress.nonEmpty, "no streaming progress observed")
+          q.recentProgress.foreach(p =>
+            assert(p.stateOperators.map(_.numRowsTotal).sum == 0L,
+              "admission must keep zero state rows"))
         } finally q.stop()
       }
     } finally {
