@@ -101,23 +101,45 @@ object AnnIndex {
 
   // ---- centroid sidecar ----
 
-  /** Persist k-means centroids as `dir/centroids` — 1-based cid rows
-    * matching [[Similarity.assignCells]]. nlist rows of `dim` doubles:
-    * driver-sized, one file. */
+  /** Persist k-means centroids as `dir/centroids` — one text line per
+    * 1-based cid matching [[Similarity.assignCells]], doubles encoded
+    * as `doubleToLongBits` hex so the roundtrip is bit-exact. nlist
+    * rows of `dim` doubles is driver-sized by construction (the fit
+    * collects them anyway), so the sidecar is plain driver FS IO: a
+    * serve or append never pays a Spark job just to load 16 rows —
+    * at bench granularity that job was a fixed ~0.15 s tax on every
+    * lifecycle call. */
   def writeCentroids(spark: SparkSession, centroids: Array[Array[Double]],
                      dir: String): Unit = {
-    import spark.implicits._
-    centroids.zipWithIndex.toSeq.map { case (c, i) => (i + 1, c.toSeq) }
-      .toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true) // parquet-vintage dir or stale file
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+    try centroids.zipWithIndex.foreach { case (c, i) =>
+      out.println(s"${i + 1}\t" + c.iterator
+        .map(d => java.lang.Long.toHexString(
+          java.lang.Double.doubleToRawLongBits(d))).mkString(","))
+    } finally out.close()
   }
 
   /** Load the sidecar back into the in-memory form every serving path
     * takes (array index i ↔ cid i+1). */
-  def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    spark.read.parquet(s"${resolveRoot(spark, dir)}/centroids")
-      .orderBy(col("cid")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+  def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${resolveRoot(spark, dir)}/centroids")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).map { line =>
+        val Array(cid, vec) = line.split("\t", 2)
+        cid.toInt -> vec.split(",").map(h =>
+          java.lang.Double.longBitsToDouble(
+            java.lang.Long.parseUnsignedLong(h, 16)))
+      }.toArray.sortBy(_._1).map(_._2)
+    finally in.close()
+  }
 
   // ---- drift manifest ----
 
@@ -130,24 +152,41 @@ object AnnIndex {
   private def writeManifest(spark: SparkSession, dir: String,
                             built: Long, appended: Long,
                             deleted: Long): Unit = {
-    import spark.implicits._
-    Seq((built, appended, deleted))
-      .toDF("n_built", "n_appended", "n_deleted")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true) // parquet-vintage dir or stale file
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+    // 3 longs: plain driver FS IO, not a Spark job — the ledger is
+    // 1-row by design and every lifecycle op bumps it
+    try out.println(s"""{"n_built":$built,"n_appended":$appended,"n_deleted":$deleted}""")
+    finally out.close()
   }
 
   private def readManifest(spark: SparkSession,
                            dir: String): Option[(Long, Long, Long)] = {
     val root = resolveRoot(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$root/manifest")
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      None
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(s"$root/manifest").head()
-      Some((r.getAs[Long]("n_built"), r.getAs[Long]("n_appended"),
-        r.getAs[Long]("n_deleted")))
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      val line = try in.readLine() finally in.close()
+      val M = """\{"n_built":(-?\d+),"n_appended":(-?\d+),"n_deleted":(-?\d+)\}""".r
+      line match {
+        case M(b, a, d) => Some((b.toLong, a.toLong, d.toLong))
+        case _ => None
+      }
     }
   }
+
+  /** The drift ledger's counts — (n_built, n_appended, n_deleted) —
+    * exposed for spec assertions and ops dashboards; None for a
+    * pre-manifest index. */
+  def manifestCounts(spark: SparkSession,
+                     dir: String): Option[(Long, Long, Long)] =
+    readManifest(spark, dir)
 
   private def bumpManifest(spark: SparkSession, dir: String,
                            appended: Long, deleted: Long): Unit =
@@ -255,10 +294,15 @@ object AnnIndex {
                  filesPerShard: Int = 2): Unit = {
     val root = resolveRoot(batch.sparkSession, dir)
     val centroids = readCentroids(batch.sparkSession, root)
-    CorpusSink.appendShards(ivfqRows(batch, centroids), s"$root/vectors",
+    // the manifest's appended count rides the write job as an
+    // observed metric — no second pass over the batch just to count
+    val obs = org.apache.spark.sql.Observation()
+    CorpusSink.appendShards(
+      ivfqRows(batch, centroids).observe(obs, count(lit(1)).as("n")),
+      s"$root/vectors",
       shardCol = "cid", sortCol = "vec_id", filesPerShard = filesPerShard)
-    bumpManifest(batch.sparkSession, root, appended = batch.count(),
-      deleted = 0L)
+    bumpManifest(batch.sparkSession, root,
+      appended = obs.get("n").asInstanceOf[Long], deleted = 0L)
   }
 
   /** COMPACTION for [[appendIvfq]]'s file growth — the IVF twin of
@@ -359,17 +403,25 @@ object AnnIndex {
       if (fs.exists(p)) Some(s"$root/$name") else None
     }
     val batch = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-    val nBatch = batch.count()
-    if (nBatch == 0) return
+    // limit probe instead of count-then-collect: one job decides the
+    // path AND (on the small path) yields the full distinct id set,
+    // driver-bounded at bulkThreshold+1 rows by construction
+    val probe = batch.limit(bulkThreshold + 1).collect().map(_.getLong(0))
+    if (probe.isEmpty) return
     val membership: Option[DataFrame] =
       part("vectors").map(p => spark.read.parquet(p).select(col("vec_id")))
         .orElse(part("nodes").map(p => spark.read.parquet(p).select(col("vec_id"))))
-    if (nBatch <= bulkThreshold) {
+    if (probe.length <= bulkThreshold) {
       // small path: the fresh set is LOCALIZED on the driver before
       // the append — the lazy plan reads the very file the write
       // extends, so a recompute-after-write would see its own output
-      val wanted = antiJoinDeletes(batch, root, "vec_id")
-        .collect().map(_.getLong(0))
+      import spark.implicits._
+      val wanted = deletesPath(spark, root) match {
+        case None => probe // no tombstones yet: nothing to anti-join
+        case Some(_) =>
+          antiJoinDeletes(probe.toSeq.toDF("vec_id"), root, "vec_id")
+            .collect().map(_.getLong(0))
+      }
       val fresh: Array[Long] =
         if (wanted.isEmpty) Array.empty
         else membership match {

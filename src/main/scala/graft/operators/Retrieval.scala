@@ -174,11 +174,40 @@ object Retrieval {
     * and the postings-only read schema. */
   def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 16,
                  filesPerShard: Int = 2): Unit = {
+    val spark = docs.sparkSession
     graft.sources.CorpusSink.writeParquet(postings(docs, nBuckets),
       s"$dir/postings",
       shardCol = "term_bucket", sortCol = "term", filesPerShard = filesPerShard)
-    corpusStats(docs).write.mode("overwrite").parquet(s"$dir/stats")
-    emptyDocs(docs).write.mode("overwrite").parquet(s"$dir/emptydocs")
+    val (nDocs, sumDl, nEmpty) = docStats(docs)
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // the empties scan runs only when the stats pass saw a zero-token
+    // doc (rare by construction); an index without the sidecar means
+    // "no empty docs" to every consumer ([[deleteIndex]] exists-checks)
+    if (nEmpty > 0)
+      emptyDocs(docs).write.mode("overwrite").parquet(s"$dir/emptydocs")
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/emptydocs")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** One light pass over `docs` for the sidecar scalars: (n_docs,
+    * sum_dl, n_empty). The projection is just the token-count — the
+    * build path used to run THREE tokenize scans (postings, stats,
+    * empties); this fold plus the conditional empties scan make it
+    * two, with the third only when an empty doc actually exists. */
+  private def docStats(docs: DataFrame): (Long, Long, Long) = {
+    val r = docs
+      .select(size(TextOps.regexTokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+        coalesce(sum(when(col("dl") === 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_empty"))
+      .head()
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"),
+      r.getAs[Long]("n_empty"))
   }
 
   /** `dir/emptydocs`: doc_ids of ZERO-TOKEN documents. They are
@@ -243,21 +272,22 @@ object Retrieval {
     graft.sources.CorpusSink.appendShards(postings(newDocs, nBuckets),
       s"$dir/postings",
       shardCol = "term_bucket", sortCol = "term", filesPerShard = filesPerShard)
-    // additive stats merge: collect both 1-row sides (old stats +
-    // batch stats) to the driver, fold, overwrite — never a
-    // read-and-overwrite of the same path in one plan
+    // additive stats merge: one light batch fold ([[docStats]]), the
+    // old 1-row side collected, summed on the driver, overwrite —
+    // never a read-and-overwrite of the same path in one plan
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val old =
-      if (fs.exists(statsPath)) spark.read.parquet(s"$dir/stats")
-      else corpusStats(newDocs).limit(0)
-    val merged = old.unionByName(corpusStats(newDocs)).collect()
-    val nDocs = merged.map(_.getAs[Long]("n_docs")).sum
-    val sumDl = merged.map(_.getAs[Long]("sum_dl")).sum
+    val (bDocs, bSumDl, bEmpty) = docStats(newDocs)
+    val (oDocs, oSumDl) =
+      if (fs.exists(statsPath)) {
+        val r = spark.read.parquet(s"$dir/stats").head()
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
+      } else (0L, 0L)
     import spark.implicits._
-    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+    Seq((oDocs + bDocs, oSumDl + bSumDl)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    emptyDocs(newDocs).write.mode("append").parquet(s"$dir/emptydocs")
+    if (bEmpty > 0)
+      emptyDocs(newDocs).write.mode("append").parquet(s"$dir/emptydocs")
   }
 
   /** TOMBSTONE DELETE for the stored index — the retrieval twin of

@@ -42,6 +42,37 @@ object PipelineQueries {
     * one appended clone serves every full-corpus consumer; each key
     * still clones privately before mutating. The build closures
     * derive the SAME slices the base keys encode. */
+  /** Multiset equality of two collected top-k result sets — the
+    * driver-side form of `a.exceptAll(b).isEmpty &&
+    * b.exceptAll(a).isEmpty` for contract-sized (|Q|·k ≤ a few
+    * hundred rows) results. The DataFrame form costs two shuffle
+    * jobs per parity check at bench granularity; both sides are
+    * already driver-sized, so the exact same multiset semantics run
+    * for free on the rows the keys collect anyway. */
+  private def sameResults(a: Array[org.apache.spark.sql.Row],
+                          b: Array[org.apache.spark.sql.Row]): Boolean = {
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    a.length == b.length && keys(a) == keys(b)
+  }
+
+  /** Driver-side [[Similarity.meanRecall]] over collected result
+    * sets: (n_queries, mean recall) — per-query |ann ∩ exact| /
+    * |exact| averaged over every qid in `exact`, qids missing from
+    * `ann` scoring 0, exactly the DataFrame twin's left-join+fill
+    * semantics. */
+  private def recallOf(ann: Array[org.apache.spark.sql.Row],
+                       exact: Array[org.apache.spark.sql.Row]): (Long, Double) = {
+    val annBy = ann.groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val perQ = exact.groupBy(_.getAs[Long]("qid")).toSeq.map { case (q, ex) =>
+      val hits = annBy.getOrElse(q, Set.empty[Long])
+      ex.count(r => hits(r.getAs[Long]("neighbor_id"))).toDouble / ex.length
+    }
+    (perQ.length.toLong,
+      if (perQ.isEmpty) 0.0 else perQ.sum / perQ.length)
+  }
+
   private def ivfqFullDir(s: SparkSession, d: String): String =
     graft.IndexMemo.dir(ivfqBaseKey(d) + "|plus_batch") { dir =>
       val emb = Tables.embeddings(s, d)
@@ -1381,10 +1412,12 @@ object PipelineQueries {
           AnnIndex.buildIvfqIndex(old, base, nlist = 16))
         val centroids = AnnIndex.readCentroids(s, dir)
         AnnIndex.appendIvfq(batch, dir)
-        // both |Q|·k result sets are read by three checks each —
-        // cache so each pipeline runs once (released in the finally)
+        // |Q|·k result sets are contract-sized: collect each pipeline
+        // ONCE and run parity + recall driver-side (sameResults is
+        // exceptAll-both-ways; recallOf is meanRecall) — one job per
+        // pipeline instead of a job per check
         val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
-          k = 5, nProbe = 4, rerank = 4).cache()
+          k = 5, nProbe = 4, rerank = 4).collect()
         // in-session rebuild twin: same centroids, full corpus —
         // ivfqRerank's cid fallback is the same assignment expression
         // the stored build uses
@@ -1392,20 +1425,13 @@ object PipelineQueries {
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
         val rebuilt = Similarity.ivfqRerank(Similarity.quantizedCorpus(emb),
-          exact, queries, centroids, k = 5, nProbe = 4, rerank = 4).cache()
-        try {
-          val parityOk = served.exceptAll(rebuilt).isEmpty &&
-            rebuilt.exceptAll(served).isEmpty
-          val rec = Similarity.meanRecall(served,
-            Similarity.bruteForceTopK(emb, queries, k = 5)).head()
-          import s.implicits._
-          Seq((rec.getAs[Long]("n_queries"),
-            rec.getAs[Double]("recall") >= 0.5, parityOk))
-            .toDF("n_queries", "recall_ok", "parity_ok")
-        } finally {
-          served.unpersist(blocking = false)
-          rebuilt.unpersist(blocking = false)
-        }
+          exact, queries, centroids, k = 5, nProbe = 4, rerank = 4).collect()
+        val parityOk = sameResults(served, rebuilt)
+        val (nQueries, recall) = recallOf(served,
+          Similarity.bruteForceTopK(emb, queries, k = 5).collect())
+        import s.implicits._
+        Seq((nQueries, recall >= 0.5, parityOk))
+          .toDF("n_queries", "recall_ok", "parity_ok")
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -1446,34 +1472,28 @@ object PipelineQueries {
         graft.IndexMemo.copyTree(ivfqFullDir(s, d), dir)
         val centroids = AnnIndex.readCentroids(s, dir)
         AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
+        // collect-once + driver-side checks (the q_ann_append shape)
         val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
-          k = 5, nProbe = 4, rerank = 4).cache()
+          k = 5, nProbe = 4, rerank = 4).collect()
         val exact = survivors.select(col("vec_id"),
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
         val rebuilt = Similarity.ivfqRerank(
           Similarity.quantizedCorpus(survivors), exact, queries, centroids,
-          k = 5, nProbe = 4, rerank = 4).cache()
-        try {
-          val delIds = deleted.select(col("vec_id")).collect()
-            .map(_.getLong(0)).toSet
-          val noDeleted = served.filter(col("neighbor_id")
-            .isin(delIds.toSeq.map(Long.box): _*)).isEmpty
-          val parityOk = served.exceptAll(rebuilt).isEmpty &&
-            rebuilt.exceptAll(served).isEmpty
-          val servedRows = served.collect().toSet
-          AnnIndex.purgeIvfqDeletes(s, dir)
-          val after = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
-            k = 5, nProbe = 4, rerank = 4).collect().toSet
-          val purgeOk = after == servedRows &&
-            !new java.io.File(s"$dir/deletes").exists()
-          import s.implicits._
-          Seq((queries.count(), noDeleted, parityOk, purgeOk))
-            .toDF("n_queries", "no_deleted_ok", "parity_ok", "purge_ok")
-        } finally {
-          served.unpersist(blocking = false)
-          rebuilt.unpersist(blocking = false)
-        }
+          k = 5, nProbe = 4, rerank = 4).collect()
+        val delIds = deleted.select(col("vec_id")).collect()
+          .map(_.getLong(0)).toSet
+        val noDeleted =
+          !served.exists(r => delIds(r.getAs[Long]("neighbor_id")))
+        val parityOk = sameResults(served, rebuilt)
+        AnnIndex.purgeIvfqDeletes(s, dir)
+        val after = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+          k = 5, nProbe = 4, rerank = 4).collect()
+        val purgeOk = sameResults(after, served) &&
+          !new java.io.File(s"$dir/deletes").exists()
+        import s.implicits._
+        Seq((queries.count(), noDeleted, parityOk, purgeOk))
+          .toDF("n_queries", "no_deleted_ok", "parity_ok", "purge_ok")
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -1521,29 +1541,28 @@ object PipelineQueries {
         graft.IndexMemo.copyTree(ivfqFullDir(s, d), dir)
         val centroids = AnnIndex.readCentroids(s, dir)
         val purged = AnnIndex.upsertIvfq(batch, dir)
-        val served = AnnIndex.ivfqTopKFromPath(s, dir, upserted, queries,
-          k = 5, nProbe = 4, rerank = 4).cache()
-        val exact = upserted.select(col("vec_id"),
-            VectorOps.asDoubleArray(col("embedding")).as("cv"))
-          .withColumn("cn", VectorOps.l2Norm(col("cv")))
-        val rebuilt = Similarity.ivfqRerank(
-          Similarity.quantizedCorpus(upserted), exact, queries, centroids,
-          k = 5, nProbe = 4, rerank = 4).cache()
+        // collect-once + driver-side checks (the q_ann_append shape);
+        // the upserted corpus is read by three serve/rebuild
+        // pipelines — cache it for the key's lifetime
+        val upsertedC = upserted.cache()
         try {
-          val parityOk = served.exceptAll(rebuilt).isEmpty &&
-            rebuilt.exceptAll(served).isEmpty
-          val servedRows = served.collect().toSet
+          val served = AnnIndex.ivfqTopKFromPath(s, dir, upsertedC, queries,
+            k = 5, nProbe = 4, rerank = 4).collect()
+          val exact = upsertedC.select(col("vec_id"),
+              VectorOps.asDoubleArray(col("embedding")).as("cv"))
+            .withColumn("cn", VectorOps.l2Norm(col("cv")))
+          val rebuilt = Similarity.ivfqRerank(
+            Similarity.quantizedCorpus(upsertedC), exact, queries, centroids,
+            k = 5, nProbe = 4, rerank = 4).collect()
+          val parityOk = sameResults(served, rebuilt)
           AnnIndex.upsertIvfq(batch, dir) // replay the whole upsert
-          val after = AnnIndex.ivfqTopKFromPath(s, dir, upserted, queries,
-            k = 5, nProbe = 4, rerank = 4).collect().toSet
+          val after = AnnIndex.ivfqTopKFromPath(s, dir, upsertedC, queries,
+            k = 5, nProbe = 4, rerank = 4).collect()
           import s.implicits._
           Seq((queries.count(), parityOk, purged.nonEmpty,
-              after == servedRows))
+              sameResults(after, served)))
             .toDF("n_queries", "parity_ok", "replace_ok", "replay_ok")
-        } finally {
-          served.unpersist(blocking = false)
-          rebuilt.unpersist(blocking = false)
-        }
+        } finally upsertedC.unpersist(blocking = false)
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -1776,12 +1795,16 @@ object PipelineQueries {
         .collect().map(_.getString(0)).toSeq
       // k+1 then re-cut: dropping the query doc from a (k+1)-cut
       // equals cutting k from corpus-minus-query either way
+      // the stored sparse leg feeds three consumers (fusion, the
+      // bit-parity check, the exact-composition fusion) — cache it so
+      // the postings scan + window run once, not three times
       val sparseStored = Retrieval.bm25TopKFromIndex(s, bm25Dir,
           qterms, k = 51)
         .filter(col("doc_id") =!= qid)
         .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
+        .cache()
       val fusedStored = Retrieval.rrfFuse(sparseStored, denseStored, k = 10)
         .collect()
       // contract 1: the stored sparse leg is BIT-identical to inline
@@ -1800,6 +1823,7 @@ object PipelineQueries {
       val sparseExact = sparseStored // already proven bit-identical
       val fusedExact = Retrieval.rrfFuse(sparseExact, denseExact, k = 10)
         .collect().map(_.getLong(0)).toSet
+      sparseStored.unpersist(blocking = false)
       val overlap = fusedStored.map(_.getLong(0)).count(fusedExact.contains)
       Seq((fusedStored.length.toLong, sparseParity, overlap >= 6))
         .toDF("n_rows", "sparse_parity_ok", "fusion_overlap_ok")

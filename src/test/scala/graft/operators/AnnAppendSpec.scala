@@ -149,14 +149,14 @@ class AnnAppendSpec extends SparkTestBase {
       assert(served == rebuilt,
         "upsert serving diverged from a rebuild on the upserted corpus")
       // manifest: replaced rows drift as BOTH deleted and appended
-      val m = spark.read.parquet(s"$dir/manifest").head()
-      assert(m.getAs[Long]("n_appended") == 7 && m.getAs[Long]("n_deleted") == 4,
+      val m = AnnIndex.manifestCounts(spark, dir).get
+      assert(m._2 == 7 && m._3 == 4,
         s"manifest off after upsert: $m")
       // idempotent-ish replay: same batch again = 7 more appends, 7
       // more deletes (the previous generation is replaced in full)
       AnnIndex.upsertIvfq(batch, dir)
-      val m2 = spark.read.parquet(s"$dir/manifest").head()
-      assert(m2.getAs[Long]("n_appended") == 14 && m2.getAs[Long]("n_deleted") == 11,
+      val m2 = AnnIndex.manifestCounts(spark, dir).get
+      assert(m2._2 == 14 && m2._3 == 11,
         s"manifest off after replayed upsert: $m2")
       assert(resultSet(AnnIndex.ivfqTopKFromPath(spark, dir, after,
         queries, k = 3, nProbe = 2, rerank = 4)) == rebuilt,

@@ -192,8 +192,7 @@ class IndexDeleteSpec extends SparkTestBase {
         .groupBy(_.getInt(0))
       val (cellId, cellRows) = byCell.minBy(_._2.length)
       val cellIds = cellRows.map(_.getLong(1)).toSeq
-      def nDeleted = spark.read.parquet(s"$dir/manifest")
-        .head().getAs[Long]("n_deleted")
+      def nDeleted = AnnIndex.manifestCounts(spark, dir).get._3
       AnnIndex.deleteVectors(cellIds.toDF("vec_id"), dir)
       val d0 = nDeleted
       assert(d0 == cellIds.size.toLong)
@@ -330,8 +329,7 @@ class IndexDeleteSpec extends SparkTestBase {
         k = 3, beam = 16, hops = 2, seedProbe = 2).collect()
       assert(servedBefore.exists(_.getLong(2) == x),
         "precondition broke: consolidated-out node not served")
-      def nDeleted = spark.read.parquet(s"$dir/manifest")
-        .head().getAs[Long]("n_deleted")
+      def nDeleted = AnnIndex.manifestCounts(spark, dir).get._3
       val d0 = nDeleted
       AnnIndex.deleteVectors(Seq(x).toDF("vec_id"), dir)
       assert(nDeleted == d0 + 1,
@@ -361,8 +359,7 @@ class IndexDeleteSpec extends SparkTestBase {
       // localization — the fresh set goes through the staging dir
       val batch = spark.range(50L, 100050L).select(col("id").as("vec_id"))
       AnnIndex.deleteVectors(batch, dir)
-      def nDeleted = spark.read.parquet(s"$dir/manifest")
-        .head().getAs[Long]("n_deleted")
+      def nDeleted = AnnIndex.manifestCounts(spark, dir).get._3
       assert(nDeleted == 70L,
         s"bulk membership probe off: n_deleted=$nDeleted (want 70)")
       assert(spark.read.parquet(s"$dir/deletes").count() == 70L)

@@ -60,10 +60,10 @@ class RefitValveSpec extends SparkTestBase {
       // drift = (20 + 5) / 115 = 0.217
       assert(!AnnIndex.needsRefit(spark, dir, maxDrift = 0.25))
       assert(AnnIndex.needsRefit(spark, dir, maxDrift = 0.20))
-      val m = spark.read.parquet(s"$dir/manifest").head()
-      assert(m.getAs[Long]("n_built") == 100)
-      assert(m.getAs[Long]("n_appended") == 20)
-      assert(m.getAs[Long]("n_deleted") == 5)
+      val m = AnnIndex.manifestCounts(spark, dir).get
+      assert(m._1 == 100)
+      assert(m._2 == 20)
+      assert(m._3 == 5)
     }
   }
 
@@ -127,7 +127,7 @@ class RefitValveSpec extends SparkTestBase {
       AnnIndex.refitIvfq(emb, dir, nlist = 4, seed = 11L)
       assert(new java.io.File(s"$dir/v_1/vectors").isDirectory,
         "refit did not commit a version root")
-      assert(new java.io.File(s"$dir/v_1/centroids").isDirectory,
+      assert(new java.io.File(s"$dir/v_1/centroids").exists(),
         "version root missing its centroid sidecar — mixed-parts risk")
       assert(!new java.io.File(s"$dir/vectors").exists(),
         "superseded flat vectors survived GC")
@@ -144,8 +144,8 @@ class RefitValveSpec extends SparkTestBase {
       AnnIndex.deleteVectors(Seq(1000L).toDF("vec_id"), dir)
       assert(new java.io.File(s"$dir/v_1/deletes").exists(),
         "delete wrote outside the committed version root")
-      val m = spark.read.parquet(s"$dir/v_1/manifest").head()
-      assert(m.getAs[Long]("n_appended") == 5 && m.getAs[Long]("n_deleted") == 1)
+      val m = AnnIndex.manifestCounts(spark, s"$dir/v_1").get
+      assert(m._2 == 5 && m._3 == 1)
       AnnIndex.purgeIvfqDeletes(spark, dir)
       assert(!new java.io.File(s"$dir/v_1/deletes").exists())
       assert(serve(dir).forall(_._3 != 1000L))

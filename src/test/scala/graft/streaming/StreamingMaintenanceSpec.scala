@@ -73,9 +73,8 @@ class StreamingMaintenanceSpec extends SparkTestBase {
         // keep streaming AFTER the refit: appends land inside the new
         // version root and drift re-accumulates from zero
         stream.addData(arriving.drop(40): _*); q.processAllAvailable()
-        val m = spark.read.parquet(s"$indexDir/v_1/manifest").head()
-        assert(m.getAs[Long]("n_built") == 120 &&
-          m.getAs[Long]("n_appended") == 40,
+        val m = AnnIndex.manifestCounts(spark, s"$indexDir/v_1").get
+        assert(m._1 == 120 && m._2 == 40,
           s"post-refit manifest off: $m")
         // parity twin under the REFITTED centroids (append parity is
         // rebuild-under-same-centroids, not fresh-fit)
