@@ -118,6 +118,19 @@ object ImageDedup {
   private[graft] def maxSumDiff(maxMeanDiffE2: Long): Long =
     (maxMeanDiffE2 + 1) * (ThumbW * ThumbH * 3) / 100
 
+  /** Per-FRAME feature kernel over already-decoded pixels — the
+    * [[thumbRow]] math without the container decode, shared with
+    * [[VideoDedup]] (which walks its own container and decodes each
+    * sampled frame before fingerprinting it like a still image):
+    * (216-int RGB thumb, dhash, ckA, ckB, channel sums). */
+  private[operators] def frameFeatures(px: Array[Byte], w: Int, h: Int)
+      : (Array[Int], Long, Long, Long, Array[Long]) = {
+    val t = rgbThumb(px, w, h)
+    val s = channelSums(t)
+    val (ckA, ckB) = colorKeys(s)
+    (t, dhash(t), ckA, ckB, s)
+  }
+
   /** decode → (doc_id, 216-int RGB thumb, dhash, two color-grid keys,
     * exact per-channel sums sr/sg/sb — the verify pre-filter columns)
     * in one zero-shuffle typed per-partition pass. Undecodable media

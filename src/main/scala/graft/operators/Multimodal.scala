@@ -1618,6 +1618,42 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Assemble a RIFF/AVI container from per-frame compressed
+    * payloads — [[plantAvi]]'s container layout parameterized on the
+    * frame streams, so fixtures can re-mux variant streams (a
+    * re-encoded or frame-dropped twin) through the same walk
+    * [[decodeAvi]] verifies: `RIFF('AVI ')` → `LIST('hdrl')` with the
+    * 56-byte `avih` (frame count, geometry, 25 fps) → `LIST('movi')`
+    * of `00dc` chunks, RIFF even-padding per chunk. */
+  def aviFromFrames(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(body.length + 10)
+      o.write(id.getBytes("US-ASCII")); le32(o, body.length); o.write(body)
+      if (body.length % 2 == 1) o.write(0)
+      o.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = new java.io.ByteArrayOutputStream(56)
+    le32(avih, 40000); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+    le32(avih, frames.length); le32(avih, 0); le32(avih, 1); le32(avih, 0)
+    le32(avih, w); le32(avih, h)
+    (0 until 4).foreach(_ => le32(avih, 0))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray))
+    val movi = list("movi",
+      frames.map(fb => chunk("00dc", fb)).reduce(_ ++ _))
+    val out = new java.io.ByteArrayOutputStream(hdrl.length + movi.length + 12)
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 4 + hdrl.length + movi.length)
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write(hdrl); out.write(movi)
+    out.toByteArray
+  }
+
   /** REAL RIFF/AVI walk — the video twin of [[decodeWav]]: verify
     * `RIFF`/`AVI ` and the declared size, iterate top-level chunks
     * with the even-padding rule, descend into `LIST('movi')`, and

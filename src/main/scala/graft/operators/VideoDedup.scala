@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Perceptual VIDEO near-dup detection — the temporal member of the
+  * dedup family, completing the modality matrix (text / embedding /
+  * semantic / image / audio / video). Re-encoded, re-muxed, and
+  * frame-dropped copies of the same footage are the video-side
+  * analogue of boilerplate text; a pretraining ingest detects them on
+  * SAMPLED FRAMES, not full streams (the [[Multimodal.videoFrames]]
+  * rate-reduction rule), so the whole operator is the
+  * [[ImageDedup]] design with a temporal axis:
+  *
+  *  - FINGERPRINT: one zero-shuffle typed pass walks each RIFF/AVI
+  *    container ([[Multimodal.decodeAvi]]), decodes every `everyN`-th
+  *    frame with the general image decoder (MJPEG or re-encoded PNG
+  *    frames both land on [[Multimodal.decodeImage]]), and emits one
+  *    row per sampled frame carrying the image family's features —
+  *    216-int RGB thumb, 64-bit dHash, two offset color-grid keys
+  *    ([[ImageDedup.frameFeatures]]);
+  *  - CANDIDATES: stream pairs sharing ≥1 (dHash band, color cell)
+  *    bucket through ANY sampled frame — order-independent on
+  *    purpose, so a frame-dropped twin (whose frame ORDINALS shift)
+  *    still collides with its source; per-bucket hot cap with an
+  *    observe metric, the [[ImageDedup.candidates]] guard;
+  *  - VERIFY on candidates only: CONTAINMENT, not symmetric
+  *    distance — the later stream `b` is a near-dup of `a` iff
+  *    ≥ `minContainPct`% of b's sampled frames have an exact
+  *    mean-abs-thumb-diff ≤ `maxMeanDiffE2` partner SOMEWHERE in a
+  *    (set semantics; a sub-stream adds nothing new). The exact
+  *    per-frame math runs in a typed `mapPartitions` barrier
+  *    ([[pairContainment]]) — never in a join condition (the
+  *    interpreted-HOF-into-join trap, `ImageDedup.pairDistances`);
+  *  - TWO-STAGE like every dedup family here: streams with
+  *    byte-identical sampled-thumb SEQUENCES collapse to their min-id
+  *    representative first (one hash aggregation), and the banded
+  *    candidate join + containment verify run over representatives
+  *    only, so pair cost scales with distinct footage, not corpus
+  *    size.
+  *
+  * Reference scope note: the reference engine (SketchMLFlink) has no
+  * media operators at all — this file extends the Group-B pipeline
+  * surface; the dedup doctrine it follows is
+  * `Dedup.scala`'s (banded candidates, exact verify, keep-min).
+  */
+object VideoDedup {
+
+  /** Temporal sampling rate: fingerprint every 2nd frame (the
+    * [[Multimodal.videoFrames]] default — pretraining video ingest
+    * rate-reduces before any per-frame work). */
+  val SampleEveryN = 2
+
+  /** One row per SAMPLED DECODABLE frame: (doc_id, fidx, thumb,
+    * dhash, ckA, ckB) — the [[ImageDedup.thumbnails]] schema plus the
+    * frame ordinal. Undecodable containers and frames emit nothing
+    * (the corrupt-input rule every decode stage follows). */
+  def fingerprints(withVideo: DataFrame,
+                   everyN: Int = SampleEveryN): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val spark = withVideo.sparkSession
+    import spark.implicits._
+    withVideo.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Multimodal.decodeAvi(bytes).toSeq.flatMap { frames =>
+          frames.zipWithIndex
+            .filter { case (_, f) => f % everyN == 0 }
+            .flatMap { case (fb, f) =>
+              Multimodal.decodeImage(fb).map { case (w, h, px) =>
+                val (t, dh, ckA, ckB, s) = ImageDedup.frameFeatures(px, w, h)
+                (id, f.toLong, t.toSeq, dh, ckA, ckB, s(0), s(1), s(2))
+              }
+            }
+        }
+      })
+      .toDF("doc_id", "fidx", "thumb", "dhash", "ckA", "ckB",
+        "sr", "sg", "sb")
+  }
+
+  /** Exact per-FRAME mean-abs thumb distance with the b-side frame
+    * ordinal carried through — the [[ImageDedup.pairDistances]]
+    * kernel plus `fy`, so a truth branch can count DISTINCT matched
+    * b-frames per stream pair (the containment numerator) from
+    * frame-level rows. Same typed-barrier discipline. */
+  private[graft] def frameDistances(joined: DataFrame): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val cells = ImageDedup.ThumbW * ImageDedup.ThumbH * 3
+    joined.select(col("ida").cast("long"), col("idb").cast("long"),
+        col("fy").cast("long"), col("ta"), col("tb"))
+      .as[(Long, Long, Long, Array[Int], Array[Int])]
+      .mapPartitions(_.map { case (a, b, fy, ta, tb) =>
+        var s = 0L
+        var i = 0
+        val n = math.min(ta.length, tb.length)
+        while (i < n) { s += math.abs(ta(i) - tb(i)).toLong; i += 1 }
+        (a, b, fy, s * 100L / cells)
+      }).toDF("ida", "idb", "fy", "mean_diff_e2")
+  }
+
+  /** Stream-level frame table: (doc_id, fr) with `fr` the sampled
+    * thumbs in frame order FLATTENED into one primitive int array
+    * (every thumb is exactly ThumbW·ThumbH·3 = 216 cells, so the
+    * frame boundaries are implicit) — the join side of the
+    * containment verify AND the exact-family signature. Flat on
+    * purpose: `ArrayType(int)` deserializes through the unsafe
+    * primitive fast path (one memcpy per row), where a nested
+    * `Seq[Seq[Int]]` walks an interpreted per-element converter —
+    * measured ~1 ms/row × 250k candidate pairs ≈ 4 min at sf0.1
+    * before this flattening, ~2 s after. ≤ ⌈maxFrames/everyN⌉ · 216
+    * ints per stream: narrow by construction. */
+  private[graft] def streamFrames(prints: DataFrame): DataFrame =
+    prints.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("fidx"), col("thumb"))).as("f0"))
+      .select(col("doc_id"),
+        flatten(transform(array_sort(col("f0")), f => f.getField("thumb")))
+          .as("fr"))
+
+  /** Stream-level compact sum table: (doc_id, sm) with `sm` the
+    * per-frame channel sums (sr, sg, sb) in frame order, flattened
+    * with stride 3 — ~100 bytes per stream vs ~3.5 KB for the full
+    * thumb arrays. The [[sumGate]] side. */
+  private[graft] def streamSums(prints: DataFrame): DataFrame =
+    prints.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("fidx"), col("sr"), col("sg"),
+        col("sb"))).as("s0"))
+      .select(col("doc_id"),
+        flatten(transform(array_sort(col("s0")),
+          f => array(f.getField("sr"), f.getField("sg"), f.getField("sb"))))
+          .as("sm"))
+
+  /** Cheap containment NECESSARY condition over the compact
+    * [[streamSums]] arrays: a b-frame with mean-abs thumb diff ≤ the
+    * e2 bound against some a-frame must have |Σch_a − Σch_b| ≤
+    * `maxSumDiff` on every channel (triangle inequality per channel),
+    * so a pair whose sum-level containment count already misses
+    * `minContainPct` can never pass the exact verify. Runs BEFORE the
+    * fat thumb arrays are joined in — 48 long ops per pair vs ~3.5 KB
+    * of shuffle + 216-cell diffs — so candidate-bucket volume (which
+    * grows with corpus size under the hot-bucket cap) never reaches
+    * the expensive stage. Typed barrier like every exact kernel
+    * here. */
+  private[graft] def sumGate(joined: DataFrame, maxSumDiff: Long,
+                             minContainPct: Int): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.select(col("a").cast("long"), col("b").cast("long"),
+        col("sa"), col("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (a, b, sa, sb) =>
+        val na = sa.length / 3
+        val nb = sb.length / 3
+        var matched = 0
+        var kb = 0
+        while (kb < nb) {
+          var ok = false
+          var ka = 0
+          while (ka < na && !ok) {
+            if (math.abs(sa(ka * 3) - sb(kb * 3)) <= maxSumDiff &&
+                math.abs(sa(ka * 3 + 1) - sb(kb * 3 + 1)) <= maxSumDiff &&
+                math.abs(sa(ka * 3 + 2) - sb(kb * 3 + 2)) <= maxSumDiff)
+              ok = true
+            ka += 1
+          }
+          if (ok) matched += 1
+          kb += 1
+        }
+        if (nb > 0 && matched * 100 >= nb * minContainPct) Iterator((a, b))
+        else Iterator.empty
+      }).toDF("a", "b")
+  }
+
+  private val bucketObserveSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The bucket entries of every sampled frame — 4 dHash bands × 2
+    * color grids per frame ([[ImageDedup.bucketEntries]] one level
+    * down), deduped per stream so a stream joins each bucket once
+    * regardless of how many of its frames share it. */
+  def bucketEntries(prints: DataFrame): DataFrame = {
+    val b0 = prints.withColumn("bands", ImageDedup.bands(col("dhash")))
+      .select(col("doc_id"), col("ckA"), col("ckB"),
+        posexplode(col("bands")).as(Seq("band", "bv")))
+    b0.select(col("doc_id"), (col("band") * 2).as("bk"),
+        col("bv"), col("ckA").as("ck"))
+      .unionByName(b0.select(col("doc_id"), (col("band") * 2 + 1).as("bk"),
+        col("bv"), col("ckB").as("ck")))
+      .distinct()
+  }
+
+  /** Candidate stream pairs (a < b) = streams sharing ≥1 frame
+    * bucket, hot buckets capped at the `maxBucketSize` lowest ids
+    * (capped-out rows surface as an observe metric, never
+    * silently). */
+  def candidates(prints: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val ranked = bucketEntries(prints)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("bk"), col("bv"), col("ck"))
+          .orderBy(col("doc_id"))))
+      .observe(s"video_bucket_truncated_${bucketObserveSeq.incrementAndGet()}",
+        sum(when(col("r") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("r") <= maxBucketSize)
+    val l = ranked.select(col("bk"), col("bv"), col("ck"), col("doc_id").as("a"))
+    val r = ranked.select(col("bk"), col("bv"), col("ck"), col("doc_id").as("b"))
+    l.join(r, Seq("bk", "bv", "ck")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact containment of `fb` in `fa` per joined pair row (`ida`,
+    * `idb`, `fa`, `fb` — both sides FLAT [[streamFrames]] arrays,
+    * frame k = cells [k·216, (k+1)·216)): n_matched = how many of b's
+    * sampled frames have a mean-abs-diff ≤ `maxMeanDiffE2` partner
+    * among a's frames (e2 fixed point over the 216 channel cells —
+    * the [[ImageDedup.pairDistances]] metric, frame-wise). A TYPED
+    * per-partition loop for the same reason as the image twin: the
+    * interpreted per-element math must not merge into a join
+    * condition. ≤ |fa|·|fb| ≤ 16 frame diffs per pair. */
+  private[graft] def pairContainment(joined: DataFrame,
+                                     maxMeanDiffE2: Long): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val cells = ImageDedup.ThumbW * ImageDedup.ThumbH * 3
+    joined.select(col("ida").cast("long"), col("idb").cast("long"),
+        col("fa"), col("fb"))
+      .as[(Long, Long, Array[Int], Array[Int])]
+      .mapPartitions(_.map { case (a, b, fa, fb) =>
+        val na = fa.length / cells
+        val nb = fb.length / cells
+        var matched = 0
+        var kb = 0
+        while (kb < nb) {
+          var ok = false
+          var ka = 0
+          while (ka < na && !ok) {
+            var s = 0L
+            var i = 0
+            val oa = ka * cells
+            val ob = kb * cells
+            while (i < cells) {
+              s += math.abs(fa(oa + i) - fb(ob + i)).toLong
+              i += 1
+            }
+            if (s * 100L / cells <= maxMeanDiffE2) ok = true
+            ka += 1
+          }
+          if (ok) matched += 1
+          kb += 1
+        }
+        (a, b, nb.toLong, matched.toLong)
+      }).toDF("ida", "idb", "n_b", "n_matched")
+  }
+
+  /** Verified near-dup pairs (a < b): banded candidates whose later
+    * stream is ≥ `minContainPct`% frame-contained in the earlier
+    * one. */
+  def nearDupPairs(prints: DataFrame, maxMeanDiffE2: Long = 600L,
+                   minContainPct: Int = 70,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val sf = streamFrames(prints)
+    val ss = streamSums(prints)
+    val gated = sumGate(
+      candidates(prints, maxBucketSize)
+        .join(ss.select(col("doc_id").as("a"), col("sm").as("sa")), Seq("a"))
+        .join(ss.select(col("doc_id").as("b"), col("sm").as("sb")), Seq("b")),
+      ImageDedup.maxSumDiff(maxMeanDiffE2), minContainPct)
+    val joined = gated
+      .join(sf.select(col("doc_id").as("a"), col("fr").as("fa")), Seq("a"))
+      .join(sf.select(col("doc_id").as("b"), col("fr").as("fb")), Seq("b"))
+      .select(col("a").as("ida"), col("b").as("idb"), col("fa"), col("fb"))
+    pairContainment(joined, maxMeanDiffE2)
+      .filter(col("n_b") > 0 &&
+        col("n_matched") * 100 >= col("n_b") * minContainPct)
+      .select(col("ida").as("a"), col("idb").as("b"),
+        col("n_b"), col("n_matched"))
+  }
+
+  /** keep/drop verdict over an already-fingerprinted corpus: a stream
+    * is dropped iff some verified earlier near-dup container exists
+    * (keep-min); `match_id` is the minimum witness. Two-stage exactly
+    * like [[ImageDedup.dedupFromThumbs]]: streams with identical
+    * sampled-thumb sequences collapse to their min-id representative
+    * through one hash aggregation, the banded candidates + containment
+    * verify run over representatives only, and the member-level
+    * verdict is recovered through `coalesce(nbr_min, rep when rep <
+    * id)` — family members share the exact frame sequence, so
+    * member↔member containment IS rep↔rep containment. Streams whose
+    * container yielded no decodable sampled frame are kept (nothing
+    * was verified against them). */
+  def dedupFromPrints(ids: DataFrame, prints: DataFrame,
+                      maxMeanDiffE2: Long = 600L,
+                      minContainPct: Int = 70,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val sf = streamFrames(prints)
+    val sigs = sf.select(col("doc_id"), col("fr").as("sig"))
+    val fams = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val repPrints = prints.join(fams.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val repMatch = nearDupPairs(repPrints, maxMeanDiffE2, minContainPct,
+        maxBucketSize)
+      .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
+    val withRep = sigs.join(fams, Seq("sig"))
+      .select(col("doc_id"), col("rep"))
+      .join(repMatch, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nbr_min"), when(col("rep") < col("doc_id"), col("rep")))
+          .as("match_id"))
+    ids.select(col("doc_id"))
+      .join(withRep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        col("match_id").isNull.as("keep"))
+  }
+
+  /** End-to-end: fingerprint → two-stage verdict. The RETURNED
+    * verdict is cached and already materialized — the CALLER owns its
+    * `unpersist()` (the [[ImageDedup.dedup]] contract: without the
+    * cache, any downstream action would re-decode the corpus through
+    * the released fingerprint lineage). */
+  def dedup(withVideo: DataFrame, maxMeanDiffE2: Long = 600L,
+            minContainPct: Int = 70,
+            maxBucketSize: Int = 1000): DataFrame = {
+    val prints = fingerprints(withVideo).cache()
+    val res = dedupFromPrints(withVideo.select(col("doc_id")), prints,
+      maxMeanDiffE2, minContainPct, maxBucketSize).cache()
+    try res.count()
+    finally prints.unpersist(blocking = false)
+    res
+  }
+
+  /** Fixture: every doc carries its planted MJPEG/AVI stream
+    * ([[Multimodal.plantAvi]]); ids ≡ 0 (mod 20) additionally plant a
+    * RE-ENCODED twin at id + 1,000,000 — every frame decoded,
+    * uniformly brightened +1 (the re-encode/levels-shift artifact;
+    * uniform because the planted MJPEG frames are DC-flat, where a
+    * scattered perturbation breaks dHash's comparison TIES and the
+    * twin stops colliding — brightness shifts are exactly what dHash
+    * is invariant to), re-encoded as a PNG frame and re-muxed — and
+    * ids ≡ 10 (mod 20) plant a
+    * FRAME-DROPPED twin at id + 2,000,000 (the same stream minus its
+    * last frame, the partial-re-upload case). Both twins must be
+    * caught by sampled-frame containment, neither by byte equality. */
+  def withPlantedTwins(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val media = Multimodal.plantAvi(id)
+        val base = Iterator((id, media))
+        if (id % 20 == 0) {
+          val twin = Multimodal.decodeAvi(media).flatMap { frames =>
+            val enc = frames.flatMap(fb =>
+              Multimodal.decodeJpeg(fb).map { case (w, h, px) =>
+                val p = px.clone()
+                var i = 0
+                while (i < p.length) {
+                  p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
+                  i += 1
+                }
+                (ImageDedup.pngFromPixels(w, h, p), w, h)
+              })
+            if (enc.isEmpty) None
+            else Some(Multimodal.aviFromFrames(enc.map(_._1),
+              enc.head._2, enc.head._3))
+          }
+          base ++ twin.iterator.map(m => (id + 1000000L, m))
+        } else if (id % 20 == 10) {
+          val twin = Multimodal.decodeAvi(media).collect {
+            case frames if frames.length > 1 =>
+              Multimodal.aviFromFrames(frames.dropRight(1),
+                Multimodal.plantedWidth(id), Multimodal.plantedHeight(id))
+          }
+          base ++ twin.iterator.map(m => (id + 2000000L, m))
+        } else base
+      })
+      .toDF("doc_id", "media")
+  }
+}

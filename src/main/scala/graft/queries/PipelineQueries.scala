@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, AudioDedup, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, Unigram, UrlOps}
+import graft.operators.{AnnIndex, AudioDedup, Contamination, Curation, Dedup, EmbeddingOps, EmbeddingQuant, Html, ImageDedup, ModelSelection, Multimodal, Packing, Retrieval, Sampling, Similarity, TextOps, Tokenizer, Unigram, UrlOps, VideoDedup}
 
 /** Group B (LLM training-data pipeline) — SURVEY.md §2.5 north star:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
@@ -882,6 +882,83 @@ object PipelineQueries {
         Seq((row.getAs[Long]("n_clips"), row.getAs[Long]("n_planted"),
           row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
           .toDF("n_clips", "n_planted", "sound", "recall_ok")
+      } finally {
+        corpus.unpersist(blocking = false)
+        prints.unpersist(blocking = false)
+        res.unpersist(blocking = false)
+      }
+    }),
+
+    // sampled-frame VIDEO near-dup (completes the modality matrix:
+    // text / embedding / semantic / image / audio / video): every doc
+    // carries a planted MJPEG/AVI stream; ids ≡0 (mod 20) plant a
+    // re-encoded (uniform +1 brightness, PNG re-mux) twin, ids ≡10 a
+    // frame-dropped twin. The operator walks the container, dHash-
+    // fingerprints every 2nd frame, finds candidates through frame
+    // (band, color-cell) buckets, and drops the later stream of a
+    // pair when ≥70% of its sampled frames are exactly contained in
+    // the earlier one. sound = a capped drop panel re-verified by
+    // exact frame containment WITHOUT the banding; recall_ok = ≥80%
+    // of planted twins dropped
+    "q_dedup_video" -> ((s, d) => {
+      val corpus = VideoDedup.withPlantedTwins(Tables.documents(s, d)).cache()
+      val prints = VideoDedup.fingerprints(corpus).cache()
+      val res = VideoDedup.dedupFromPrints(
+        corpus.select(col("doc_id")), prints).cache()
+      res.count() // materialize while prints is hot (both reads below)
+      // truth branch: capped drop panel, exact frame containment vs
+      // ALL earlier streams — frame pairs pre-gated by the codegen'd
+      // channel-sum necessary condition, exact math behind the typed
+      // frameDistances barrier (the q_dedup_image truth-branch shape
+      // with a containment aggregation on top)
+      val drops = res.filter(!col("keep")
+          && pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("y"))
+        .orderBy(col("y")).limit(256)
+      val msd = ImageDedup.maxSumDiff(600L)
+      val yf = broadcast(drops.join(
+        prints.select(col("doc_id").as("y"), col("fidx").as("fy"),
+          col("thumb").as("ty"), col("sr").as("sry"),
+          col("sg").as("sgy"), col("sb").as("sby")), Seq("y")))
+      val fp = prints
+        .select(col("doc_id").as("x"), col("thumb").as("tx"),
+          col("sr").as("srx"), col("sg").as("sgx"), col("sb").as("sbx"))
+        .join(yf, col("x") < col("y") &&
+          abs(col("srx") - col("sry")) <= msd &&
+          abs(col("sgx") - col("sgy")) <= msd &&
+          abs(col("sbx") - col("sby")) <= msd)
+        .select(col("x").as("ida"), col("y").as("idb"), col("fy"),
+          col("tx").as("ta"), col("ty").as("tb"))
+      val nY = prints.groupBy(col("doc_id").as("idb"))
+        .agg(count(lit(1)).as("n_y"))
+      val confirmed = VideoDedup.frameDistances(fp)
+        .filter(col("mean_diff_e2") <= 600L)
+        .select(col("ida"), col("idb"), col("fy")).distinct()
+        .groupBy(col("ida"), col("idb"))
+        .agg(count(lit(1)).as("n_matched"))
+        .join(nY, Seq("idb"))
+        .filter(col("n_matched") * 100 >= col("n_y") * 70)
+        .select(col("idb")).distinct()
+        .agg(count(lit(1)).as("n_confirmed"))
+      val nPanel = drops.agg(count(lit(1)).as("n_panel"))
+      try {
+        val row = res.agg(
+            count(lit(1)).as("n_streams"),
+            sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+              .as("n_planted"),
+            sum(when(!col("keep") && col("doc_id") >= 1000000L, 1L)
+              .otherwise(0L)).as("n_planted_dropped"))
+          .crossJoin(broadcast(nPanel))
+          .crossJoin(broadcast(confirmed))
+          .select(col("n_streams"), col("n_planted"),
+            (col("n_panel") === col("n_confirmed")).as("sound"),
+            (col("n_planted_dropped").cast("double")
+              >= col("n_planted") * 0.8).as("recall_ok"))
+          .head()
+        import s.implicits._
+        Seq((row.getAs[Long]("n_streams"), row.getAs[Long]("n_planted"),
+          row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
+          .toDF("n_streams", "n_planted", "sound", "recall_ok")
       } finally {
         corpus.unpersist(blocking = false)
         prints.unpersist(blocking = false)
@@ -2498,6 +2575,13 @@ object PipelineQueries {
       ("SELECT (SELECT count(*) FROM documents) " +
         "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_clips, " +
         "(SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_planted, " +
+        "TRUE AS sound, TRUE AS recall_ok"),
+    "q_dedup_video" ->
+      ("SELECT (SELECT count(*) FROM documents) " +
+        "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) " +
+        "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 10) AS n_streams, " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 20 = 0) " +
+        "+ (SELECT count(*) FROM documents WHERE doc_id % 20 = 10) AS n_planted, " +
         "TRUE AS sound, TRUE AS recall_ok"),
     "q_dedup_semantic" ->
       ("SELECT (SELECT count(*) FROM embeddings) " +

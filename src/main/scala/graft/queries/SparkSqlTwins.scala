@@ -74,6 +74,29 @@ object SparkSqlTwins {
       s"i -> concat(element_at($toks, i), ' ', element_at($toks, i+1), ' ', element_at($toks, i+2)))) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END"
 
+  /** The shared curation-chain TAIL (quality/language gates → exact
+    * dedup → decontaminate vs the id%10==0 holdout → rebalance → pack
+    * report): everything after the `cand` CTE, which the caller
+    * prepends — `q_curate_e2e` states `cand` as the eval holdout
+    * alone, `q_curate_hosts` as the corpus behind the
+    * host-governance gate. */
+  private val curateTailSql: String =
+    s"gated AS (SELECT doc_id, source, n_chars, text, md5($norm) AS nk FROM cand " +
+      s"WHERE $quality >= 400000 AND $langPred = 'en'), " +
+      "ded AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1), " +
+      s"ev AS (SELECT DISTINCT s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 = 0), " +
+      s"trsh AS (SELECT doc_id, s FROM ded LATERAL VIEW explode($shingles) ex AS s), " +
+      "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
+      "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 700000 * n_sh), " +
+      "clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+      "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
+      "rates AS (SELECT source, least(1000, 15000 div n) AS rate FROM cnt), " +
+      "bal AS (SELECT c.* FROM clean c JOIN rates USING (source) " +
+      "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
+      "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM bal) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "CAST((sum(n_tok) + 2047) div 2048 AS BIGINT) AS n_chunks FROM tok GROUP BY source ORDER BY source"
+
   /** Cosine over float embeddings, mirroring VectorOps.cosineSim's
     * exact op order: sequential-fold dot and norms over
     * array<double>, null (ranks last) on zero norm. */
@@ -175,21 +198,24 @@ object SparkSqlTwins {
 
     "q_curate_e2e" ->
       (s"WITH cand AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
-        s"gated AS (SELECT doc_id, source, n_chars, text, md5($norm) AS nk FROM cand " +
-        s"WHERE $quality >= 400000 AND $langPred = 'en'), " +
-        "ded AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1), " +
-        s"ev AS (SELECT DISTINCT s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 = 0), " +
-        s"trsh AS (SELECT doc_id, s FROM ded LATERAL VIEW explode($shingles) ex AS s), " +
-        "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
-        "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 700000 * n_sh), " +
-        "clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
-        "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
-        "rates AS (SELECT source, least(1000, 15000 div n) AS rate FROM cnt), " +
-        "bal AS (SELECT c.* FROM clean c JOIN rates USING (source) " +
-        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
-        "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS n_tok FROM bal) " +
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
-        "CAST((sum(n_tok) + 2047) div 2048 AS BIGINT) AS n_chunks FROM tok GROUP BY source ORDER BY source"),
+        curateTailSql),
+
+    // the e2e chain behind the host-governance gate — the `cand` CTE
+    // is the corpus minus over-pressure hosts minus the eval holdout;
+    // everything downstream is the shared tail verbatim
+    "q_curate_hosts" ->
+      ("WITH c AS (SELECT doc_id, source, " +
+        "concat(source, CASE WHEN doc_id % 2 = 0 THEN '-a' ELSE '-b' END, '.example.com') AS host, " +
+        "concat('https://', source, CASE WHEN doc_id % 2 = 0 THEN '-a' ELSE '-b' END, '.example.com', " +
+        "CASE WHEN doc_id % 2 = 0 THEN '/art/0?id=0' " +
+        "ELSE concat('/art/', CAST(doc_id % 100000 AS STRING), '?id=', CAST(doc_id % 7 AS STRING)) END) AS canon " +
+        "FROM documents), " +
+        "hr AS (SELECT host, count(*) AS n_urls, count(DISTINCT canon) AS n_canon FROM c GROUP BY 1), " +
+        "badh AS (SELECT host FROM hr WHERE (n_urls - n_canon) * 1000000 >= n_urls * 500000), " +
+        "d2 AS (SELECT d.* FROM documents d JOIN c USING (doc_id) " +
+        "WHERE c.host NOT IN (SELECT host FROM badh)), " +
+        "cand AS (SELECT * FROM d2 WHERE doc_id % 10 <> 0), " +
+        curateTailSql),
 
     "q_decontam_fuzzy" ->
       (s"WITH tr AS (SELECT doc_id, s FROM documents LATERAL VIEW explode($shingles) ex AS s WHERE doc_id % 10 <> 0), " +
@@ -738,6 +764,14 @@ object SparkSqlTwins {
         "CAST(sum_g * 1000000 div (w*h*255) AS BIGINT) AS mean_g_e6, " +
         "CAST(sum_b * 1000000 div (w*h*255) AS BIGINT) AS mean_b_e6 " +
         "FROM j ORDER BY doc_id, frame_idx"),
+
+    // states the oracle's weaker contract (exact word counts, the
+    // operator-proven bounds as literals) in Spark dialect — the
+    // trained unigram segmentation itself is EM-derived and has no
+    // SQL statement, exactly like the DuckDB side
+    "q_unigram_encode" ->
+      ("SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_words, " +
+        "TRUE AS bounded_ok, TRUE AS roundtrip_ok FROM documents ORDER BY doc_id"),
 
     "q_bpe_merges" -> bpeTwin(5),
     "q_bpe_encode" -> bpeEncodeTwin(5),
