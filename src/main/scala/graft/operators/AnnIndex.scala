@@ -580,14 +580,78 @@ object AnnIndex {
     * batch) under the same centroids — every step individually
     * carries that parity. Cost: O(batch) plus a rewrite of only the
     * cells that held replaced rows; batch vec_ids must be unique.
-    * Returns the physically rewritten cids (empty = pure insert). */
+    * Returns the physically rewritten cids (empty = pure insert).
+    *
+    * Execution: batches small enough to localize (≤ `bulkThreshold`
+    * ids, the [[deleteVectors]] small-path discipline) run FUSED —
+    * one id-pushed probe of the stored rows, then ONE staged swap
+    * that writes (touched-cell survivors ∪ quantized batch) and
+    * drains any live tombstones in the same pass. End state, the
+    * returned cids, and both manifest counters are identical to the
+    * three-op composition; what the fusion removes is the composed
+    * path's fixed per-op cost (tombstone sidecar write→read→delete
+    * plus two extra swap writes — measured ~1.5 s of a 6.9 s
+    * lifecycle key at sf0.1, paid TWICE by the idempotent-replay
+    * contract). Larger batches (or an oversized tombstone sidecar)
+    * take the composed path unchanged: no id list ever rides the
+    * driver. */
   def upsertIvfq(batch: DataFrame, dir: String,
-                 filesPerShard: Int = 2): Seq[Int] = {
+                 filesPerShard: Int = 2,
+                 bulkThreshold: Int = 10000): Seq[Int] = {
     val spark = batch.sparkSession
-    deleteVectors(batch.select(col("vec_id")), dir)
-    val purged = purgeIvfqDeletes(spark, dir, filesPerShard)
-    appendIvfq(batch, dir, filesPerShard)
-    purged
+    val root = resolveRoot(spark, dir)
+    val ids = batch.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().limit(bulkThreshold + 1).collect().map(_.getLong(0))
+    val tombs: Array[Long] =
+      if (ids.length > bulkThreshold) Array(0L) // forced fallback below
+      else deletesPath(spark, root) match {
+        case Some(p) => spark.read.parquet(p).select(col("vec_id"))
+          .distinct().limit(bulkThreshold + 1).collect().map(_.getLong(0))
+        case None => Array.empty
+      }
+    if (ids.length > bulkThreshold || tombs.length > bulkThreshold) {
+      deleteVectors(batch.select(col("vec_id")), dir)
+      val purged = purgeIvfqDeletes(spark, dir, filesPerShard)
+      appendIvfq(batch, dir, filesPerShard)
+      return purged
+    }
+    val centroids = readCentroids(spark, root)
+    val batchRows = ivfqRows(batch, centroids)
+    val bCids = batchRows.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    val idSet = ids.toSet
+    val tombSet = tombs.toSet
+    val deadLits = (ids ++ tombs).distinct.toSeq.map(Long.box)
+    val stored = spark.read.parquet(s"$root/vectors")
+    // one pushed probe: which cells hold a dead row, and which batch
+    // ids are live members (the manifest's deleted counter — batch
+    // ids under an existing tombstone were already counted by the
+    // delete that wrote it)
+    val deadRows = stored.filter(col("vec_id").isin(deadLits: _*))
+      .select(col("vec_id"), col("cid").cast("int").as("cid")).collect()
+    val touched = deadRows.map(_.getInt(1)).distinct.sorted
+    val nReplaced = deadRows.iterator.map(_.getLong(0))
+      .filter(id => idSet(id) && !tombSet(id)).toSet.size.toLong
+    val allCells = (touched ++ bCids).distinct.sorted
+    val kept = stored.filter(col("cid").isin(allCells.map(Int.box): _*))
+      .filter(!col("vec_id").isin(deadLits: _*))
+      .select(col("vec_id"), col("qv"), col("scale"),
+        col("cid").cast("int").as("cid"))
+    val obs = org.apache.spark.sql.Observation()
+    CorpusSink.swapShards(
+      kept.unionByName(batchRows
+        .observe(obs, count(lit(1)).as("n"))),
+      s"$root/vectors", allCells.map(c => s"cid=$c").toSeq,
+      shardCol = "cid", sortCol = "vec_id",
+      filesPerShard = filesPerShard, dropDrained = true)
+    deletesPath(spark, root).foreach { p =>
+      val delP = new org.apache.hadoop.fs.Path(p)
+      delP.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(delP, true)
+    }
+    bumpManifest(spark, root, appended = obs.get("n").asInstanceOf[Long],
+      deleted = nReplaced)
+    touched.toSeq
   }
 
   // ---- graph stored index ----

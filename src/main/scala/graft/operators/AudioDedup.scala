@@ -469,6 +469,21 @@ object AudioDedup {
     * perturbation stays below both the sign-delta margins and the
     * verify threshold while any two DISTINCT planted clips differ by
     * orders of magnitude more. */
+  /** Fixture twin: decode `media`, +1 on every 3rd PCM sample (the
+    * re-encode/dither artifact an envelope hash must survive),
+    * re-encoded as WAV. None when undecodable. */
+  private[graft] def reencodedTwin(media: Array[Byte]): Option[Array[Byte]] =
+    Multimodal.decodeWav(media).map { case (rate, ch, samples) =>
+      val p = samples.clone()
+      var i = 0
+      while (i < p.length) {
+        if (i % 3 == 0)
+          p(i) = math.min(32767, p(i) + 1).toShort
+        i += 1
+      }
+      wavFromPcm(rate, ch, p)
+    }
+
   def withPlantedTwins(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -476,20 +491,9 @@ object AudioDedup {
       .mapPartitions(_.flatMap { id =>
         val media = Multimodal.plantWav(id)
         val base = Iterator((id, media))
-        if (id % 20 == 0) {
-          Multimodal.decodeWav(media) match {
-            case Some((rate, ch, samples)) =>
-              val p = samples.clone()
-              var i = 0
-              while (i < p.length) {
-                if (i % 3 == 0)
-                  p(i) = math.min(32767, p(i) + 1).toShort
-                i += 1
-              }
-              base ++ Iterator((id + 1000000L, wavFromPcm(rate, ch, p)))
-            case None => base
-          }
-        } else base
+        if (id % 20 == 0)
+          base ++ reencodedTwin(media).iterator.map(m => (id + 1000000L, m))
+        else base
       })
       .toDF("doc_id", "media")
   }

@@ -78,6 +78,35 @@ object Curation {
     * projection + one broadcast anti-join on top of [[curate]]'s
     * single-shuffle-per-stage budget, never an extra corpus
     * shuffle. */
+  /** MEDIA-governance gate composed into curation — how a multimodal
+    * corpus run consumes the media near-dup verdicts
+    * ([[ImageDedup]]/[[AudioDedup]]/[[VideoDedup]]): a doc whose
+    * attached image/audio/video was judged a near-dup of an earlier
+    * doc's media is dropped WHOLE before any doc-level gate (its text
+    * is a re-crawl/re-upload shell around duplicated media — the
+    * media-side analogue of [[curateWithHostGate]]'s alias farms).
+    * `mediaDrops` carries one `doc_id` per dropped doc — the union of
+    * the per-modality `keep == false` verdicts, computed by the
+    * caller, which owns the media columns and the verdict caches.
+    *
+    * Scale shape: the verdicts are doc-level (|media-carrying docs|
+    * rows at most, drop-set far smaller); the gate is one anti-join
+    * keyed on doc_id before [[curate]]'s single-shuffle-per-stage
+    * budget — never an extra corpus shuffle, and the media bytes
+    * themselves never enter this dataflow. */
+  def curateWithMediaGate(docs: DataFrame, mediaDrops: DataFrame,
+                          evalDocs: DataFrame,
+                          minQualityE6: Long = 400000L,
+                          keepLang: String = "en",
+                          contamThresholdE6: Long = 100000L,
+                          targetPerSource: Long = 15L,
+                          seqLen: Int = 2048): DataFrame = {
+    val kept = docs.join(mediaDrops.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    curate(kept, evalDocs, minQualityE6, keepLang, contamThresholdE6,
+      targetPerSource, seqLen)
+  }
+
   def curateWithHostGate(docs: DataFrame, urls: DataFrame,
                          evalDocs: DataFrame,
                          maxHostDupE6: Long = 500000L,

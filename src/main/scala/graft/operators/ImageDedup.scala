@@ -563,6 +563,23 @@ object ImageDedup {
     * the dHash comparison margins and the verify threshold while any
     * two DISTINCT planted images differ by two orders of magnitude
     * more. */
+  /** Fixture twin: decode `media`, +1 on every pixel whose
+    * (x+y) ≡ 0 (mod 3) — the re-encode/levels-shift artifact a
+    * perceptual hash must survive — re-encoded as PNG. None when
+    * undecodable. */
+  private[graft] def reencodedTwin(media: Array[Byte]): Option[Array[Byte]] =
+    Multimodal.decodeImage(media).map { case (w, h, px) =>
+      val p = px.clone()
+      var i = 0
+      while (i < p.length) {
+        val xy = (i / 3) % w + (i / 3) / w
+        if (xy % 3 == 0)
+          p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
+        i += 1
+      }
+      pngFromPixels(w, h, p)
+    }
+
   def withPlantedTwins(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -570,21 +587,9 @@ object ImageDedup {
       .mapPartitions(_.flatMap { id =>
         val media = Multimodal.plantHeader(id, Array.emptyByteArray)
         val base = Iterator((id, media))
-        if (id % 20 == 0) {
-          Multimodal.decodeImage(media) match {
-            case Some((w, h, px)) =>
-              val p = px.clone()
-              var i = 0
-              while (i < p.length) {
-                val xy = (i / 3) % w + (i / 3) / w
-                if (xy % 3 == 0)
-                  p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
-                i += 1
-              }
-              base ++ Iterator((id + 1000000L, pngFromPixels(w, h, p)))
-            case None => base
-          }
-        } else base
+        if (id % 20 == 0)
+          base ++ reencodedTwin(media).iterator.map(m => (id + 1000000L, m))
+        else base
       })
       .toDF("doc_id", "media")
   }

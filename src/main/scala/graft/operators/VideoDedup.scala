@@ -112,24 +112,30 @@ object VideoDedup {
     * before this flattening, ~2 s after. ≤ ⌈maxFrames/everyN⌉ · 216
     * ints per stream: narrow by construction. */
   private[graft] def streamFrames(prints: DataFrame): DataFrame =
+    streamTables(prints).select(col("doc_id"), col("fr"))
+
+  /** [[streamFrames]] and [[streamSums]] from ONE aggregation pass —
+    * both are per-stream frame-ordered flattenings of the same
+    * grouped rows, so computing them together halves the shuffle
+    * over the fingerprint table. */
+  private[graft] def streamTables(prints: DataFrame): DataFrame =
     prints.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("fidx"), col("thumb"))).as("f0"))
+      .agg(collect_list(struct(col("fidx"), col("thumb"), col("sr"),
+        col("sg"), col("sb"))).as("f0"))
       .select(col("doc_id"),
-        flatten(transform(array_sort(col("f0")), f => f.getField("thumb")))
-          .as("fr"))
+        array_sort(col("f0")).as("f0"))
+      .select(col("doc_id"),
+        flatten(transform(col("f0"), f => f.getField("thumb"))).as("fr"),
+        flatten(transform(col("f0"),
+          f => array(f.getField("sr"), f.getField("sg"), f.getField("sb"))))
+          .as("sm"))
 
   /** Stream-level compact sum table: (doc_id, sm) with `sm` the
     * per-frame channel sums (sr, sg, sb) in frame order, flattened
     * with stride 3 — ~100 bytes per stream vs ~3.5 KB for the full
     * thumb arrays. The [[sumGate]] side. */
   private[graft] def streamSums(prints: DataFrame): DataFrame =
-    prints.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("fidx"), col("sr"), col("sg"),
-        col("sb"))).as("s0"))
-      .select(col("doc_id"),
-        flatten(transform(array_sort(col("s0")),
-          f => array(f.getField("sr"), f.getField("sg"), f.getField("sb"))))
-          .as("sm"))
+    streamTables(prints).select(col("doc_id"), col("sm"))
 
   /** Cheap containment NECESSARY condition over the compact
     * [[streamSums]] arrays: a b-frame with mean-abs thumb diff ≤ the
@@ -257,16 +263,17 @@ object VideoDedup {
   def nearDupPairs(prints: DataFrame, maxMeanDiffE2: Long = 600L,
                    minContainPct: Int = 70,
                    maxBucketSize: Int = 1000): DataFrame = {
-    val sf = streamFrames(prints)
-    val ss = streamSums(prints)
+    // ONE aggregation feeds all four join sides (sum gate a/b, frame
+    // verify a/b): identical subtrees → Spark reuses the exchange
+    val st = streamTables(prints)
     val gated = sumGate(
       candidates(prints, maxBucketSize)
-        .join(ss.select(col("doc_id").as("a"), col("sm").as("sa")), Seq("a"))
-        .join(ss.select(col("doc_id").as("b"), col("sm").as("sb")), Seq("b")),
+        .join(st.select(col("doc_id").as("a"), col("sm").as("sa")), Seq("a"))
+        .join(st.select(col("doc_id").as("b"), col("sm").as("sb")), Seq("b")),
       ImageDedup.maxSumDiff(maxMeanDiffE2), minContainPct)
     val joined = gated
-      .join(sf.select(col("doc_id").as("a"), col("fr").as("fa")), Seq("a"))
-      .join(sf.select(col("doc_id").as("b"), col("fr").as("fb")), Seq("b"))
+      .join(st.select(col("doc_id").as("a"), col("fr").as("fa")), Seq("a"))
+      .join(st.select(col("doc_id").as("b"), col("fr").as("fb")), Seq("b"))
       .select(col("a").as("ida"), col("b").as("idb"), col("fa"), col("fb"))
     pairContainment(joined, maxMeanDiffE2)
       .filter(col("n_b") > 0 &&
@@ -339,6 +346,30 @@ object VideoDedup {
     * FRAME-DROPPED twin at id + 2,000,000 (the same stream minus its
     * last frame, the partial-re-upload case). Both twins must be
     * caught by sampled-frame containment, neither by byte equality. */
+  /** Fixture twin: decode every frame, brighten uniformly +1 (the
+    * re-encode/levels-shift artifact; uniform because the planted
+    * MJPEG frames are DC-flat, where a scattered perturbation breaks
+    * dHash's comparison TIES and the twin stops colliding —
+    * brightness shifts are exactly what dHash is invariant to),
+    * re-encode each frame as PNG and re-mux the container. None when
+    * no frame decodes. */
+  private[graft] def reencodedTwin(media: Array[Byte]): Option[Array[Byte]] =
+    Multimodal.decodeAvi(media).flatMap { frames =>
+      val enc = frames.flatMap(fb =>
+        Multimodal.decodeJpeg(fb).map { case (w, h, px) =>
+          val p = px.clone()
+          var i = 0
+          while (i < p.length) {
+            p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
+            i += 1
+          }
+          (ImageDedup.pngFromPixels(w, h, p), w, h)
+        })
+      if (enc.isEmpty) None
+      else Some(Multimodal.aviFromFrames(enc.map(_._1),
+        enc.head._2, enc.head._3))
+    }
+
   def withPlantedTwins(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -347,22 +378,7 @@ object VideoDedup {
         val media = Multimodal.plantAvi(id)
         val base = Iterator((id, media))
         if (id % 20 == 0) {
-          val twin = Multimodal.decodeAvi(media).flatMap { frames =>
-            val enc = frames.flatMap(fb =>
-              Multimodal.decodeJpeg(fb).map { case (w, h, px) =>
-                val p = px.clone()
-                var i = 0
-                while (i < p.length) {
-                  p(i) = math.min(255, (p(i) & 0xff) + 1).toByte
-                  i += 1
-                }
-                (ImageDedup.pngFromPixels(w, h, p), w, h)
-              })
-            if (enc.isEmpty) None
-            else Some(Multimodal.aviFromFrames(enc.map(_._1),
-              enc.head._2, enc.head._3))
-          }
-          base ++ twin.iterator.map(m => (id + 1000000L, m))
+          base ++ reencodedTwin(media).iterator.map(m => (id + 1000000L, m))
         } else if (id % 20 == 10) {
           val twin = Multimodal.decodeAvi(media).collect {
             case frames if frames.length > 1 =>

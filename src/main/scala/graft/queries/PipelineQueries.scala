@@ -26,6 +26,38 @@ object PipelineQueries {
     * pinned batch — the delete key appends the batch first, which is
     * row-identical to a full build under the same centroids); the two
     * BM25 lifecycle keys share the 2/3-corpus base the same way. */
+  /** q_curate_media's planted multimodal corpus: 20% of docs carry
+    * media — ids ≡0 (mod 20) the source image/audio/video triple,
+    * and one re-encoded near-dup twin modality per ≡4/≡9/≡14 carrier
+    * (of doc id−4/−9/−14's media respectively — always an earlier
+    * ≡0 source, so keep-min drops exactly the carriers). A typed
+    * zero-shuffle pass; parquet-memoized by the key
+    * (graft.MediaFixtures). */
+  private def curateMediaFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val none = Option.empty[Array[Byte]]
+        (id % 20) match {
+          case 0 => (id,
+            Some(Multimodal.plantHeader(id, Array.emptyByteArray)),
+            Some(Multimodal.plantWav(id)),
+            Some(Multimodal.plantAvi(id)))
+          case 4 => (id, ImageDedup.reencodedTwin(
+            Multimodal.plantHeader(id - 4, Array.emptyByteArray)),
+            none, none)
+          case 9 => (id, none, none,
+            VideoDedup.reencodedTwin(Multimodal.plantAvi(id - 9)))
+          case 14 => (id, none,
+            AudioDedup.reencodedTwin(Multimodal.plantWav(id - 14)), none)
+          case _ => (id, none, none, none)
+        }
+      })
+      .toDF("doc_id", "img", "aud", "vid")
+  }
+
   private def ivfqBaseKey(d: String) =
     s"ivfq_base|$d|minus(vec_id%20=13&lt2000)|nlist=16|seed=42|kmeansbb"
   private def bm25BaseKey(d: String) =
@@ -349,6 +381,46 @@ object PipelineQueries {
           evalDocs = docs.filter(pmod(id, lit(10)) === 0),
           contamThresholdE6 = 700000L) // the q_curate_e2e threshold rationale
         .orderBy(col("source"))
+    }),
+
+    // curation with the MEDIA-governance gate composed in (the
+    // multimodal twin of q_curate_hosts): 20% of docs carry planted
+    // media — ids ≡0 (mod 20) a source image+audio+video triple, ids
+    // ≡4 a re-encoded IMAGE twin of doc id−4's image, ids ≡9 a
+    // re-encoded VIDEO twin of id−9's stream, ids ≡14 a re-encoded
+    // AUDIO twin of id−14's clip. All three modality dedups run over
+    // their media-carrying docs; docs whose media fell to an earlier
+    // doc's (exactly the ≡4/≡9/≡14 carriers — sources keep, min-id
+    // wins) drop WHOLE before the doc-level chain. The oracle
+    // re-derives the media verdicts arithmetically from the plant
+    // plus every downstream curation stage
+    "q_curate_media" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = graft.MediaFixtures.memo(s, "curate_media", d)(
+        curateMediaFixture(docs))
+      val imgRes = ImageDedup.dedup(media.filter(col("img").isNotNull)
+        .select(col("doc_id"), col("img").as("media")))
+      val audRes = AudioDedup.dedup(media.filter(col("aud").isNotNull)
+        .select(col("doc_id"), col("aud").as("media")))
+      val vidRes = VideoDedup.dedup(media.filter(col("vid").isNotNull)
+        .select(col("doc_id"), col("vid").as("media")))
+      try {
+        val dropped = Seq(imgRes, audRes, vidRes)
+          .map(_.filter(!col("keep")).select(col("doc_id")))
+          .reduce(_.unionByName(_))
+        val rep = Curation.curateWithMediaGate(docs, dropped,
+            evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            contamThresholdE6 = 700000L) // the q_curate_e2e rationale
+          .orderBy(col("source"))
+        // materialize the |sources|-row report while the verdict
+        // caches are hot — they are released in the finally
+        s.createDataFrame(java.util.Arrays.asList(rep.collect(): _*),
+          rep.schema)
+      } finally {
+        imgRes.unpersist(blocking = false)
+        audRes.unpersist(blocking = false)
+        vidRes.unpersist(blocking = false)
+      }
     }),
 
     // n-gram Jaccard near-dup on a keyed subset (inverted-index join)
@@ -759,10 +831,11 @@ object PipelineQueries {
     // q_dedup_semantic truth rule — bounded at any scale); recall_ok
     // = ≥80% of planted twins dropped
     "q_dedup_image" -> ((s, d) => {
-      // the plant (decode + perturb + PNG re-encode) is the key's
-      // single most expensive pass — cache it so the thumbnail scan
-      // and the id side read it once (released in the finally)
-      val corpus = ImageDedup.withPlantedTwins(Tables.documents(s, d)).cache()
+      // parquet-memoized plant (graft.MediaFixtures): the decode +
+      // perturb + PNG re-encode fixture synthesis is input
+      // construction, paid once per session instead of per attempt
+      val corpus = graft.MediaFixtures.memo(s, "img_twins", d)(
+        ImageDedup.withPlantedTwins(Tables.documents(s, d)))
       val thumbs = ImageDedup.thumbnails(corpus).cache()
       val res = ImageDedup.dedupFromThumbs(
         corpus.select(col("doc_id")), thumbs).cache()
@@ -821,7 +894,6 @@ object PipelineQueries {
           row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
           .toDF("n_images", "n_planted", "sound", "recall_ok")
       } finally {
-        corpus.unpersist(blocking = false)
         thumbs.unpersist(blocking = false)
         res.unpersist(blocking = false)
       }
@@ -837,7 +909,9 @@ object PipelineQueries {
     // panel re-verified against the exact global envelope definition;
     // recall_ok = ≥80% of planted twins dropped
     "q_dedup_audio" -> ((s, d) => {
-      val corpus = AudioDedup.withPlantedTwins(Tables.documents(s, d)).cache()
+      // parquet-memoized plant, the q_dedup_image rationale
+      val corpus = graft.MediaFixtures.memo(s, "aud_twins", d)(
+        AudioDedup.withPlantedTwins(Tables.documents(s, d)))
       val prints = AudioDedup.fingerprints(corpus).cache()
       val res = AudioDedup.dedupFromPrints(
         corpus.select(col("doc_id")), prints).cache()
@@ -883,7 +957,6 @@ object PipelineQueries {
           row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
           .toDF("n_clips", "n_planted", "sound", "recall_ok")
       } finally {
-        corpus.unpersist(blocking = false)
         prints.unpersist(blocking = false)
         res.unpersist(blocking = false)
       }
@@ -901,7 +974,10 @@ object PipelineQueries {
     // exact frame containment WITHOUT the banding; recall_ok = ≥80%
     // of planted twins dropped
     "q_dedup_video" -> ((s, d) => {
-      val corpus = VideoDedup.withPlantedTwins(Tables.documents(s, d)).cache()
+      // parquet-memoized plant: the codec-pipeline fixture synthesis
+      // is input construction, not operator work (graft.MediaFixtures)
+      val corpus = graft.MediaFixtures.memo(s, "vid_twins", d)(
+        VideoDedup.withPlantedTwins(Tables.documents(s, d)))
       val prints = VideoDedup.fingerprints(corpus).cache()
       val res = VideoDedup.dedupFromPrints(
         corpus.select(col("doc_id")), prints).cache()
@@ -960,7 +1036,6 @@ object PipelineQueries {
           row.getAs[Boolean]("sound"), row.getAs[Boolean]("recall_ok")))
           .toDF("n_streams", "n_planted", "sound", "recall_ok")
       } finally {
-        corpus.unpersist(blocking = false)
         prints.unpersist(blocking = false)
         res.unpersist(blocking = false)
       }
@@ -2356,6 +2431,36 @@ object PipelineQueries {
         "FROM ded WHERE rn = 1 GROUP BY source ORDER BY source"),
     "q_curate_e2e" ->
       (s"WITH cand AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+        s"gated AS (SELECT doc_id, source, n_chars, text, md5($normSql) AS nk " +
+        s"FROM cand WHERE $qualitySql >= 400000 AND $langPredSql = 'en'), " +
+        "ded AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY nk ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1), " +
+        s"ev AS (SELECT DISTINCT unnest($shinglesSql) AS s " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
+        s"trsh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM ded), " +
+        "ov AS (SELECT trsh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov " +
+        "FROM trsh LEFT JOIN ev ON trsh.s = ev.s GROUP BY 1), " +
+        "bad AS (SELECT doc_id FROM ov WHERE n_ov * 1000000 >= 700000 * n_sh), " +
+        "clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+        "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY 1), " +
+        "rates AS (SELECT source, least(1000, 15000 // n) AS rate FROM cnt), " +
+        "bal AS (SELECT c.* FROM clean c JOIN rates USING (source) " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 1000 < rate), " +
+        "tok AS (SELECT source, CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) " +
+        "AS n_tok FROM bal) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_chunks " +
+        "FROM tok GROUP BY source ORDER BY source"),
+    // media gate + every curate stage re-derived: the planted media
+    // verdicts are pure doc_id arithmetic (≡4/≡9/≡14 carriers drop to
+    // their ≡0 sources; min-id keeps the source), so the gate is an
+    // exact residue filter ahead of the shared chain — any wrong
+    // verdict (missed twin, false drop) shifts the per-source report
+    // and fails the hash compare
+    "q_curate_media" ->
+      (s"WITH cand AS (SELECT * FROM documents " +
+        "WHERE doc_id % 20 NOT IN (4, 9, 14) AND doc_id % 10 <> 0), " +
         s"gated AS (SELECT doc_id, source, n_chars, text, md5($normSql) AS nk " +
         s"FROM cand WHERE $qualitySql >= 400000 AND $langPredSql = 'en'), " +
         "ded AS (SELECT * FROM (SELECT *, row_number() OVER " +

@@ -200,6 +200,14 @@ object SparkSqlTwins {
       (s"WITH cand AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
         curateTailSql),
 
+    // the e2e chain behind the media-governance gate: the planted
+    // media verdicts reduce to doc_id residues (see the oracle), so
+    // `cand` is an arithmetic filter ahead of the shared tail
+    "q_curate_media" ->
+      ("WITH cand AS (SELECT * FROM documents " +
+        "WHERE doc_id % 20 NOT IN (4, 9, 14) AND doc_id % 10 <> 0), " +
+        curateTailSql),
+
     // the e2e chain behind the host-governance gate — the `cand` CTE
     // is the corpus minus over-pressure hosts minus the eval holdout;
     // everything downstream is the shared tail verbatim

@@ -101,4 +101,61 @@ class CurationSpec extends SparkTestBase {
         seqLen = 64).orderBy("source").collect()
     assert(gated.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
   }
+
+  test("media gate drops exactly the flagged docs and equals curate on the rest") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(id => (id, "s", goodText(id.toString)))
+      .map { case (id, src, t) => (id, src, t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val drops = Seq(3L, 6L).toDF("doc_id")
+    val ev = docs.limit(0)
+    val gated = Curation.curateWithMediaGate(docs, drops, ev, seqLen = 64)
+      .orderBy("source").collect()
+    val expected = Curation.curate(
+        docs.filter(!col("doc_id").isin(3L, 6L)), ev, seqLen = 64)
+      .orderBy("source").collect()
+    assert(gated.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
+
+  test("planted media verdicts reduce to the ≡4/≡9/≡14 residues") {
+    import spark.implicits._
+    // the q_curate_media determinism assumption, proven on a corpus
+    // slice: each modality's dedup over the planted media drops the
+    // twin carriers and ONLY them (sources keep by min-id)
+    val docs = (0L to 99L).map(id => (id, "s", s"text $id", 7L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    def verdictDrops(media: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val r = media.collect()
+      r.map(_.getLong(0)).toSet
+    }
+    val img = (0L to 99L).flatMap { id =>
+      if (id % 20 == 0)
+        Some((id, Multimodal.plantHeader(id, Array.emptyByteArray)))
+      else if (id % 20 == 4)
+        ImageDedup.reencodedTwin(
+          Multimodal.plantHeader(id - 4, Array.emptyByteArray)).map((id, _))
+      else None
+    }.toDF("doc_id", "media")
+    val aud = (0L to 99L).flatMap { id =>
+      if (id % 20 == 0) Some((id, Multimodal.plantWav(id)))
+      else if (id % 20 == 14)
+        AudioDedup.reencodedTwin(Multimodal.plantWav(id - 14)).map((id, _))
+      else None
+    }.toDF("doc_id", "media")
+    val vid = (0L to 99L).flatMap { id =>
+      if (id % 20 == 0) Some((id, Multimodal.plantAvi(id)))
+      else if (id % 20 == 9)
+        VideoDedup.reencodedTwin(Multimodal.plantAvi(id - 9)).map((id, _))
+      else None
+    }.toDF("doc_id", "media")
+    val imgDrops = verdictDrops(
+      ImageDedup.dedup(img).filter(!col("keep")).select("doc_id"))
+    val audDrops = verdictDrops(
+      AudioDedup.dedup(aud).filter(!col("keep")).select("doc_id"))
+    val vidDrops = verdictDrops(
+      VideoDedup.dedup(vid).filter(!col("keep")).select("doc_id"))
+    assert(imgDrops === (0L to 99L).filter(_ % 20 == 4).toSet)
+    assert(audDrops === (0L to 99L).filter(_ % 20 == 14).toSet)
+    assert(vidDrops === (0L to 99L).filter(_ % 20 == 9).toSet)
+  }
 }
