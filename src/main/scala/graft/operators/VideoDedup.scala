@@ -334,6 +334,234 @@ object VideoDedup {
     res
   }
 
+  // ---- stored lifecycle (the ImageDedup/AudioDedup design with a
+  // temporal axis: per-rep STREAM tables + frame-level bucket index,
+  // admission = shard-pruned candidates → sum gate → containment) ----
+
+  /** Bucket-index shard fan-out — bounds an admission batch's
+    * touched-shard set (≤ BucketShards values, driver-collected). */
+  val BucketShards = 32
+
+  /** Build the STORED video near-dup index under `dir`:
+    * `dir/streams` = one row per exact-family REPRESENTATIVE stream
+    * (doc_id, fr, sm — the flat [[streamTables]] arrays), id-sharded
+    * (pmod 16) and id-sorted so admission's pushed `isin` lookups
+    * prune row groups; `dir/buckets` = the reps' frame-level
+    * (bk, bv, ck) entries, capped per bucket, hash-sharded into
+    * [[BucketShards]] directory partitions for touched-shard pruning.
+    * One fingerprint scan; the corpus never moves again. */
+  def buildVideoIndex(withMedia: DataFrame, dir: String,
+                      maxBucketSize: Int = 1000,
+                      filesPerShard: Int = 2): Unit = {
+    val prints = fingerprints(withMedia).cache()
+    try {
+      val st = streamTables(prints)
+      val fams = st.groupBy(col("fr")).agg(min(col("doc_id")).as("rep"))
+      val repIds = fams.select(col("rep").as("doc_id"))
+      val reps = st.join(repIds, Seq("doc_id"), "left_semi")
+      graft.sources.CorpusSink.writeParquet(
+        reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),
+        s"$dir/streams", shardCol = "shard", sortCol = "doc_id",
+        filesPerShard = filesPerShard)
+      val repPrints = prints.join(repIds, Seq("doc_id"), "left_semi")
+      val capped = bucketEntries(repPrints)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("bk"), col("bv"), col("ck"))
+            .orderBy(col("doc_id"))))
+        .filter(col("r") <= maxBucketSize)
+        .select(col("doc_id"), col("bk"), col("bv"), col("ck"),
+          pmod(hash(col("bk"), col("bv"), col("ck")), lit(BucketShards))
+            .cast("int").as("shard"))
+      graft.sources.CorpusSink.writeParquet(capped, s"$dir/buckets",
+        shardCol = "shard", sortCol = "doc_id",
+        filesPerShard = filesPerShard)
+    } finally prints.unpersist(blocking = false)
+  }
+
+  /** Lazy (doc_id, match_id) frame of [[incrementalVideoAdmission]]
+    * for an already-fingerprinted batch `bPrints` — exposed
+    * (`private[graft]`) for plan audits. Bounded driver collects:
+    * touched shards ≤ [[BucketShards]]; candidate rep ids through a
+    * limit probe (overflow falls through to the full-scan join — the
+    * [[AudioDedup.admissionMatches]] rationale). */
+  private[graft] def admissionMatches(bPrints: DataFrame, dir: String,
+                                      maxMeanDiffE2: Long = 600L,
+                                      minContainPct: Int = 70,
+                                      maxIdPushdown: Int = 10000): DataFrame = {
+    val spark = bPrints.sparkSession
+    val bEntries = bucketEntries(bPrints)
+      .select(col("doc_id").as("qid"), col("bk"), col("bv"), col("ck"),
+        pmod(hash(col("bk"), col("bv"), col("ck")), lit(BucketShards))
+          .cast("int").as("shard"))
+    val touched = bEntries.select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    val stored = spark.read.parquet(s"$dir/buckets")
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+    val cand = bEntries.join(stored, Seq("shard", "bk", "bv", "ck"))
+      .select(col("qid"), col("doc_id").as("rep")).distinct()
+    val repIds = cand.select(col("rep")).distinct()
+      .limit(maxIdPushdown + 1).collect().map(_.getLong(0))
+    val repStreams0 = spark.read.parquet(s"$dir/streams")
+    val repStreams =
+      if (repIds.length <= maxIdPushdown)
+        repStreams0.filter(
+          col("doc_id").isin(repIds.map(java.lang.Long.valueOf): _*))
+      else repStreams0
+    val bTables = streamTables(bPrints)
+    val gated = sumGate(cand
+        .select(col("rep").as("a"), col("qid").as("b"))
+        .join(repStreams.select(col("doc_id").as("a"), col("sm").as("sa")),
+          Seq("a"))
+        .join(bTables.select(col("doc_id").as("b"), col("sm").as("sb")),
+          Seq("b")),
+      ImageDedup.maxSumDiff(maxMeanDiffE2), minContainPct)
+    val joined = gated
+      .join(repStreams.select(col("doc_id").as("a"), col("fr").as("fa")),
+        Seq("a"))
+      .join(bTables.select(col("doc_id").as("b"), col("fr").as("fb")),
+        Seq("b"))
+      .select(col("a").as("ida"), col("b").as("idb"), col("fa"), col("fb"))
+    pairContainment(joined, maxMeanDiffE2)
+      .filter(col("n_b") > 0 &&
+        col("n_matched") * 100 >= col("n_b") * minContainPct)
+      .groupBy(col("idb").as("doc_id"))
+      .agg(min(col("ida")).as("match_id"))
+  }
+
+  /** Incremental VIDEO admission — each batch stream is admitted
+    * unless it is ≥ `minContainPct`% frame-contained in some INDEXED
+    * representative (exact thumb math on candidates only; banding
+    * can only cost recall — gated in `q_dedup_incr_video` — drops
+    * are SOUND by construction). Undecodable containers stay
+    * `novel`. Output: (doc_id, status, match_id, keep). */
+  def incrementalVideoAdmission(batchMedia: DataFrame, dir: String,
+                                maxMeanDiffE2: Long = 600L,
+                                minContainPct: Int = 70,
+                                maxIdPushdown: Int = 10000): DataFrame = {
+    val bp = fingerprints(batchMedia).cache()
+    try {
+      // eager localCheckpoint (not cache): the O(batch)-row match
+      // table materializes NOW so the batch-print cache can release
+      // below (the incrementalAudioAdmission discipline)
+      val matched = admissionMatches(bp, dir, maxMeanDiffE2,
+        minContainPct, maxIdPushdown).localCheckpoint()
+      batchMedia.select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNotNull, lit(Dedup.NearDup))
+            .otherwise(lit(Dedup.Novel)).as("status"),
+          col("match_id"), col("match_id").isNull.as("keep"))
+    } finally bp.unpersist(blocking = false)
+  }
+
+  /** Whole-stream features from one container's bytes — the
+    * [[fingerprints]] kernel as a per-ROW projection for the
+    * streaming twin: the flat [[streamTables]] arrays (fr, sm) plus
+    * each sampled frame's (dhash, ckA, ckB) bucket keys, in frame
+    * order. None when no sampled frame decodes. */
+  private[graft] def streamRow(bytes: Array[Byte],
+                               everyN: Int = SampleEveryN)
+      : Option[(Array[Int], Array[Long], Seq[(Long, Long, Long)])] =
+    Multimodal.decodeAvi(bytes).flatMap { frames =>
+      val feats = frames.zipWithIndex
+        .filter { case (_, f) => f % everyN == 0 }
+        .flatMap { case (fb, _) =>
+          Multimodal.decodeImage(fb).map { case (w, h, px) =>
+            ImageDedup.frameFeatures(px, w, h)
+          }
+        }
+      if (feats.isEmpty) None
+      else Some((
+        feats.toArray.flatMap(_._1),
+        feats.toArray.flatMap(f => Array(f._5(0), f._5(1), f._5(2))),
+        feats.map(f => (f._2, f._3, f._4))))
+    }
+
+  /** Exact frame-containment of `fb` in `fa` (both flat 216-cell
+    * frame arrays) — the [[pairContainment]] kernel as a plain
+    * function for per-row callers (the streaming twin's typed
+    * vote). */
+  private[graft] def isContained(fa: Array[Int], fb: Array[Int],
+                                 maxMeanDiffE2: Long,
+                                 minContainPct: Int): Boolean = {
+    val cells = ImageDedup.ThumbW * ImageDedup.ThumbH * 3
+    val na = fa.length / cells
+    val nb = fb.length / cells
+    if (nb == 0) return false
+    var matched = 0
+    var kb = 0
+    while (kb < nb) {
+      var ok = false
+      var ka = 0
+      while (ka < na && !ok) {
+        var s = 0L
+        var i = 0
+        val oa = ka * cells
+        val ob = kb * cells
+        while (i < cells) {
+          s += math.abs(fa(oa + i) - fb(ob + i)).toLong
+          i += 1
+        }
+        if (s * 100L / cells <= maxMeanDiffE2) ok = true
+        ka += 1
+      }
+      if (ok) matched += 1
+      kb += 1
+    }
+    matched * 100 >= nb * minContainPct
+  }
+
+  /** Fixture media column: every doc carries its planted AVI — the
+    * [[withPlantedTwins]] base universe without the twins; the
+    * stored-index corpus side of the admission gate. */
+  def withPlantedStreams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.plantAvi(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Planted RE-CRAWL batch for the admission gate (the
+    * [[AudioDedup.plantedRecrawlBatch]] design one modality over):
+    * for each stratum doc (doc_id ≡ 0 mod 20, < 2000 — the pinned
+    * bounded panel), a NEAR twin under id + 1,000,000
+    * ([[reencodedTwin]] — uniform +1 brightness PNG re-mux, MUST
+    * flag) and a FAR variant under id + 2,000,000 (every frame's
+    * pixels scrambled by a large position-dependent shift — an
+    * independent-looking stream no planted source contains). Both
+    * go through a REAL decode; the contract is judged against the
+    * exact bipartite containment truth. */
+  def plantedRecrawlBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(id => id % 20 == 0 && id < 2000)
+      .mapPartitions(_.flatMap { id =>
+        val media = Multimodal.plantAvi(id)
+        val near = reencodedTwin(media).iterator
+          .map(m => (id + 1000000L, m))
+        val far = Multimodal.decodeAvi(media).flatMap { frames =>
+          val enc = frames.flatMap(fb =>
+            Multimodal.decodeJpeg(fb).map { case (w, h, px) =>
+              val p = px.clone()
+              var j = 0
+              while (j < p.length) {
+                p(j) = (((p(j) & 0xff) + 97 + (j % 3) * 53 +
+                  ((j / 3) % 7) * 31) % 256).toByte
+                j += 1
+              }
+              (ImageDedup.pngFromPixels(w, h, p), w, h)
+            })
+          if (enc.isEmpty) None
+          else Some(Multimodal.aviFromFrames(enc.map(_._1),
+            enc.head._2, enc.head._3))
+        }.iterator.map(m => (id + 2000000L, m))
+        near ++ far
+      })
+      .toDF("doc_id", "media")
+  }
+
   /** Fixture: every doc carries its planted MJPEG/AVI stream
     * ([[Multimodal.plantAvi]]); ids ≡ 0 (mod 20) additionally plant a
     * RE-ENCODED twin at id + 1,000,000 — every frame decoded,

@@ -1121,6 +1121,82 @@ object PipelineQueries {
     // bounded batch); reuse_ok = the second catalog open resolves the
     // index from its manifest alone — the build closure THROWS if
     // invoked again
+    // incremental VIDEO admission against a STORED index — the
+    // lifecycle member completing the q_dedup_video family (the
+    // image/audio stored-lifecycle design with a temporal axis): rep
+    // STREAM tables + frame-level bucket index persist through
+    // IndexCatalog; the pinned re-crawl batch (re-encoded near twins
+    // must flag, pixel-scrambled far variants must stay novel) is
+    // admitted with touched-shard pruning, the channel-sum
+    // containment gate, and the typed exact frame-containment verify
+    // on candidates only. sound/recall vs the exact bipartite
+    // containment truth (broadcast bounded batch, NO banding);
+    // reuse_ok = the second catalog open resolves from the manifest
+    // alone
+    "q_dedup_incr_video" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val params = Map("family" -> "viddedup", "sf" -> d,
+        "n" -> n.toString, "thr" -> "600", "contain" -> "70")
+      val (dir1, _) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "viddedup_incr", params)(stg =>
+        VideoDedup.buildVideoIndex(VideoDedup.withPlantedStreams(docs), stg))
+      val (dir2, reused2) = graft.IndexCatalog.openOrBuild(s,
+        graft.IndexMemo.catalogRoot, "viddedup_incr", params)(_ =>
+        throw new IllegalStateException(
+          "catalog reopen must not rebuild a vintage-matched index"))
+      val reuseOk = reused2 && dir1 == dir2
+      val batch = VideoDedup.plantedRecrawlBatch(docs).cache()
+      try {
+        val res = VideoDedup.incrementalVideoAdmission(batch, dir2)
+        val flagged = res.filter(col("status") === Dedup.NearDup)
+          .select(col("doc_id"), lit(1).as("f"))
+        // exact bipartite containment truth: the bounded batch
+        // (broadcast stream tables) against ALL corpus streams — the
+        // sum gate is an exact NECESSARY condition (triangle
+        // inequality), so it thins the cross without costing truth;
+        // no banding anywhere in this branch
+        val bt = VideoDedup.streamTables(
+          VideoDedup.fingerprints(batch))
+        val ct = VideoDedup.streamTables(
+          VideoDedup.fingerprints(VideoDedup.withPlantedStreams(docs)))
+        val crossed = broadcast(bt.select(col("doc_id").as("b"),
+            col("sm").as("sb")))
+          .crossJoin(ct.select(col("doc_id").as("a"), col("sm").as("sa")))
+        val gatedIds = VideoDedup.sumGate(
+          crossed.select(col("a"), col("b"), col("sa"), col("sb")),
+          ImageDedup.maxSumDiff(600L), 70)
+        // survivors are few: fetch the fat frame arrays only for them
+        val joined = gatedIds
+          .join(ct.select(col("doc_id").as("a"), col("fr").as("fa")),
+            Seq("a"))
+          .join(broadcast(bt.select(col("doc_id").as("b"),
+            col("fr").as("fb"))), Seq("b"))
+          .select(col("a").as("ida"), col("b").as("idb"),
+            col("fa"), col("fb"))
+        val truth = VideoDedup.pairContainment(joined, 600L)
+          .filter(col("n_b") > 0 &&
+            col("n_matched") * 100 >= col("n_b") * 70)
+          .select(col("idb").as("doc_id")).distinct()
+          .withColumn("t", lit(1))
+        batch.select(col("doc_id"))
+          .join(flagged, Seq("doc_id"), "left")
+          .join(truth, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_batch"),
+            coalesce(max(when(col("f") === 1 && col("t").isNull, 1)
+              .otherwise(0)), lit(0)).as("unsound"),
+            coalesce(sum(coalesce(col("t"), lit(0))), lit(0))
+              .cast("double").as("n_exact"),
+            coalesce(sum(when(col("f") === 1 && col("t") === 1, 1)
+              .otherwise(0)), lit(0)).cast("double").as("n_hit"))
+          .select(col("n_batch"), (col("unsound") === 0).as("sound"),
+            (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"),
+            lit(reuseOk).as("reuse_ok"))
+          .localCheckpoint()
+      } finally batch.unpersist(blocking = false)
+    }),
+
     "q_dedup_incr_audio" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val n = docs.count()
@@ -2129,6 +2205,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // pack with the UNIGRAM tokenizer's real token counts — the
+    // q_pack_bpe symmetry for the session's other trained tokenizer:
+    // encode (memoized model, Viterbi per distinct word) → n_pieces
+    // per doc → the packChunks layout at seqLen 512. The EM-trained
+    // segmentation has no SQL statement, so the oracle pins the exact
+    // word counts and the key carries two NON-VACUOUS invariants
+    // computed across stages: bounded_ok (a word never segments into
+    // fewer than one piece → n_pieces ≥ n_words) and tile_ok (per
+    // source, the highest chunk any doc touches + 1 equals
+    // ⌈Σ n_tok / 512⌉ — true iff the cumsum layout has no gap and no
+    // overlap, cross-checked with pure integer arithmetic)
+    "q_pack_unigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.learnUnigramMemo(docs, d, vocabSize = 256,
+        seedSize = 2048)
+      val enc = Unigram.unigramEncode(docs, model)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"))
+      val packed = Packing.packChunks(docs.join(enc, Seq("doc_id")),
+        tokensCol = col("n_pieces"), seqLen = 512)
+      val tiles = packed.groupBy(col("source")).agg(
+          max(when(col("n_tok") > 0,
+            col("chunk_id") + col("n_chunks"))).as("spanned"),
+          sum(col("n_tok")).as("tot"))
+        .select(col("source"),
+          (coalesce(col("spanned"), lit(0L)) ===
+            expr("(tot + 511) div 512")).as("tile_ok"))
+      packed.join(enc.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+        .join(broadcast(tiles), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_words"),
+          (col("n_tok") >= col("n_words")).as("bounded_ok"),
+          col("tile_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // concat-and-chunk packing fed by the TRAINED tokenizer's token
     // counts (q_pack_chunks's layout under real BPE lengths instead
     // of the bytes/4 estimate) — seq_len 512 so fixture docs span
@@ -2767,6 +2877,10 @@ object PipelineQueries {
       ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
         "TRUE AS recall_ok, TRUE AS reuse_ok " +
         "FROM documents WHERE doc_id % 20 = 0 AND doc_id < 2000"),
+    "q_dedup_incr_video" ->
+      ("SELECT CAST(2 * count(*) AS BIGINT) AS n_batch, TRUE AS sound, " +
+        "TRUE AS recall_ok, TRUE AS reuse_ok " +
+        "FROM documents WHERE doc_id % 20 = 0 AND doc_id < 2000"),
     "q_multimodal_frames" ->
       ("SELECT doc_id, " +
         "CAST(ceil(octet_length(encode(text))/256.0) AS BIGINT) AS n_frames, " +
@@ -3025,6 +3139,11 @@ object PipelineQueries {
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS n_words, " +
         "TRUE AS bounded_ok, TRUE AS roundtrip_ok " +
+        "FROM documents ORDER BY doc_id"),
+    "q_pack_unigram" ->
+      ("SELECT doc_id, source, " +
+        "CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS n_words, " +
+        "TRUE AS bounded_ok, TRUE AS tile_ok " +
         "FROM documents ORDER BY doc_id"),
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
     "q_pack_bpe" -> bpePackOracleSql(5, 512),

@@ -781,6 +781,11 @@ object SparkSqlTwins {
       ("SELECT doc_id, CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_words, " +
         "TRUE AS bounded_ok, TRUE AS roundtrip_ok FROM documents ORDER BY doc_id"),
 
+    "q_pack_unigram" ->
+      ("SELECT doc_id, source, " +
+        "CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_words, " +
+        "TRUE AS bounded_ok, TRUE AS tile_ok FROM documents ORDER BY doc_id"),
+
     "q_bpe_merges" -> bpeTwin(5),
     "q_bpe_encode" -> bpeEncodeTwin(5),
     "q_pack_bpe" -> bpePackTwin(5, 512),
