@@ -26,13 +26,15 @@ object PipelineQueries {
     * pinned batch — the delete key appends the batch first, which is
     * row-identical to a full build under the same centroids); the two
     * BM25 lifecycle keys share the 2/3-corpus base the same way. */
-  /** q_curate_media's planted multimodal corpus: 20% of docs carry
-    * media — ids ≡0 (mod 20) the source image/audio/video triple,
-    * and one re-encoded near-dup twin modality per ≡4/≡9/≡14 carrier
-    * (of doc id−4/−9/−14's media respectively — always an earlier
-    * ≡0 source, so keep-min drops exactly the carriers). A typed
-    * zero-shuffle pass; parquet-memoized by the key
-    * (graft.MediaFixtures). */
+  /** q_curate_media's planted multimodal corpus: docs in the pinned
+    * stratum (doc_id < 2000 — the panel bound every incremental
+    * contract key uses; the per-modality keys already prove
+    * full-corpus dedup scaling) carry media — ids ≡0 (mod 20) the
+    * source image/audio/video triple, and one re-encoded near-dup
+    * twin modality per ≡4/≡9/≡14 carrier (of doc id−4/−9/−14's media
+    * respectively — always an earlier ≡0 source, so keep-min drops
+    * exactly the carriers). A typed zero-shuffle pass;
+    * parquet-memoized by the key (graft.MediaFixtures). */
   private def curateMediaFixture(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
@@ -40,7 +42,7 @@ object PipelineQueries {
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val none = Option.empty[Array[Byte]]
-        (id % 20) match {
+        (if (id < 2000) id % 20 else -1L) match {
           case 0 => (id,
             Some(Multimodal.plantHeader(id, Array.emptyByteArray)),
             Some(Multimodal.plantWav(id)),
@@ -384,26 +386,39 @@ object PipelineQueries {
     }),
 
     // curation with the MEDIA-governance gate composed in (the
-    // multimodal twin of q_curate_hosts): 20% of docs carry planted
-    // media — ids ≡0 (mod 20) a source image+audio+video triple, ids
-    // ≡4 a re-encoded IMAGE twin of doc id−4's image, ids ≡9 a
-    // re-encoded VIDEO twin of id−9's stream, ids ≡14 a re-encoded
-    // AUDIO twin of id−14's clip. All three modality dedups run over
-    // their media-carrying docs; docs whose media fell to an earlier
-    // doc's (exactly the ≡4/≡9/≡14 carriers — sources keep, min-id
-    // wins) drop WHOLE before the doc-level chain. The oracle
-    // re-derives the media verdicts arithmetically from the plant
-    // plus every downstream curation stage
+    // multimodal twin of q_curate_hosts): pinned-stratum docs
+    // (doc_id < 2000, the panel bound every incremental contract key
+    // uses) carry planted media — ids ≡0 (mod 20) a source
+    // image+audio+video triple, ids ≡4 a re-encoded IMAGE twin of doc
+    // id−4's image, ids ≡9 a re-encoded VIDEO twin of id−9's stream,
+    // ids ≡14 a re-encoded AUDIO twin of id−14's clip. All three
+    // modality dedups run over their media-carrying docs; docs whose
+    // media fell to an earlier doc's (exactly the ≡4/≡9/≡14 carriers
+    // — sources keep, min-id wins) drop WHOLE before the doc-level
+    // chain. The oracle re-derives the media verdicts arithmetically
+    // from the plant plus every downstream curation stage
     "q_curate_media" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val media = graft.MediaFixtures.memo(s, "curate_media", d)(
+      val media = graft.MediaFixtures.memo(s, "curate_media_s2000", d)(
         curateMediaFixture(docs))
-      val imgRes = ImageDedup.dedup(media.filter(col("img").isNotNull)
-        .select(col("doc_id"), col("img").as("media")))
-      val audRes = AudioDedup.dedup(media.filter(col("aud").isNotNull)
-        .select(col("doc_id"), col("aud").as("media")))
-      val vidRes = VideoDedup.dedup(media.filter(col("vid").isNotNull)
-        .select(col("doc_id"), col("vid").as("media")))
+      // the three modality gates are independent verdict pipelines
+      // over disjoint media columns — run them as CONCURRENT Spark
+      // job groups (each internally materializes its cache with
+      // count()), exactly how a deployment schedules independent
+      // curation stages; local[32] has the slack, and the driver
+      // threads only await
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fImg = Future(ImageDedup.dedup(media.filter(col("img").isNotNull)
+        .select(col("doc_id"), col("img").as("media"))))
+      val fAud = Future(AudioDedup.dedup(media.filter(col("aud").isNotNull)
+        .select(col("doc_id"), col("aud").as("media"))))
+      val fVid = Future(VideoDedup.dedup(media.filter(col("vid").isNotNull)
+        .select(col("doc_id"), col("vid").as("media"))))
+      val imgRes = Await.result(fImg, Duration.Inf)
+      val audRes = Await.result(fAud, Duration.Inf)
+      val vidRes = Await.result(fVid, Duration.Inf)
       try {
         val dropped = Seq(imgRes, audRes, vidRes)
           .map(_.filter(!col("keep")).select(col("doc_id")))
@@ -1067,7 +1082,8 @@ object PipelineQueries {
         throw new IllegalStateException(
           "catalog reopen must not rebuild a vintage-matched index"))
       val reuseOk = reused2 && dir1 == dir2
-      val batch = ImageDedup.plantedRecrawlBatch(docs).cache()
+      val batch = graft.MediaFixtures.memo(s, "img_recrawl", d)(
+        ImageDedup.plantedRecrawlBatch(docs)).cache()
       try {
         val res = ImageDedup.incrementalImageAdmission(batch, dir2)
         val flagged = res.filter(col("status") === "near_dup")
@@ -1077,7 +1093,9 @@ object PipelineQueries {
         // the join condition, typed 216-element exact pass behind the
         // pairDistances barrier (the q_dedup_image truth-branch shape)
         val bt = ImageDedup.thumbnails(batch)
-        val ct = ImageDedup.thumbnails(ImageDedup.withPlantedImages(docs))
+        val ct = ImageDedup.thumbnails(
+          graft.MediaFixtures.memo(s, "img_corpus", d)(
+            ImageDedup.withPlantedImages(docs)))
         val msd = ImageDedup.maxSumDiff(600L)
         val joined = broadcast(bt.select(col("doc_id").as("idb"),
             col("thumb").as("tb"), col("sr").as("srb"),
@@ -1146,7 +1164,8 @@ object PipelineQueries {
         throw new IllegalStateException(
           "catalog reopen must not rebuild a vintage-matched index"))
       val reuseOk = reused2 && dir1 == dir2
-      val batch = VideoDedup.plantedRecrawlBatch(docs).cache()
+      val batch = graft.MediaFixtures.memo(s, "vid_recrawl", d)(
+        VideoDedup.plantedRecrawlBatch(docs)).cache()
       try {
         val res = VideoDedup.incrementalVideoAdmission(batch, dir2)
         val flagged = res.filter(col("status") === Dedup.NearDup)
@@ -1158,8 +1177,9 @@ object PipelineQueries {
         // no banding anywhere in this branch
         val bt = VideoDedup.streamTables(
           VideoDedup.fingerprints(batch))
-        val ct = VideoDedup.streamTables(
-          VideoDedup.fingerprints(VideoDedup.withPlantedStreams(docs)))
+        val ct = VideoDedup.streamTables(VideoDedup.fingerprints(
+          graft.MediaFixtures.memo(s, "vid_corpus", d)(
+            VideoDedup.withPlantedStreams(docs))))
         val crossed = broadcast(bt.select(col("doc_id").as("b"),
             col("sm").as("sb")))
           .crossJoin(ct.select(col("doc_id").as("a"), col("sm").as("sa")))
@@ -1211,7 +1231,8 @@ object PipelineQueries {
         throw new IllegalStateException(
           "catalog reopen must not rebuild a vintage-matched index"))
       val reuseOk = reused2 && dir1 == dir2
-      val batch = AudioDedup.plantedRecrawlBatch(docs).cache()
+      val batch = graft.MediaFixtures.memo(s, "aud_recrawl", d)(
+        AudioDedup.plantedRecrawlBatch(docs)).cache()
       try {
         val res = AudioDedup.incrementalAudioAdmission(batch, dir2)
         val flagged = res.filter(col("status") === Dedup.NearDup)
@@ -1221,7 +1242,9 @@ object PipelineQueries {
         // the join condition, typed 65-element exact pass behind the
         // pairDistances barrier (the q_dedup_audio truth-branch shape)
         val bp = AudioDedup.fingerprints(batch)
-        val cp = AudioDedup.fingerprints(AudioDedup.withPlantedClips(docs))
+        val cp = AudioDedup.fingerprints(
+          graft.MediaFixtures.memo(s, "aud_corpus", d)(
+            AudioDedup.withPlantedClips(docs)))
         val msd = AudioDedup.maxSumDiff(AudioDedup.DefaultMaxMeanDiffE2)
         val joined = broadcast(bp.select(col("doc_id").as("idb"),
             col("env").as("eb"), col("es").as("esb")))
@@ -2570,7 +2593,8 @@ object PipelineQueries {
     // and fails the hash compare
     "q_curate_media" ->
       (s"WITH cand AS (SELECT * FROM documents " +
-        "WHERE doc_id % 20 NOT IN (4, 9, 14) AND doc_id % 10 <> 0), " +
+        "WHERE (doc_id % 20 NOT IN (4, 9, 14) OR doc_id >= 2000) " +
+        "AND doc_id % 10 <> 0), " +
         s"gated AS (SELECT doc_id, source, n_chars, text, md5($normSql) AS nk " +
         s"FROM cand WHERE $qualitySql >= 400000 AND $langPredSql = 'en'), " +
         "ded AS (SELECT * FROM (SELECT *, row_number() OVER " +

@@ -205,7 +205,8 @@ object SparkSqlTwins {
     // `cand` is an arithmetic filter ahead of the shared tail
     "q_curate_media" ->
       ("WITH cand AS (SELECT * FROM documents " +
-        "WHERE doc_id % 20 NOT IN (4, 9, 14) AND doc_id % 10 <> 0), " +
+        "WHERE (doc_id % 20 NOT IN (4, 9, 14) OR doc_id >= 2000) " +
+        "AND doc_id % 10 <> 0), " +
         curateTailSql),
 
     // the e2e chain behind the host-governance gate — the `cand` CTE
