@@ -223,20 +223,23 @@ object AudioDedup {
   def dedupFromPrints(ids: DataFrame, prints: DataFrame,
                       maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val fams = prints.groupBy(col("env")).agg(min(col("doc_id")).as("rep"))
-    val reps = prints.join(fams.select(col("rep").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // family resolution as ONE window over the envelope key (the
+    // [[ImageDedup.dedupFromThumbs]] r16 restructure: the former
+    // groupBy(env) + left_semi + join-back-on-env spent three
+    // exchanges, two keyed on the 65-int array, for what a single
+    // min-over-partition delivers from one shuffle)
+    val withRep = prints.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("env"))))
+    val reps = withRep.filter(col("doc_id") === col("rep")).drop("rep")
     val repMatch = nearDupPairs(reps, maxMeanDiffE2, maxBucketSize)
       .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
-    val withRep = prints.select(col("doc_id"), col("env"))
-      .join(fams, Seq("env"))
-      .select(col("doc_id"), col("rep"))
+    val verdict = withRep.select(col("doc_id"), col("rep"))
       .join(repMatch, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("nbr_min"), when(col("rep") < col("doc_id"), col("rep")))
           .as("match_id"))
     ids.select(col("doc_id"))
-      .join(withRep, Seq("doc_id"), "left")
+      .join(verdict, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"),
         col("match_id").isNull.as("keep"))
   }
@@ -275,9 +278,11 @@ object AudioDedup {
                       filesPerShard: Int = 2): Unit = {
     val prints = fingerprints(withAudio).cache()
     try {
-      val fams = prints.groupBy(col("env")).agg(min(col("doc_id")).as("rep"))
-      val reps = prints.join(fams.select(col("rep").as("doc_id")),
-        Seq("doc_id"), "left_semi").cache()
+      // reps via window-min over the envelope key (the
+      // [[dedupFromPrints]] r16 restructure: one exchange, not three)
+      val reps = prints.withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("env"))))
+        .filter(col("doc_id") === col("rep")).drop("rep").cache()
       try {
         graft.sources.CorpusSink.writeParquet(
           reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),

@@ -283,23 +283,26 @@ object ImageDedup {
   def dedupFromThumbs(ids: DataFrame, thumbs: DataFrame,
                       maxMeanDiffE2: Long = 600L,
                       maxBucketSize: Int = 1000): DataFrame = {
-    // exact stage: thumbnail → family representative (min doc_id)
-    val fams = thumbs.groupBy(col("thumb")).agg(min(col("doc_id")).as("rep"))
-    val reps = thumbs.join(fams.select(col("rep").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // exact stage: thumbnail → family representative (min doc_id) as
+    // ONE window over the thumbnail key — the r16 restructure: the
+    // former groupBy(thumb) + left_semi re-derive + join-back-on-thumb
+    // spent three exchanges (two of them keyed on the 216-int array)
+    // where a single min-over-partition delivers both the rep ids AND
+    // the member→rep mapping from one shuffle of the table
+    val withRep = thumbs.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("thumb"))))
+    val reps = withRep.filter(col("doc_id") === col("rep")).drop("rep")
     // near stage over representatives; a rep's minimum verified
     // neighbor-family min (always < its own rep id, pairs are a < b)
     val repMatch = nearDupPairs(reps, maxMeanDiffE2, maxBucketSize)
       .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
-    val withRep = thumbs.select(col("doc_id"), col("thumb"))
-      .join(fams, Seq("thumb"))
-      .select(col("doc_id"), col("rep"))
+    val verdict = withRep.select(col("doc_id"), col("rep"))
       .join(repMatch, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("nbr_min"), when(col("rep") < col("doc_id"), col("rep")))
           .as("match_id"))
     ids.select(col("doc_id"))
-      .join(withRep, Seq("doc_id"), "left")
+      .join(verdict, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"),
         col("match_id").isNull.as("keep"))
   }
@@ -341,9 +344,11 @@ object ImageDedup {
                       filesPerShard: Int = 2): Unit = {
     val thumbs = thumbnails(withMedia).cache()
     try {
-      val fams = thumbs.groupBy(col("thumb")).agg(min(col("doc_id")).as("rep"))
-      val reps = thumbs.join(fams.select(col("rep").as("doc_id")),
-        Seq("doc_id"), "left_semi").cache()
+      // reps via window-min over the thumbnail key (the
+      // [[dedupFromThumbs]] r16 restructure: one exchange, not three)
+      val reps = thumbs.withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("thumb"))))
+        .filter(col("doc_id") === col("rep")).drop("rep").cache()
       try {
         graft.sources.CorpusSink.writeParquet(
           reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),

@@ -298,22 +298,28 @@ object VideoDedup {
                       maxMeanDiffE2: Long = 600L,
                       minContainPct: Int = 70,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val sf = streamFrames(prints)
-    val sigs = sf.select(col("doc_id"), col("fr").as("sig"))
-    val fams = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
-    val repPrints = prints.join(fams.select(col("rep").as("doc_id")),
+    // family resolution as ONE window over the flattened frame
+    // signature (the [[ImageDedup.dedupFromThumbs]] r16 restructure:
+    // the former groupBy(fr) + left_semi + join-back-on-fr spent
+    // three exchanges, two of them keyed on the up-to-3456-int flat
+    // array — the widest key in the repo — for what a single
+    // min-over-partition delivers from one shuffle)
+    val withRep = streamFrames(prints).withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("fr"))))
+      .select(col("doc_id"), col("rep"))
+    val repPrints = prints.join(
+      withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val repMatch = nearDupPairs(repPrints, maxMeanDiffE2, minContainPct,
         maxBucketSize)
       .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
-    val withRep = sigs.join(fams, Seq("sig"))
-      .select(col("doc_id"), col("rep"))
+    val verdict = withRep
       .join(repMatch, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("nbr_min"), when(col("rep") < col("doc_id"), col("rep")))
           .as("match_id"))
     ids.select(col("doc_id"))
-      .join(withRep, Seq("doc_id"), "left")
+      .join(verdict, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id"),
         col("match_id").isNull.as("keep"))
   }
@@ -356,9 +362,12 @@ object VideoDedup {
     val prints = fingerprints(withMedia).cache()
     try {
       val st = streamTables(prints)
-      val fams = st.groupBy(col("fr")).agg(min(col("doc_id")).as("rep"))
-      val repIds = fams.select(col("rep").as("doc_id"))
-      val reps = st.join(repIds, Seq("doc_id"), "left_semi")
+      // reps via window-min over the frame signature (the
+      // [[dedupFromPrints]] r16 restructure: one exchange, not three)
+      val reps = st.withColumn("rep",
+          min(col("doc_id")).over(Window.partitionBy(col("fr"))))
+        .filter(col("doc_id") === col("rep")).drop("rep")
+      val repIds = reps.select(col("doc_id"))
       graft.sources.CorpusSink.writeParquet(
         reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),
         s"$dir/streams", shardCol = "shard", sortCol = "doc_id",
