@@ -32,13 +32,32 @@ object Curation {
   def curate(docs: DataFrame, evalDocs: DataFrame,
              minQualityE6: Long = 400000L, keepLang: String = "en",
              contamThresholdE6: Long = 100000L,
-             targetPerSource: Long = 15L, seqLen: Int = 2048): DataFrame = {
+             targetPerSource: Long = 15L, seqLen: Int = 2048): DataFrame =
+    fromGated(gateStage(docs, evalDocs, minQualityE6, keepLang),
+      evalDocs, contamThresholdE6, targetPerSource, seqLen)
+
+  /** Stages 1-3 of [[curate]]: eval holdout + quality/language gates —
+    * all per-row filters, so callers that gate on an INDEPENDENT
+    * doc-id drop set (media verdicts) can compute this stage
+    * concurrently with the verdicts and anti-join afterwards (the
+    * anti-joins commute: every stage here evaluates each row on its
+    * own columns only). */
+  private[graft] def gateStage(docs: DataFrame, evalDocs: DataFrame,
+                               minQualityE6: Long = 400000L,
+                               keepLang: String = "en"): DataFrame = {
     // 1. hold out eval: never train on (or dedup against) held-out ids
     val candidates = docs.join(broadcast(evalDocs.select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
     // 2-3. quality + language gates (one tokenize pass)
-    val gated = TextOps.gatedDocs(candidates, minQualityE6, keepLang,
+    TextOps.gatedDocs(candidates, minQualityE6, keepLang,
       keep = Seq("doc_id", "source", "n_chars", "text"))
+  }
+
+  /** Stages 4-7 of [[curate]] over an already-gated frame. */
+  private[graft] def fromGated(gated: DataFrame, evalDocs: DataFrame,
+                               contamThresholdE6: Long = 100000L,
+                               targetPerSource: Long = 15L,
+                               seqLen: Int = 2048): DataFrame = {
     // 4. exact dedup on normalized text: min doc_id per key survives
     val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
     val ded = gated.withColumn("rn", row_number().over(w))
@@ -100,11 +119,27 @@ object Curation {
                           keepLang: String = "en",
                           contamThresholdE6: Long = 100000L,
                           targetPerSource: Long = 15L,
-                          seqLen: Int = 2048): DataFrame = {
-    val kept = docs.join(mediaDrops.select(col("doc_id")).distinct(),
+                          seqLen: Int = 2048): DataFrame =
+    mediaGateFromGated(
+      gateStage(docs, evalDocs, minQualityE6, keepLang), mediaDrops,
+      evalDocs, contamThresholdE6, targetPerSource, seqLen)
+
+  /** [[curateWithMediaGate]] over an ALREADY-GATED frame — the
+    * overlap entry point: the gate stage (eval holdout + one tokenize
+    * pass) depends only on the docs, so a caller can compute it
+    * CONCURRENTLY with the media-dedup verdicts and hand both here.
+    * Equivalent to gating `docs minus mediaDrops`: stages 1-3 are
+    * per-row filters, so the doc-id anti-join commutes across them
+    * (row sets equal, downstream chain identical). */
+  private[graft] def mediaGateFromGated(gated: DataFrame,
+                                        mediaDrops: DataFrame,
+                                        evalDocs: DataFrame,
+                                        contamThresholdE6: Long = 100000L,
+                                        targetPerSource: Long = 15L,
+                                        seqLen: Int = 2048): DataFrame = {
+    val kept = gated.join(mediaDrops.select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    curate(kept, evalDocs, minQualityE6, keepLang, contamThresholdE6,
-      targetPerSource, seqLen)
+    fromGated(kept, evalDocs, contamThresholdE6, targetPerSource, seqLen)
   }
 
   def curateWithHostGate(docs: DataFrame, urls: DataFrame,
@@ -119,11 +154,18 @@ object Curation {
     val badHosts = UrlOps.hostReport(canon)
       .filter(col("n_dup") * lit(1000000L) >= col("n_urls") * maxHostDupE6)
       .select(col("host"))
-    val kept = docs
+    val keptIds = docs.select(col("doc_id"))
       .join(canon.select(col("doc_id"), col("host")), Seq("doc_id"))
       .join(broadcast(badHosts), Seq("host"), "left_anti")
-      .drop("host")
-    curate(kept, evalDocs, minQualityE6, keepLang, contamThresholdE6,
-      targetPerSource, seqLen)
+      .select(col("doc_id"))
+    // host gate composed AFTER the doc-level gate stage (the
+    // mediaGateFromGated commute: stages 1-3 are per-row filters, so
+    // the doc-id semi-join moves across them with identical row sets)
+    // — this lets the |hosts|-row report and the corpus tokenize pass
+    // run as one dataflow without re-deriving the gate per caller,
+    // and a caller can overlap them as concurrent job groups
+    val gated = gateStage(docs, evalDocs, minQualityE6, keepLang)
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    fromGated(gated, evalDocs, contamThresholdE6, targetPerSource, seqLen)
   }
 }

@@ -410,12 +410,20 @@ object PipelineQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       val fImg = Future(ImageDedup.dedup(media.filter(col("img").isNotNull)
         .select(col("doc_id"), col("img").as("media"))))
       val fAud = Future(AudioDedup.dedup(media.filter(col("aud").isNotNull)
         .select(col("doc_id"), col("aud").as("media"))))
       val fVid = Future(VideoDedup.dedup(media.filter(col("vid").isNotNull)
         .select(col("doc_id"), col("vid").as("media"))))
+      // the curation gate stage (eval holdout + the tokenize pass)
+      // depends only on the docs, never on the media verdicts — run
+      // it as a 4th concurrent job group and anti-join afterwards
+      // (Curation.mediaGateFromGated documents the commute argument);
+      // eager localCheckpoint so the tokenize work happens NOW
+      val fGated = Future(Curation.gateStage(docs, evalDocs)
+        .localCheckpoint())
       val imgRes = Await.result(fImg, Duration.Inf)
       val audRes = Await.result(fAud, Duration.Inf)
       val vidRes = Await.result(fVid, Duration.Inf)
@@ -423,8 +431,8 @@ object PipelineQueries {
         val dropped = Seq(imgRes, audRes, vidRes)
           .map(_.filter(!col("keep")).select(col("doc_id")))
           .reduce(_.unionByName(_))
-        val rep = Curation.curateWithMediaGate(docs, dropped,
-            evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        val rep = Curation.mediaGateFromGated(
+            Await.result(fGated, Duration.Inf), dropped, evalDocs,
             contamThresholdE6 = 700000L) // the q_curate_e2e rationale
           .orderBy(col("source"))
         // materialize the |sources|-row report while the verdict
@@ -1085,9 +1093,15 @@ object PipelineQueries {
       val batch = graft.MediaFixtures.memo(s, "img_recrawl", d)(
         ImageDedup.plantedRecrawlBatch(docs)).cache()
       try {
-        val res = ImageDedup.incrementalImageAdmission(batch, dir2)
-        val flagged = res.filter(col("status") === "near_dup")
-          .select(col("doc_id"), lit(1).as("f"))
+        // the admission (stored-index reads + candidate verify) and
+        // the exact bipartite truth branch are INDEPENDENT pipelines
+        // joined only at the final contract aggregation — run the
+        // admission as a concurrent job group while this thread
+        // materializes the truth (the q_curate_media overlap rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fRes = Future(ImageDedup.incrementalImageAdmission(batch, dir2))
         // exact bipartite truth: the bounded batch (broadcast) against
         // ALL corpus thumbnails — codegen'd channel-sum pre-filter in
         // the join condition, typed 216-element exact pass behind the
@@ -1110,6 +1124,10 @@ object PipelineQueries {
           .filter(col("mean_diff_e2") <= 600L)
           .select(col("idb").as("doc_id")).distinct()
           .withColumn("t", lit(1))
+          .localCheckpoint() // eager: truth computes WHILE fRes runs
+        val res = Await.result(fRes, Duration.Inf)
+        val flagged = res.filter(col("status") === "near_dup")
+          .select(col("doc_id"), lit(1).as("f"))
         batch.select(col("doc_id"))
           .join(flagged, Seq("doc_id"), "left")
           .join(truth, Seq("doc_id"), "left")
@@ -1167,9 +1185,12 @@ object PipelineQueries {
       val batch = graft.MediaFixtures.memo(s, "vid_recrawl", d)(
         VideoDedup.plantedRecrawlBatch(docs)).cache()
       try {
-        val res = VideoDedup.incrementalVideoAdmission(batch, dir2)
-        val flagged = res.filter(col("status") === Dedup.NearDup)
-          .select(col("doc_id"), lit(1).as("f"))
+        // admission concurrent with the truth branch (the
+        // q_dedup_incr_image overlap rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fRes = Future(VideoDedup.incrementalVideoAdmission(batch, dir2))
         // exact bipartite containment truth: the bounded batch
         // (broadcast stream tables) against ALL corpus streams — the
         // sum gate is an exact NECESSARY condition (triangle
@@ -1199,6 +1220,10 @@ object PipelineQueries {
             col("n_matched") * 100 >= col("n_b") * 70)
           .select(col("idb").as("doc_id")).distinct()
           .withColumn("t", lit(1))
+          .localCheckpoint() // eager: truth computes WHILE fRes runs
+        val res = Await.result(fRes, Duration.Inf)
+        val flagged = res.filter(col("status") === Dedup.NearDup)
+          .select(col("doc_id"), lit(1).as("f"))
         batch.select(col("doc_id"))
           .join(flagged, Seq("doc_id"), "left")
           .join(truth, Seq("doc_id"), "left")
@@ -1234,9 +1259,12 @@ object PipelineQueries {
       val batch = graft.MediaFixtures.memo(s, "aud_recrawl", d)(
         AudioDedup.plantedRecrawlBatch(docs)).cache()
       try {
-        val res = AudioDedup.incrementalAudioAdmission(batch, dir2)
-        val flagged = res.filter(col("status") === Dedup.NearDup)
-          .select(col("doc_id"), lit(1).as("f"))
+        // admission concurrent with the truth branch (the
+        // q_dedup_incr_image overlap rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fRes = Future(AudioDedup.incrementalAudioAdmission(batch, dir2))
         // exact bipartite truth: the bounded batch (broadcast) against
         // ALL corpus envelopes — codegen'd envelope-sum pre-filter in
         // the join condition, typed 65-element exact pass behind the
@@ -1256,6 +1284,10 @@ object PipelineQueries {
           .filter(col("mean_diff_e2") <= AudioDedup.DefaultMaxMeanDiffE2)
           .select(col("idb").as("doc_id")).distinct()
           .withColumn("t", lit(1))
+          .localCheckpoint() // eager: truth computes WHILE fRes runs
+        val res = Await.result(fRes, Duration.Inf)
+        val flagged = res.filter(col("status") === Dedup.NearDup)
+          .select(col("doc_id"), lit(1).as("f"))
         batch.select(col("doc_id"))
           .join(flagged, Seq("doc_id"), "left")
           .join(truth, Seq("doc_id"), "left")
@@ -1554,13 +1586,20 @@ object PipelineQueries {
         AnnIndex.buildGraphIndex(emb, base, g = 24, nlist = nlist,
           refineRounds = 0, randPerVec = 4, initMode = initMode,
           sampleMod = sampleMod, spillCells = 3))
-      val ann = AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
-        k = 5, beam = 96, hops = 3, seedProbe = seedProbe)
+      // the stored-graph traversal (eager per-hop checkpoints) and
+      // the brute-force truth are independent pipelines — concurrent
+      // job groups (the q_curate_media overlap rule)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fAnn = Future(AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
+        k = 5, beam = 96, hops = 3, seedProbe = seedProbe))
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .localCheckpoint() // eager: truth computes WHILE fAnn traverses
       // bound raised 0.65 → 0.75 (r12) → 0.85 (r13, after the serve
       // retune measured 0.98 / 0.96 / 0.93 at sf0.1 / sf1 / sf10):
       // the contract enforces the scale margin itself
-      Similarity.meanRecall(ann, exact)
+      Similarity.meanRecall(Await.result(fAnn, Duration.Inf), exact)
         .select(col("n_queries"), (col("recall") >= 0.85).as("recall_ok"))
     }),
 
@@ -1666,20 +1705,30 @@ object PipelineQueries {
         // |Q|·k result sets are contract-sized: collect each pipeline
         // ONCE and run parity + recall driver-side (sameResults is
         // exceptAll-both-ways; recallOf is meanRecall) — one job per
-        // pipeline instead of a job per check
-        val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
-          k = 5, nProbe = 4, rerank = 4).collect()
+        // pipeline instead of a job per check. The three pipelines
+        // (stored serve, in-session rebuild twin, brute-force truth)
+        // are INDEPENDENT reads once the append landed — run them as
+        // concurrent job groups (the q_curate_media overlap rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fServed = Future(AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+          k = 5, nProbe = 4, rerank = 4).collect())
         // in-session rebuild twin: same centroids, full corpus —
         // ivfqRerank's cid fallback is the same assignment expression
         // the stored build uses
         val exact = emb.select(col("vec_id"),
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
-        val rebuilt = Similarity.ivfqRerank(Similarity.quantizedCorpus(emb),
-          exact, queries, centroids, k = 5, nProbe = 4, rerank = 4).collect()
-        val parityOk = sameResults(served, rebuilt)
-        val (nQueries, recall) = recallOf(served,
+        val fRebuilt = Future(Similarity.ivfqRerank(
+          Similarity.quantizedCorpus(emb),
+          exact, queries, centroids, k = 5, nProbe = 4, rerank = 4).collect())
+        val fExactTopK = Future(
           Similarity.bruteForceTopK(emb, queries, k = 5).collect())
+        val served = Await.result(fServed, Duration.Inf)
+        val parityOk = sameResults(served, Await.result(fRebuilt, Duration.Inf))
+        val (nQueries, recall) = recallOf(served,
+          Await.result(fExactTopK, Duration.Inf))
         import s.implicits._
         Seq((nQueries, recall >= 0.5, parityOk))
           .toDF("n_queries", "recall_ok", "parity_ok")
@@ -1723,23 +1772,32 @@ object PipelineQueries {
         graft.IndexMemo.copyTree(ivfqFullDir(s, d), dir)
         val centroids = AnnIndex.readCentroids(s, dir)
         AnnIndex.deleteVectors(deleted.select("vec_id"), dir)
-        // collect-once + driver-side checks (the q_ann_append shape)
-        val served = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
-          k = 5, nProbe = 4, rerank = 4).collect()
+        // collect-once + driver-side checks (the q_ann_append shape);
+        // the masked serve, the survivor rebuild twin, and the
+        // deleted-id list are independent pipelines — concurrent job
+        // groups, with the physical purge sequenced strictly AFTER the
+        // masked serve it is compared against
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fServed = Future(AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+          k = 5, nProbe = 4, rerank = 4).collect())
         val exact = survivors.select(col("vec_id"),
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
-        val rebuilt = Similarity.ivfqRerank(
+        val fRebuilt = Future(Similarity.ivfqRerank(
           Similarity.quantizedCorpus(survivors), exact, queries, centroids,
-          k = 5, nProbe = 4, rerank = 4).collect()
-        val delIds = deleted.select(col("vec_id")).collect()
-          .map(_.getLong(0)).toSet
-        val noDeleted =
-          !served.exists(r => delIds(r.getAs[Long]("neighbor_id")))
-        val parityOk = sameResults(served, rebuilt)
+          k = 5, nProbe = 4, rerank = 4).collect())
+        val fDelIds = Future(deleted.select(col("vec_id")).collect()
+          .map(_.getLong(0)).toSet)
+        val served = Await.result(fServed, Duration.Inf)
         AnnIndex.purgeIvfqDeletes(s, dir)
         val after = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
           k = 5, nProbe = 4, rerank = 4).collect()
+        val delIds = Await.result(fDelIds, Duration.Inf)
+        val noDeleted =
+          !served.exists(r => delIds(r.getAs[Long]("neighbor_id")))
+        val parityOk = sameResults(served, Await.result(fRebuilt, Duration.Inf))
         val purgeOk = sameResults(after, served) &&
           !new java.io.File(s"$dir/deletes").exists()
         import s.implicits._
@@ -1797,15 +1855,23 @@ object PipelineQueries {
         // pipelines — cache it for the key's lifetime
         val upsertedC = upserted.cache()
         try {
-          val served = AnnIndex.ivfqTopKFromPath(s, dir, upsertedC, queries,
-            k = 5, nProbe = 4, rerank = 4).collect()
+          // serve-from-disk and the rebuild twin are independent once
+          // the upsert landed — concurrent job groups (the
+          // q_ann_append overlap rule); the replay is sequenced after
+          // the serve it is compared against
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fServed = Future(AnnIndex.ivfqTopKFromPath(s, dir, upsertedC,
+            queries, k = 5, nProbe = 4, rerank = 4).collect())
           val exact = upsertedC.select(col("vec_id"),
               VectorOps.asDoubleArray(col("embedding")).as("cv"))
             .withColumn("cn", VectorOps.l2Norm(col("cv")))
-          val rebuilt = Similarity.ivfqRerank(
+          val fRebuilt = Future(Similarity.ivfqRerank(
             Similarity.quantizedCorpus(upsertedC), exact, queries, centroids,
-            k = 5, nProbe = 4, rerank = 4).collect()
-          val parityOk = sameResults(served, rebuilt)
+            k = 5, nProbe = 4, rerank = 4).collect())
+          val served = Await.result(fServed, Duration.Inf)
+          val parityOk = sameResults(served, Await.result(fRebuilt, Duration.Inf))
           AnnIndex.upsertIvfq(batch, dir) // replay the whole upsert
           val after = AnnIndex.ivfqTopKFromPath(s, dir, upsertedC, queries,
             k = 5, nProbe = 4, rerank = 4).collect()
@@ -2056,24 +2122,38 @@ object PipelineQueries {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("bm25_e6").desc, col("doc_id"))).cast("long"))
         .cache()
-      val fusedStored = Retrieval.rrfFuse(sparseStored, denseStored, k = 10)
-        .collect()
-      // contract 1: the stored sparse leg is BIT-identical to inline
+      // materialize the shared sparse leg once, then run its four
+      // consumers (two fusions, the inline-parity twin, the parity
+      // collect) as concurrent job groups (the q_ann_append overlap
+      // rule) — they are independent reads of cached/stored frames
+      sparseStored.count()
       import s.implicits._
-      val sparseInline = Retrieval.bm25Scores(docs, qterms.toDF("term"))
-        .filter(col("doc_id") =!= qid)
-        .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val sparseParity = sparseStored
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fFusedStored = Future(
+        Retrieval.rrfFuse(sparseStored, denseStored, k = 10).collect())
+      // contract 1: the stored sparse leg is BIT-identical to inline
+      val fSparseInline = Future(
+        Retrieval.bm25Scores(docs, qterms.toDF("term"))
+          .filter(col("doc_id") =!= qid)
+          .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+      val fSparseRows = Future(sparseStored
         .select(col("doc_id"), col("n_hit"), col("bm25_e6"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .toSet == sparseInline
+        .toSet)
       // contract 2: fusion overlap vs the exact composition
       val denseExact = Similarity.bruteForceTopK(emb, queryVec, k = 50)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
-      val sparseExact = sparseStored // already proven bit-identical
-      val fusedExact = Retrieval.rrfFuse(sparseExact, denseExact, k = 10)
-        .collect().map(_.getLong(0)).toSet
+      val fFusedExact = Future(
+        Retrieval.rrfFuse(sparseStored, denseExact, k = 10)
+          .collect().map(_.getLong(0)).toSet)
+      val fusedStored = Await.result(fFusedStored, Duration.Inf)
+      val sparseParity =
+        Await.result(fSparseRows, Duration.Inf) ==
+          Await.result(fSparseInline, Duration.Inf)
+      val fusedExact = Await.result(fFusedExact, Duration.Inf)
       sparseStored.unpersist(blocking = false)
       val overlap = fusedStored.map(_.getLong(0)).count(fusedExact.contains)
       Seq((fusedStored.length.toLong, sparseParity, overlap >= 6))
@@ -2096,14 +2176,21 @@ object PipelineQueries {
         // (graft.IndexMemo — the tokenize+shuffle of the base build is
         // the dominant cost and a pure function of the fixture); the
         // APPEND under test still runs fresh on the private clone
+        // the query-term probe depends only on the docs — run it as a
+        // concurrent job group while the clone + append land (the
+        // q_ann_append overlap rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fQterms = Future(Retrieval.dfCounts(docs)
+          .filter(!col("term").isin("the", "a", "of", "and", "in"))
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq)
         graft.IndexMemo.cloneDir(bm25BaseKey(d), dir)(base =>
           Retrieval.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), base))
         Retrieval.appendIndex(docs.filter(col("doc_id") % 3 === 0), dir)
         // same query-term rule as q_bm25_topk (3-row driver probe)
-        val qterms = Retrieval.dfCounts(docs)
-          .filter(!col("term").isin("the", "a", "of", "and", "in"))
-          .orderBy(col("df").desc, col("term")).limit(3)
-          .collect().map(_.getString(0)).toSeq
+        val qterms = Await.result(fQterms, Duration.Inf)
         // collect-then-localize so the served frame outlives the tmp dir
         val rows = Retrieval.bm25TopKFromIndex(s, dir, qterms, k = 10)
           .collect().toSeq
@@ -2136,15 +2223,22 @@ object PipelineQueries {
         // append sequence are BIT-IDENTICAL to a one-shot build,
         // RetrievalAppendSpec), so the delete contract is unchanged
         // while build AND append are paid once per session
+        val live = docs.filter(col("doc_id") % 4 =!= 1)
+        // q_bm25_topk's query-term rule over the SURVIVING corpus —
+        // depends only on the docs, so it runs as a concurrent job
+        // group while the clone + delete land (the q_ann_append
+        // overlap rule)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fQterms = Future(Retrieval.dfCounts(live)
+          .filter(!col("term").isin("the", "a", "of", "and", "in"))
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq)
         graft.IndexMemo.copyTree(bm25FullDir(s, d), dir)
         Retrieval.deleteIndex(
           docs.filter(col("doc_id") % 4 === 1).select(col("doc_id")), dir)
-        val live = docs.filter(col("doc_id") % 4 =!= 1)
-        // q_bm25_topk's query-term rule, over the SURVIVING corpus
-        val qterms = Retrieval.dfCounts(live)
-          .filter(!col("term").isin("the", "a", "of", "and", "in"))
-          .orderBy(col("df").desc, col("term")).limit(3)
-          .collect().map(_.getString(0)).toSeq
+        val qterms = Await.result(fQterms, Duration.Inf)
         val rows = Retrieval.bm25TopKFromIndex(s, dir, qterms, k = 10)
           .collect().toSeq
         import s.implicits._
