@@ -277,6 +277,8 @@ object AudioDedup {
                       maxBucketSize: Int = 1000,
                       filesPerShard: Int = 2): Unit = {
     val prints = fingerprints(withAudio).cache()
+    // eager cache fill — the [[dedup]] cold-cache rationale
+    prints.count()
     try {
       // reps via window-min over the envelope key (the
       // [[dedupFromPrints]] r16 restructure: one exchange, not three)
@@ -512,6 +514,10 @@ object AudioDedup {
             maxMeanDiffE2: Long = DefaultMaxMeanDiffE2,
             maxBucketSize: Int = 1000): DataFrame = {
     val prints = fingerprints(withAudio).cache()
+    // eager cache fill — the ImageDedup/VideoDedup.dedup cold-cache
+    // rationale (AQE submits the verdict dataflow's leaf exchange
+    // stages concurrently; a cold cache re-decodes per stage)
+    prints.count()
     val res = dedupFromPrints(withAudio.select(col("doc_id")), prints,
       maxMeanDiffE2, maxBucketSize).cache()
     try res.count()

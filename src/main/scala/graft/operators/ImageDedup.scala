@@ -343,6 +343,8 @@ object ImageDedup {
                       maxBucketSize: Int = 1000,
                       filesPerShard: Int = 2): Unit = {
     val thumbs = thumbnails(withMedia).cache()
+    // eager cache fill — the [[dedup]] cold-cache rationale
+    thumbs.count()
     try {
       // reps via window-min over the thumbnail key (the
       // [[dedupFromThumbs]] r16 restructure: one exchange, not three)
@@ -612,6 +614,11 @@ object ImageDedup {
   def dedup(withMedia: DataFrame, maxMeanDiffE2: Long = 600L,
             maxBucketSize: Int = 1000): DataFrame = {
     val thumbs = thumbnails(withMedia).cache()
+    // eager cache fill: the verdict dataflow's leaf exchange stages
+    // are submitted concurrently by AQE, and a cold cache makes every
+    // one re-run the image decode (the VideoDedup.dedup rationale —
+    // measured there via tools.JobProf)
+    thumbs.count()
     val res = dedupFromThumbs(withMedia.select(col("doc_id")), thumbs,
       maxMeanDiffE2, maxBucketSize).cache()
     try res.count()

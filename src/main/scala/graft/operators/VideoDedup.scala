@@ -333,6 +333,11 @@ object VideoDedup {
             minContainPct: Int = 70,
             maxBucketSize: Int = 1000): DataFrame = {
     val prints = fingerprints(withVideo).cache()
+    // eager cache fill: the verdict dataflow's leaf exchange stages
+    // are submitted concurrently by AQE, and a cold cache makes every
+    // one re-run the container decode (measured 17 recomputes × ~0.65 s
+    // inside one action at sf0.1 — tools.JobProf)
+    prints.count()
     val res = dedupFromPrints(withVideo.select(col("doc_id")), prints,
       maxMeanDiffE2, minContainPct, maxBucketSize).cache()
     try res.count()
@@ -360,6 +365,8 @@ object VideoDedup {
                       maxBucketSize: Int = 1000,
                       filesPerShard: Int = 2): Unit = {
     val prints = fingerprints(withMedia).cache()
+    // eager cache fill — the [[dedup]] cold-cache rationale
+    prints.count()
     try {
       val st = streamTables(prints)
       // reps via window-min over the frame signature (the

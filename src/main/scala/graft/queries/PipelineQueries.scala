@@ -860,6 +860,8 @@ object PipelineQueries {
       val corpus = graft.MediaFixtures.memo(s, "img_twins", d)(
         ImageDedup.withPlantedTwins(Tables.documents(s, d)))
       val thumbs = ImageDedup.thumbnails(corpus).cache()
+      // eager cache fill — the VideoDedup.dedup cold-cache rationale
+      thumbs.count()
       val res = ImageDedup.dedupFromThumbs(
         corpus.select(col("doc_id")), thumbs).cache()
       res.count() // materialize while thumbs is hot (both reads below)
@@ -936,6 +938,8 @@ object PipelineQueries {
       val corpus = graft.MediaFixtures.memo(s, "aud_twins", d)(
         AudioDedup.withPlantedTwins(Tables.documents(s, d)))
       val prints = AudioDedup.fingerprints(corpus).cache()
+      // eager cache fill — the VideoDedup.dedup cold-cache rationale
+      prints.count()
       val res = AudioDedup.dedupFromPrints(
         corpus.select(col("doc_id")), prints).cache()
       res.count() // materialize while prints is hot (both reads below)
@@ -1002,6 +1006,12 @@ object PipelineQueries {
       val corpus = graft.MediaFixtures.memo(s, "vid_twins", d)(
         VideoDedup.withPlantedTwins(Tables.documents(s, d)))
       val prints = VideoDedup.fingerprints(corpus).cache()
+      // materialize the fingerprint cache BEFORE the verdict dataflow:
+      // its ~20 leaf exchange stages are submitted concurrently by AQE
+      // and a cold cache makes EVERY one re-run the full container
+      // decode (JobProf r16: 17 recomputes × ~0.65 s of the decode
+      // subtree inside one count)
+      prints.count()
       val res = VideoDedup.dedupFromPrints(
         corpus.select(col("doc_id")), prints).cache()
       res.count() // materialize while prints is hot (both reads below)
@@ -1854,6 +1864,9 @@ object PipelineQueries {
         // the upserted corpus is read by three serve/rebuild
         // pipelines — cache it for the key's lifetime
         val upsertedC = upserted.cache()
+        // eager cache fill: the two concurrent consumers below would
+        // otherwise both compute the cold union (the cold-cache herd)
+        upsertedC.count()
         try {
           // serve-from-disk and the rebuild twin are independent once
           // the upsert landed — concurrent job groups (the
