@@ -19,6 +19,16 @@ import graft.operators.{AnnIndex, AudioDedup, Contamination, Curation, Dedup, Em
   */
 object PipelineQueries {
 
+  /** Concurrent-pipeline submitter for the overlap pattern (guide
+    * §2.6): the body is a BLOCKING Spark action (collect/count/
+    * localCheckpoint), so it runs wrapped in
+    * `scala.concurrent.blocking` — the global fork-join pool then
+    * grows a compensation thread instead of deadlocking if keys ever
+    * nest or widen the fan-out (ADVICE r16). */
+  private def bgJob[T](body: => T): scala.concurrent.Future[T] =
+    scala.concurrent.Future(scala.concurrent.blocking(body))(
+      scala.concurrent.ExecutionContext.Implicits.global)
+
   /** Memo keys for the session-shared stored-index bases
     * (graft.IndexMemo): every build parameter that matters is encoded
     * in the key, so no parameter change can ever serve a stale base.
@@ -411,18 +421,18 @@ object PipelineQueries {
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val fImg = Future(ImageDedup.dedup(media.filter(col("img").isNotNull)
+      val fImg = bgJob(ImageDedup.dedup(media.filter(col("img").isNotNull)
         .select(col("doc_id"), col("img").as("media"))))
-      val fAud = Future(AudioDedup.dedup(media.filter(col("aud").isNotNull)
+      val fAud = bgJob(AudioDedup.dedup(media.filter(col("aud").isNotNull)
         .select(col("doc_id"), col("aud").as("media"))))
-      val fVid = Future(VideoDedup.dedup(media.filter(col("vid").isNotNull)
+      val fVid = bgJob(VideoDedup.dedup(media.filter(col("vid").isNotNull)
         .select(col("doc_id"), col("vid").as("media"))))
       // the curation gate stage (eval holdout + the tokenize pass)
       // depends only on the docs, never on the media verdicts — run
       // it as a 4th concurrent job group and anti-join afterwards
       // (Curation.mediaGateFromGated documents the commute argument);
       // eager localCheckpoint so the tokenize work happens NOW
-      val fGated = Future(Curation.gateStage(docs, evalDocs)
+      val fGated = bgJob(Curation.gateStage(docs, evalDocs)
         .localCheckpoint())
       val imgRes = Await.result(fImg, Duration.Inf)
       val audRes = Await.result(fAud, Duration.Inf)
@@ -1102,6 +1112,10 @@ object PipelineQueries {
       val reuseOk = reused2 && dir1 == dir2
       val batch = graft.MediaFixtures.memo(s, "img_recrawl", d)(
         ImageDedup.plantedRecrawlBatch(docs)).cache()
+      // eager cache fill: the admission future and the truth branch
+      // read the batch concurrently — a cold cache would make both
+      // recompute the recrawl fixture (ADVICE r16)
+      batch.count()
       try {
         // the admission (stored-index reads + candidate verify) and
         // the exact bipartite truth branch are INDEPENDENT pipelines
@@ -1111,7 +1125,7 @@ object PipelineQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fRes = Future(ImageDedup.incrementalImageAdmission(batch, dir2))
+        val fRes = bgJob(ImageDedup.incrementalImageAdmission(batch, dir2))
         // exact bipartite truth: the bounded batch (broadcast) against
         // ALL corpus thumbnails — codegen'd channel-sum pre-filter in
         // the join condition, typed 216-element exact pass behind the
@@ -1194,13 +1208,17 @@ object PipelineQueries {
       val reuseOk = reused2 && dir1 == dir2
       val batch = graft.MediaFixtures.memo(s, "vid_recrawl", d)(
         VideoDedup.plantedRecrawlBatch(docs)).cache()
+      // eager cache fill: the admission future and the truth branch
+      // read the batch concurrently — a cold cache would make both
+      // recompute the recrawl fixture (ADVICE r16)
+      batch.count()
       try {
         // admission concurrent with the truth branch (the
         // q_dedup_incr_image overlap rule)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fRes = Future(VideoDedup.incrementalVideoAdmission(batch, dir2))
+        val fRes = bgJob(VideoDedup.incrementalVideoAdmission(batch, dir2))
         // exact bipartite containment truth: the bounded batch
         // (broadcast stream tables) against ALL corpus streams — the
         // sum gate is an exact NECESSARY condition (triangle
@@ -1268,13 +1286,17 @@ object PipelineQueries {
       val reuseOk = reused2 && dir1 == dir2
       val batch = graft.MediaFixtures.memo(s, "aud_recrawl", d)(
         AudioDedup.plantedRecrawlBatch(docs)).cache()
+      // eager cache fill: the admission future and the truth branch
+      // read the batch concurrently — a cold cache would make both
+      // recompute the recrawl fixture (ADVICE r16)
+      batch.count()
       try {
         // admission concurrent with the truth branch (the
         // q_dedup_incr_image overlap rule)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fRes = Future(AudioDedup.incrementalAudioAdmission(batch, dir2))
+        val fRes = bgJob(AudioDedup.incrementalAudioAdmission(batch, dir2))
         // exact bipartite truth: the bounded batch (broadcast) against
         // ALL corpus envelopes — codegen'd envelope-sum pre-filter in
         // the join condition, typed 65-element exact pass behind the
@@ -1602,7 +1624,7 @@ object PipelineQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fAnn = Future(AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
+      val fAnn = bgJob(AnnIndex.graphTopKFromPath(s, idxDir, emb, queries,
         k = 5, beam = 96, hops = 3, seedProbe = seedProbe))
       val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
         .localCheckpoint() // eager: truth computes WHILE fAnn traverses
@@ -1722,7 +1744,7 @@ object PipelineQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fServed = Future(AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+        val fServed = bgJob(AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
           k = 5, nProbe = 4, rerank = 4).collect())
         // in-session rebuild twin: same centroids, full corpus —
         // ivfqRerank's cid fallback is the same assignment expression
@@ -1730,10 +1752,10 @@ object PipelineQueries {
         val exact = emb.select(col("vec_id"),
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
-        val fRebuilt = Future(Similarity.ivfqRerank(
+        val fRebuilt = bgJob(Similarity.ivfqRerank(
           Similarity.quantizedCorpus(emb),
           exact, queries, centroids, k = 5, nProbe = 4, rerank = 4).collect())
-        val fExactTopK = Future(
+        val fExactTopK = bgJob(
           Similarity.bruteForceTopK(emb, queries, k = 5).collect())
         val served = Await.result(fServed, Duration.Inf)
         val parityOk = sameResults(served, Await.result(fRebuilt, Duration.Inf))
@@ -1790,21 +1812,26 @@ object PipelineQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fServed = Future(AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
+        val fServed = bgJob(AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
           k = 5, nProbe = 4, rerank = 4).collect())
         val exact = survivors.select(col("vec_id"),
             VectorOps.asDoubleArray(col("embedding")).as("cv"))
           .withColumn("cn", VectorOps.l2Norm(col("cv")))
-        val fRebuilt = Future(Similarity.ivfqRerank(
+        val fRebuilt = bgJob(Similarity.ivfqRerank(
           Similarity.quantizedCorpus(survivors), exact, queries, centroids,
           k = 5, nProbe = 4, rerank = 4).collect())
-        val fDelIds = Future(deleted.select(col("vec_id")).collect()
+        val fDelIds = bgJob(deleted.select(col("vec_id")).collect()
           .map(_.getLong(0)).toSet)
         val served = Await.result(fServed, Duration.Inf)
+        // fDelIds is awaited BEFORE the purge rewrites $dir/vectors;
+        // fRebuilt reads only emb-derived frames and driver-side
+        // centroids and MUST NEVER read `dir` — any future edit that
+        // makes it read the index directory must also await it here
+        // (ADVICE r16: silent file race otherwise)
+        val delIds = Await.result(fDelIds, Duration.Inf)
         AnnIndex.purgeIvfqDeletes(s, dir)
         val after = AnnIndex.ivfqTopKFromPath(s, dir, emb, queries,
           k = 5, nProbe = 4, rerank = 4).collect()
-        val delIds = Await.result(fDelIds, Duration.Inf)
         val noDeleted =
           !served.exists(r => delIds(r.getAs[Long]("neighbor_id")))
         val parityOk = sameResults(served, Await.result(fRebuilt, Duration.Inf))
@@ -1875,12 +1902,12 @@ object PipelineQueries {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val fServed = Future(AnnIndex.ivfqTopKFromPath(s, dir, upsertedC,
+          val fServed = bgJob(AnnIndex.ivfqTopKFromPath(s, dir, upsertedC,
             queries, k = 5, nProbe = 4, rerank = 4).collect())
           val exact = upsertedC.select(col("vec_id"),
               VectorOps.asDoubleArray(col("embedding")).as("cv"))
             .withColumn("cn", VectorOps.l2Norm(col("cv")))
-          val fRebuilt = Future(Similarity.ivfqRerank(
+          val fRebuilt = bgJob(Similarity.ivfqRerank(
             Similarity.quantizedCorpus(upsertedC), exact, queries, centroids,
             k = 5, nProbe = 4, rerank = 4).collect())
           val served = Await.result(fServed, Duration.Inf)
@@ -2144,22 +2171,22 @@ object PipelineQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fFusedStored = Future(
+      val fFusedStored = bgJob(
         Retrieval.rrfFuse(sparseStored, denseStored, k = 10).collect())
       // contract 1: the stored sparse leg is BIT-identical to inline
-      val fSparseInline = Future(
+      val fSparseInline = bgJob(
         Retrieval.bm25Scores(docs, qterms.toDF("term"))
           .filter(col("doc_id") =!= qid)
           .orderBy(col("bm25_e6").desc, col("doc_id")).limit(50)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
-      val fSparseRows = Future(sparseStored
+      val fSparseRows = bgJob(sparseStored
         .select(col("doc_id"), col("n_hit"), col("bm25_e6"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet)
       // contract 2: fusion overlap vs the exact composition
       val denseExact = Similarity.bruteForceTopK(emb, queryVec, k = 50)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
-      val fFusedExact = Future(
+      val fFusedExact = bgJob(
         Retrieval.rrfFuse(sparseStored, denseExact, k = 10)
           .collect().map(_.getLong(0)).toSet)
       val fusedStored = Await.result(fFusedStored, Duration.Inf)
@@ -2195,7 +2222,7 @@ object PipelineQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fQterms = Future(Retrieval.dfCounts(docs)
+        val fQterms = bgJob(Retrieval.dfCounts(docs)
           .filter(!col("term").isin("the", "a", "of", "and", "in"))
           .orderBy(col("df").desc, col("term")).limit(3)
           .collect().map(_.getString(0)).toSeq)
@@ -2244,7 +2271,7 @@ object PipelineQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fQterms = Future(Retrieval.dfCounts(live)
+        val fQterms = bgJob(Retrieval.dfCounts(live)
           .filter(!col("term").isin("the", "a", "of", "and", "in"))
           .orderBy(col("df").desc, col("term")).limit(3)
           .collect().map(_.getString(0)).toSeq)

@@ -65,7 +65,10 @@ object JobProf {
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // let the async listener bus drain
         val js = jobs.values.toArray(Array.empty[Job]).sortBy(_.start)
-        val jobSum = js.map(j => (j.end - j.start) / 1e3).sum
+        // jobs whose end event never arrived keep end == 0 (the 300 ms
+        // drain sleep is not a guarantee) — summing them would inject
+        // large negative durations (ADVICE r16)
+        val jobSum = js.filter(_.end > 0).map(j => (j.end - j.start) / 1e3).sum
         val ss = stages.toArray(Array.empty[Stg])
         println(f"[jobprof] $key run$run: wall $wall%.2f s, " +
           f"jobs ${js.length}, in-job $jobSum%.2f s, " +
