@@ -23,7 +23,21 @@ object MediaFixtures {
   def memo(spark: SparkSession, name: String, sfDir: String)
           (plant: => DataFrame): DataFrame = {
     val dir = IndexMemo.dir(s"mediafix|$name|$sfDir") { d =>
-      plant.write.parquet(d)
+      // spread the fixture across the session's parallelism before
+      // writing (r17): the planted tables inherit the source table's
+      // 1-2 input splits, so every DOWNSTREAM DECODE of the memo ran
+      // as 1-2 tasks on a 32-core session (measured: the fingerprint
+      // cache fill of q_dedup_video was one 0.6 s task). A doc_id
+      // hash repartition at plant time (once per session) gives every
+      // repeated decode scan `defaultParallelism` splits — and the
+      // count derives from the session, never a pinned constant
+      val p = plant
+      val n = math.max(1, spark.sparkContext.defaultParallelism)
+      val spread =
+        if (p.columns.contains("doc_id"))
+          p.repartition(n, org.apache.spark.sql.functions.col("doc_id"))
+        else p
+      spread.write.parquet(d)
     }
     spark.read.parquet(dir)
   }

@@ -227,9 +227,14 @@ object AudioDedup {
     // [[ImageDedup.dedupFromThumbs]] r16 restructure: the former
     // groupBy(env) + left_semi + join-back-on-env spent three
     // exchanges, two keyed on the 65-int array, for what a single
-    // min-over-partition delivers from one shuffle)
+    // min-over-partition delivers from one shuffle). r17: eager
+    // localCheckpoint — the window output feeds five static
+    // consumers, and without the barrier each re-plans and re-runs
+    // the Sort+Window above the (AQE-reused) exchange
+    // (the [[ImageDedup.dedupFromThumbs]] materialization rule).
     val withRep = prints.withColumn("rep",
-      min(col("doc_id")).over(Window.partitionBy(col("env"))))
+        min(col("doc_id")).over(Window.partitionBy(col("env"))))
+      .localCheckpoint()
     val reps = withRep.filter(col("doc_id") === col("rep")).drop("rep")
     val repMatch = nearDupPairs(reps, maxMeanDiffE2, maxBucketSize)
       .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))

@@ -288,9 +288,17 @@ object ImageDedup {
     // former groupBy(thumb) + left_semi re-derive + join-back-on-thumb
     // spent three exchanges (two of them keyed on the 216-int array)
     // where a single min-over-partition delivers both the rep ids AND
-    // the member→rep mapping from one shuffle of the table
+    // the member→rep mapping from one shuffle of the table.
+    // r17: the window output feeds FIVE static consumers (candidates'
+    // two self-join sides, the two verify thumb sides, the verdict
+    // map) — without a materialization barrier each one re-plans the
+    // whole window subtree and the stage chain re-runs Sort+Window
+    // per consumer (AQE reuses only the exchange). One eager
+    // localCheckpoint (|corpus| rows of thumbnail width) truncates
+    // the plan at the family boundary (guide §3.3).
     val withRep = thumbs.withColumn("rep",
-      min(col("doc_id")).over(Window.partitionBy(col("thumb"))))
+        min(col("doc_id")).over(Window.partitionBy(col("thumb"))))
+      .localCheckpoint()
     val reps = withRep.filter(col("doc_id") === col("rep")).drop("rep")
     // near stage over representatives; a rep's minimum verified
     // neighbor-family min (always < its own rep id, pairs are a < b)

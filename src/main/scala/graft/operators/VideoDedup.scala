@@ -262,10 +262,24 @@ object VideoDedup {
     * one. */
   def nearDupPairs(prints: DataFrame, maxMeanDiffE2: Long = 600L,
                    minContainPct: Int = 70,
-                   maxBucketSize: Int = 1000): DataFrame = {
-    // ONE aggregation feeds all four join sides (sum gate a/b, frame
-    // verify a/b): identical subtrees → Spark reuses the exchange
-    val st = streamTables(prints)
+                   maxBucketSize: Int = 1000): DataFrame =
+    nearDupPairsFromTables(prints,
+      streamTables(prints).localCheckpoint(), maxMeanDiffE2,
+      minContainPct, maxBucketSize)
+
+  /** [[nearDupPairs]] over a PRE-MATERIALIZED stream table `st`
+    * (⊇ the streams of `prints` — extra rows are inert: every join
+    * below keys on candidate ids, which come from `prints`). Callers
+    * that already hold the [[streamTables]] aggregation
+    * ([[dedupFromPrints]]) pass it in so the four join sides (sum
+    * gate a/b, frame verify a/b) read ONE materialization instead of
+    * re-planning the aggregation subtree per side (r17 — the
+    * [[ImageDedup.dedupFromThumbs]] materialization rule). */
+  private[graft] def nearDupPairsFromTables(prints: DataFrame,
+                                            st: DataFrame,
+                                            maxMeanDiffE2: Long = 600L,
+                                            minContainPct: Int = 70,
+                                            maxBucketSize: Int = 1000): DataFrame = {
     val gated = sumGate(
       candidates(prints, maxBucketSize)
         .join(st.select(col("doc_id").as("a"), col("sm").as("sa")), Seq("a"))
@@ -303,15 +317,23 @@ object VideoDedup {
     // the former groupBy(fr) + left_semi + join-back-on-fr spent
     // three exchanges, two of them keyed on the up-to-3456-int flat
     // array — the widest key in the repo — for what a single
-    // min-over-partition delivers from one shuffle)
-    val withRep = streamFrames(prints).withColumn("rep",
+    // min-over-partition delivers from one shuffle). r17: the
+    // per-stream aggregation is computed ONCE and materialized
+    // (eager localCheckpoint) — it feeds the family window AND all
+    // four verify join sides, which previously each re-planned the
+    // whole groupBy subtree; the member→rep map is materialized too
+    // (three consumers, tiny rows).
+    val st = streamTables(prints).localCheckpoint()
+    val withRep = st.select(col("doc_id"), col("fr"))
+      .withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy(col("fr"))))
       .select(col("doc_id"), col("rep"))
-    val repPrints = prints.join(
-      withRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val repMatch = nearDupPairs(repPrints, maxMeanDiffE2, minContainPct,
-        maxBucketSize)
+      .localCheckpoint()
+    val repIds = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    val repPrints = prints.join(repIds, Seq("doc_id"), "left_semi")
+    val repMatch = nearDupPairsFromTables(repPrints, st, maxMeanDiffE2,
+        minContainPct, maxBucketSize)
       .groupBy(col("b").as("rep")).agg(min(col("a")).as("nbr_min"))
     val verdict = withRep
       .join(repMatch, Seq("rep"), "left")
@@ -370,10 +392,14 @@ object VideoDedup {
     try {
       val st = streamTables(prints)
       // reps via window-min over the frame signature (the
-      // [[dedupFromPrints]] r16 restructure: one exchange, not three)
+      // [[dedupFromPrints]] r16 restructure: one exchange, not
+      // three); materialized once (r17) — the streams write and the
+      // bucket write would otherwise each re-run the aggregation +
+      // window chain
       val reps = st.withColumn("rep",
           min(col("doc_id")).over(Window.partitionBy(col("fr"))))
         .filter(col("doc_id") === col("rep")).drop("rep")
+        .localCheckpoint()
       val repIds = reps.select(col("doc_id"))
       graft.sources.CorpusSink.writeParquet(
         reps.withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int")),
@@ -423,7 +449,10 @@ object VideoDedup {
         repStreams0.filter(
           col("doc_id").isin(repIds.map(java.lang.Long.valueOf): _*))
       else repStreams0
-    val bTables = streamTables(bPrints)
+    // materialized once (r17): the sum-gate side and the frame-verify
+    // side below would otherwise each re-run the per-stream
+    // aggregation over the batch prints
+    val bTables = streamTables(bPrints).localCheckpoint()
     val gated = sumGate(cand
         .select(col("rep").as("a"), col("qid").as("b"))
         .join(repStreams.select(col("doc_id").as("a"), col("sm").as("sa")),
