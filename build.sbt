@@ -40,3 +40,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (250 batch rounds × ~10 codegen'd stages) compiled throughout.
   "-XX:ReservedCodeCacheSize=512m",
 )
+// AQE's post-shuffle coalescing targets BYTES (minPartitionSize
+// default 1m), which serializes CPU-BOUND stages over small data: at
+// gate scale the 8-gram window of q_dedup_substring coalesced to 2
+// tasks on a 32-core session (measured 0.86 s of a 1.4 s key; 64k
+// floor: key 2.98 -> 1.68 s). At production scale post-shuffle
+// partitions are far above either floor, so the knob is inert there —
+// it is a small-shuffle parallelism floor, not a cluster tunable.
+// Env-parameterized so the driver's lower-core bench rerun and any
+// deployment can override it.
+javaOptions += "-Dspark.sql.adaptive.coalescePartitions.minPartitionSize=" +
+  sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k")
+// Experiment/override hook: space-separated extra JVM options for
+// forked runs (e.g. -Dspark.* conf probes during perf work).
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

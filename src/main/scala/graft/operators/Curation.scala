@@ -46,8 +46,13 @@ object Curation {
                                minQualityE6: Long = 400000L,
                                keepLang: String = "en"): DataFrame = {
     // 1. hold out eval: never train on (or dedup against) held-out ids
-    val candidates = docs.join(broadcast(evalDocs.select(col("doc_id"))),
-      Seq("doc_id"), "left_anti")
+    // (r17: spread first — the gate-scale documents parquet arrives as
+    // ONE split, so the tokenize pass below ran as a single 0.4 s task
+    // on a 32-core session; at 100 TB the scan is already wide and
+    // spreadIfNarrow passes it through shuffle-free)
+    val candidates = graft.Tables.spreadIfNarrow(docs)
+      .join(broadcast(evalDocs.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
     // 2-3. quality + language gates (one tokenize pass)
     TextOps.gatedDocs(candidates, minQualityE6, keepLang,
       keep = Seq("doc_id", "source", "n_chars", "text"))
@@ -150,7 +155,9 @@ object Curation {
                          contamThresholdE6: Long = 100000L,
                          targetPerSource: Long = 15L,
                          seqLen: Int = 2048): DataFrame = {
-    val canon = UrlOps.withCanonical(urls)
+    // spread the single-split url table before the per-row
+    // canonicalization (the gateStage spread rationale)
+    val canon = UrlOps.withCanonical(graft.Tables.spreadIfNarrow(urls))
     val badHosts = UrlOps.hostReport(canon)
       .filter(col("n_dup") * lit(1000000L) >= col("n_urls") * maxHostDupE6)
       .select(col("host"))

@@ -466,7 +466,9 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs.select(col("doc_id"),
+    // spread the single-split gate-scale scan before the tokenize
+    // (the Curation.gateStage rationale; wide scans pass through)
+    val toks = graft.Tables.spreadIfNarrow(docs).select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
     val grams = (1 until k).foldLeft(toks) { (df, i) =>
         df.withColumn(s"w$i", lead(col("w0"), i).over(w))
